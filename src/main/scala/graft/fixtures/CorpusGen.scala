@@ -1,0 +1,91 @@
+package graft.fixtures
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.hocr.HocrRender
+import graft.layout.{Assembly, MediaOcr, RuneIndex}
+import graft.model.{Doc, Span}
+
+/** Deterministic synthesis of the interleaved input table
+  * (doc_id, spans[kind,text,media_ref,offset]) — BASELINE.json input_hint —
+  * from the driver's `documents` parquet at a given scale factor. No
+  * external data: every span derives from (doc_id, text, splitmix64).
+  *
+  * Per doc: a pseudo-random interleaving of
+  *   - 'html' spans: the doc's text wrapped in realistic page chrome
+  *     (nav/header/footer/aside boilerplate + link farms) for the
+  *     boilerplate-strip path;
+  *   - 'pdf_layout' spans: REAL hOCR XHTML rendered by our own renderer
+  *     from a synthesized layout page (so the distributed job exercises
+  *     parse -> stitch on authentic hOCR);
+  *   - 'media' spans: opaque refs `img://<hex>` for the classifier path.
+  * Docs where doc_id % 251 == 0 get a heavy span tail (skew shape,
+  * FIXTURES.md §3 "mega-doc").
+  */
+object CorpusGen {
+
+  /** Pure, deterministic per-doc generator. */
+  def genDoc(docId: Long, text: String): Doc = {
+    val h = MediaOcr.hash64(s"corpus:$docId")
+    val isMega = docId % 251 == 0 && docId > 0
+    val nSpans =
+      if (isMega) 256 + (Math.floorMod(h, 256L)).toInt
+      else 2 + (Math.floorMod(h, 6L)).toInt
+    val spans = Vector.newBuilder[Span]
+    var offset = 0
+    var i = 0
+    while (i < nSpans) {
+      val hi = MediaOcr.hash64(s"span:$docId:$i")
+      val kindPick = Math.floorMod(hi, 10L).toInt
+      val span =
+        if (kindPick < 4) { // html
+          val htmlText = wrapHtml(text, docId, i, hi)
+          Span("html", htmlText, "", offset)
+        } else if (kindPick < 7) { // pdf_layout: genuine hOCR
+          val ocr = MediaOcr.classify(f"pdf://$docId%d/$i%d")
+          val page = Assembly.createHocrPage(ocr.page, new RuneIndex(ocr.text), 1)
+          val hocrDoc = Assembly.createHocrDocument(None, Vector(page))
+          Span("pdf_layout", HocrRender.render(hocrDoc), "", offset)
+        } else { // media
+          Span("media", "", f"img://$hi%016x", offset)
+        }
+      spans += span
+      offset += 1 + graft.text.GoStrings.runeLen(span.text)
+      i += 1
+    }
+    Doc(s"doc_$docId", spans.result())
+  }
+
+  /** Boilerplate-wrapped page around (a slice of) the doc text. */
+  private def wrapHtml(text: String, docId: Long, i: Int, h: Long): String = {
+    val words = text.split(' ')
+    val from = if (words.isEmpty) 0 else Math.floorMod(h >>> 8, Math.max(1, words.length).toLong).toInt
+    val body = words.slice(from, Math.min(words.length, from + 40 + Math.floorMod(h, 40L).toInt)).mkString(" ")
+    val sb = new StringBuilder(1024)
+    sb.append("<html><head><title>Doc ").append(docId).append("</title>")
+    sb.append("<style>body{margin:0}</style><script>var x=1;</script></head><body>")
+    sb.append("<nav><a href='/'>Home</a> <a href='/a'>Products</a> <a href='/b'>About</a> <a href='/c'>Contact</a></nav>")
+    sb.append("<header><h1>Page ").append(i).append(" heading</h1></header>")
+    if (Math.floorMod(h, 3L) == 0)
+      sb.append("<div class='ads'><a href='/ad1'>Buy now</a> <a href='/ad2'>Special offer today</a></div>")
+    sb.append("<div id='main'><p>").append(body).append(" end of paragraph content.</p>")
+    if (Math.floorMod(h, 2L) == 0)
+      sb.append("<p>Second paragraph with enough prose to clear the density threshold for doc ")
+        .append(docId).append(" span ").append(i).append(".</p>")
+    sb.append("</div>")
+    sb.append("<aside><a href='/x'>related</a> <a href='/y'>links</a></aside>")
+    sb.append("<footer>Copyright 2026 Example Corp <a href='/tos'>Terms</a></footer>")
+    sb.append("</body></html>")
+    sb.toString
+  }
+
+  /** Build the corpus Dataset from a scale-factor directory. */
+  def fromDocuments(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+      .as[(Long, String)]
+      .map { case (id, text) => genDoc(id, text) }
+      .toDF()
+  }
+}

@@ -1,0 +1,263 @@
+package graft.hocr
+
+import scala.collection.mutable.ArrayBuffer
+
+import graft.html.HtmlDom
+import graft.html.HtmlDom.{ElementNode, Node, TextNode}
+import graft.model.BBox
+import graft.text.GoStrings
+
+/** hOCR parsing — mirrors /root/reference/pkg/hocr/parse.go. */
+object HocrParse {
+
+  /** ParseHOCR (parse.go:13-83). Returns Left(error message) when no
+    * ocr_page elements are found. */
+  def parseHocr(data: Array[Byte]): Either[String, Hocr] = {
+    val decoded = GoStrings.decodeWithSniff(data)
+    parseHocrString(decoded)
+  }
+
+  def parseHocrString(decoded: String): Either[String, Hocr] = {
+    val dom = HtmlDom.parse(decoded)
+    var result = extractDocumentMeta(dom)
+    val pages = ArrayBuffer.empty[HPage]
+    // findPages (parse.go:55-77): recursive, early-return per page subtree.
+    def findPages(n: Node): Unit = {
+      if (n.nodeType == ElementNode && n.data == "div" &&
+          n.attr("class").contains("ocr_page")) {
+        pages += processPage(n)
+      } else n.children.foreach(findPages)
+    }
+    findPages(dom)
+    result = result.copy(pages = pages.toVector)
+    if (result.pages.isEmpty) Left("no ocr_page elements found in HOCR data")
+    else Right(result)
+  }
+
+  /** ParseTitle (parse.go:87-105): split on ';', TrimSpace, Fields;
+    * first token = key, rest = values. Later duplicate keys overwrite. */
+  def parseTitle(title: String): Map[String, Seq[String]] = {
+    var result = Map.empty[String, Seq[String]]
+    title.split(";", -1).foreach { part0 =>
+      val part = GoStrings.trimSpace(part0)
+      if (part.nonEmpty) {
+        val items = GoStrings.fields(part)
+        if (items.nonEmpty) result = result.updated(items(0), items.drop(1).toSeq)
+      }
+    }
+    result
+  }
+
+  /** ParseBoundingBoxFromTitle (parse.go:109-120); unparseable floats -> 0. */
+  def parseBBoxFromTitle(title: String): Option[BBox] = {
+    parseTitle(title).get("bbox") match {
+      case Some(bbox) if bbox.length >= 4 =>
+        Some(BBox(
+          GoStrings.parseFloatOrZero(bbox(0)), GoStrings.parseFloatOrZero(bbox(1)),
+          GoStrings.parseFloatOrZero(bbox(2)), GoStrings.parseFloatOrZero(bbox(3))))
+      case _ => None
+    }
+  }
+
+  /** extractDocumentMeta (parse.go:123-193). */
+  private def extractDocumentMeta(doc: Node): Hocr = {
+    var title = ""
+    var description = ""
+    var language = ""
+    var metadata = Map.empty[String, String]
+
+    // findHTMLLang (parse.go:138-155): top-level html element's lang/xml:lang.
+    doc.children.foreach { c =>
+      if (c.nodeType == ElementNode && c.data == "html") {
+        val it = c.attrs.iterator
+        var found = false
+        while (it.hasNext && !found) {
+          val (k, v) = it.next()
+          if (k == "lang" || k == "xml:lang") { language = v; found = true }
+        }
+      }
+    }
+
+    // findHead (parse.go:124-135): first head element, DFS.
+    def findHead(n: Node): Option[Node] =
+      if (n.nodeType == ElementNode && n.data == "head") Some(n)
+      else n.children.iterator.map(findHead).collectFirst { case Some(h) => h }
+
+    findHead(doc).foreach { head =>
+      head.children.foreach { c =>
+        if (c.nodeType == ElementNode) c.data match {
+          case "title" =>
+            c.children.headOption.foreach { fc =>
+              if (fc.nodeType == TextNode) title = fc.data
+            }
+          case "meta" =>
+            var name = ""
+            var content = ""
+            c.attrs.foreach { case (k, v) =>
+              if (k == "name") name = v else if (k == "content") content = v
+            }
+            if (name.nonEmpty && content.nonEmpty) {
+              if (name == "ocr-system" || name == "ocr-capabilities" ||
+                  name == "ocr-number-of-pages" || name == "ocr-langs")
+                metadata = metadata.updated(name, content)
+              else if (name == "description") description = content
+              else if (name == "dc.language") language = content
+            }
+          case _ =>
+        }
+      }
+    }
+    Hocr(title = title, description = description, language = language, metadata = metadata)
+  }
+
+  /** Child collection with descent stopping at the first matching class
+    * (parse.go:231-249 pattern). Buckets are filled in the order classes
+    * are tested; each matched subtree is not descended further. */
+  private def collectByClass(parent: Node, buckets: Seq[(String, ArrayBuffer[Node])]): Unit = {
+    def walk(node: Node): Unit = {
+      if (node.nodeType == ElementNode) {
+        val cls = node.attr("class")
+        val hit = buckets.find { case (c, _) => cls.contains(c) }
+        if (hit.isDefined) { hit.get._2 += node; return }
+      }
+      node.children.foreach(walk)
+    }
+    parent.children.foreach(walk)
+  }
+
+  /** processPage (parse.go:196-280). */
+  def processPage(n: Node): HPage = {
+    var page = HPage()
+    n.attrs.foreach { case (k, v) =>
+      k match {
+        case "id"   => page = page.copy(id = v)
+        case "lang" => page = page.copy(lang = v)
+        case "title" =>
+          page = page.copy(title = v)
+          parseBBoxFromTitle(v).foreach(b => page = page.copy(bbox = b))
+          val props = parseTitle(v)
+          props.get("image").foreach(img => if (img.nonEmpty) page = page.copy(imageName = img.head))
+          props.get("ppageno").foreach(pp =>
+            if (pp.nonEmpty) page = page.copy(pageNumber = GoStrings.atoiOrZero(pp.head)))
+        case _ =>
+      }
+    }
+    val areaNodes = ArrayBuffer.empty[Node]
+    val paraNodes = ArrayBuffer.empty[Node]
+    val lineNodes = ArrayBuffer.empty[Node]
+    collectByClass(n, Seq("ocr_carea" -> areaNodes, "ocr_par" -> paraNodes, "ocr_line" -> lineNodes))
+    page.copy(
+      areas = areaNodes.map(processArea).toVector,
+      paragraphs = paraNodes.map(processParagraph).toVector,
+      lines = lineNodes.map(processLine).toVector)
+  }
+
+  /** processArea (parse.go:283-364): non-bbox title props -> metadata,
+    * values joined with " ". */
+  def processArea(n: Node): HArea = {
+    var area = HArea()
+    n.attrs.foreach { case (k, v) =>
+      k match {
+        case "id"   => area = area.copy(id = v)
+        case "lang" => area = area.copy(lang = v)
+        case "title" =>
+          parseBBoxFromTitle(v).foreach(b => area = area.copy(bbox = b))
+          val md = parseTitle(v).collect { case (pk, pv) if pk != "bbox" => pk -> pv.mkString(" ") }
+          area = area.copy(metadata = md)
+        case _ =>
+      }
+    }
+    val paraNodes = ArrayBuffer.empty[Node]
+    val lineNodes = ArrayBuffer.empty[Node]
+    val wordNodes = ArrayBuffer.empty[Node]
+    collectByClass(n, Seq("ocr_par" -> paraNodes, "ocr_line" -> lineNodes, "ocrx_word" -> wordNodes))
+    area.copy(
+      paragraphs = paraNodes.map(processParagraph).toVector,
+      lines = lineNodes.map(processLine).toVector,
+      words = wordNodes.map(processWord).toVector)
+  }
+
+  /** processParagraph (parse.go:367-436). */
+  def processParagraph(n: Node): HPara = {
+    var para = HPara()
+    n.attrs.foreach { case (k, v) =>
+      k match {
+        case "id"   => para = para.copy(id = v)
+        case "lang" => para = para.copy(lang = v)
+        case "title" =>
+          parseBBoxFromTitle(v).foreach(b => para = para.copy(bbox = b))
+          val md = parseTitle(v).collect { case (pk, pv) if pk != "bbox" => pk -> pv.mkString(" ") }
+          para = para.copy(metadata = md)
+        case _ =>
+      }
+    }
+    val lineNodes = ArrayBuffer.empty[Node]
+    val wordNodes = ArrayBuffer.empty[Node]
+    collectByClass(n, Seq("ocr_line" -> lineNodes, "ocrx_word" -> wordNodes))
+    para.copy(
+      lines = lineNodes.map(processLine).toVector,
+      words = wordNodes.map(processWord).toVector)
+  }
+
+  /** processLine (parse.go:439-495): words found by full recursion with
+    * early stop only at ocrx_word nodes. */
+  def processLine(n: Node): HLine = {
+    var line = HLine()
+    n.attrs.foreach { case (k, v) =>
+      k match {
+        case "id"   => line = line.copy(id = v)
+        case "lang" => line = line.copy(lang = v)
+        case "title" =>
+          parseBBoxFromTitle(v).foreach(b => line = line.copy(bbox = b))
+          val props = parseTitle(v)
+          props.get("baseline").foreach(b => line = line.copy(baseline = b.mkString(" ")))
+          val md = props.collect { case (pk, pv) if pk != "bbox" && pk != "baseline" => pk -> pv.mkString(" ") }
+          line = line.copy(metadata = md)
+        case _ =>
+      }
+    }
+    val words = ArrayBuffer.empty[HWord]
+    def extractWords(node: Node): Unit = {
+      if (node.nodeType == ElementNode && node.attr("class").contains("ocrx_word")) {
+        words += processWord(node)
+      } else node.children.foreach(extractWords)
+    }
+    n.children.foreach(extractWords)
+    line.copy(words = words.toVector)
+  }
+
+  /** processWord (parse.go:498-539): title lang overrides attr lang;
+    * text only when the node has children. */
+  def processWord(n: Node): HWord = {
+    var word = HWord()
+    n.attrs.foreach { case (k, v) =>
+      k match {
+        case "id"   => word = word.copy(id = v)
+        case "lang" => word = word.copy(lang = v)
+        case "title" =>
+          parseBBoxFromTitle(v).foreach(b => word = word.copy(bbox = b))
+          val props = parseTitle(v)
+          props.get("x_wconf").foreach(c =>
+            if (c.nonEmpty) word = word.copy(confidence = GoStrings.parseFloatOrZero(c.head)))
+          props.get("lang").foreach(l => if (l.nonEmpty) word = word.copy(lang = l.head))
+          val md = props.collect {
+            case (pk, pv) if pk != "bbox" && pk != "x_wconf" && pk != "lang" => pk -> pv.mkString(" ")
+          }
+          word = word.copy(metadata = md)
+        case _ =>
+      }
+    }
+    if (n.children.nonEmpty) word = word.copy(text = extractTextContent(n))
+    word
+  }
+
+  /** extractTextContent (parse.go:542-552): DFS concat of text nodes with
+    * TrimSpace at every level (inner trims, then outer trims the concat —
+    * inter-element spaces are dropped). */
+  def extractTextContent(n: Node): String = {
+    if (n.nodeType == TextNode) return GoStrings.trimSpace(n.data)
+    var text = ""
+    n.children.foreach(c => text += extractTextContent(c))
+    GoStrings.trimSpace(text)
+  }
+}

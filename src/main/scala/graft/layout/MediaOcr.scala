@@ -1,0 +1,157 @@
+package graft.layout
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Pure-JVM OCR-style layout classification for media spans (north rule:
+  * the reference's one network boundary — the Document AI gRPC call,
+  * /root/reference/pkg/gdocai/client.go:15-53 — is replaced by a
+  * deterministic classifier so the engine has zero egress).
+  *
+  * Given a `media_ref`, synthesizes a Document-AI-shaped page (tokens with
+  * anchors/bboxes/confidences/breaks, lines, paragraphs, blocks) exactly
+  * like G-19's input shape, so the G-13 assembly + H-13 stitch run on it
+  * unchanged. Deterministic: all choices derive from splitmix64 of the ref
+  * bytes — same ref => same page on every executor.
+  */
+object MediaOcr {
+
+  private val vocab: Array[String] = Array(
+    "lorem", "ipsum", "dolor", "sit", "amet", "consectetur", "adipiscing",
+    "elit", "sed", "tempor", "incididunt", "labore", "dolore", "magna",
+    "aliqua", "enim", "minim", "veniam", "quis", "nostrud", "exercitation",
+    "ullamco", "laboris", "nisi", "aliquip", "commodo", "consequat", "duis",
+    "aute", "irure", "voluptate", "velit", "esse", "cillum", "fugiat")
+
+  private val langs = Array("en", "de", "fr", "es")
+
+  /** splitmix64 over the UTF-8 bytes of `s` — stable across JVMs. */
+  def hash64(s: String): Long = {
+    var h = 0x9E3779B97F4A7C15L
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+      h ^= (b & 0xFFL)
+      h *= 0xBF58476D1CE4E5B9L
+      h ^= (h >>> 27)
+      h *= 0x94D049BB133111EBL
+      h ^= (h >>> 31)
+    }
+    h
+  }
+
+  private final class Rng(seed: Long) {
+    private var state = seed
+    def next(): Long = {
+      state += 0x9E3779B97F4A7C15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    /** uniform in [0, n) */
+    def int(n: Int): Int = (Math.floorMod(next(), n.toLong)).toInt
+  }
+
+  /** Classification result: page text + the layout page (pageNumber=1). */
+  final case class OcrResult(text: String, page: LPage)
+
+  def classify(mediaRef: String): OcrResult = {
+    val rng = new Rng(hash64(mediaRef))
+    val dimW = 1000f
+    val dimH = 1400f
+    val pageLang = langs(rng.int(langs.length))
+
+    val nBlocks = 1 + rng.int(3)
+    val text = new StringBuilder
+    val tokens = ArrayBuffer.empty[LToken]
+    val lines = ArrayBuffer.empty[LLine]
+    val paras = ArrayBuffer.empty[LPara]
+    val blocks = ArrayBuffer.empty[LBlock]
+    var y = 40f
+
+    def vertsFor(x1: Float, y1: Float, x2: Float, y2: Float): Vector[(Float, Float)] =
+      Vector((x1 / dimW, y1 / dimH), (x2 / dimW, y1 / dimH), (x2 / dimW, y2 / dimH), (x1 / dimW, y2 / dimH))
+
+    for (_ <- 0 until nBlocks) {
+      val blockStart = text.length // ASCII text => char offset == rune offset
+      val nParas = 1 + rng.int(2)
+      for (_ <- 0 until nParas) {
+        val paraStart = text.length
+        val nLines = 1 + rng.int(3)
+        for (_ <- 0 until nLines) {
+          val lineStart = text.length
+          val nTokens = 2 + rng.int(6)
+          var x = 50f
+          for (t <- 0 until nTokens) {
+            val word = vocab(rng.int(vocab.length))
+            val tokStart = text.length
+            text.append(word)
+            val last = t == nTokens - 1
+            text.append(if (last) "\n" else " ")
+            val tokEnd = text.length // anchor includes the break char, like DocAI
+            val w = 18f * word.length
+            val conf = 0.5f + rng.int(50) / 100.0f
+            val tokLangs = if (rng.int(5) == 0) Vector(langs(rng.int(langs.length))) else Vector.empty[String]
+            tokens += LToken(
+              layout = Some(LLayout(Vector(TextSegment(tokStart, tokEnd)), conf,
+                vertsFor(x, y, x + w, y + 22f))),
+              detectedLanguages = tokLangs,
+              hasBreak = true)
+            x += w + 12f
+          }
+          val lineLangs = if (rng.int(4) == 0) Vector(langs(rng.int(langs.length))) else Vector.empty[String]
+          lines += LLine(
+            layout = Some(LLayout(Vector(TextSegment(lineStart, text.length)), 0.9f,
+              vertsFor(50f, y, 950f, y + 22f))),
+            detectedLanguages = lineLangs)
+          y += 28f
+        }
+        paras += LPara(Some(LLayout(Vector(TextSegment(paraStart, text.length)), 0.9f,
+          vertsFor(48f, y - 28f * nLines - 2f, 952f, y + 2f))))
+        y += 10f
+      }
+      blocks += LBlock(Some(LLayout(Vector(TextSegment(blockStart, text.length)), 0.9f,
+        vertsFor(45f, y - 80f, 955f, y + 5f))))
+      y += 20f
+    }
+
+    // Edge shapes (FIXTURES.md §3): occasionally a paragraph contained in
+    // no block, and a line contained in no paragraph.
+    if (rng.int(7) == 0) {
+      val start = text.length
+      val word = vocab(rng.int(vocab.length))
+      text.append(word).append("\n")
+      val tokEnd = text.length
+      tokens += LToken(Some(LLayout(Vector(TextSegment(start, tokEnd)), 0.75f,
+        vertsFor(50f, y, 200f, y + 22f))), Vector.empty, hasBreak = true)
+      lines += LLine(Some(LLayout(Vector(TextSegment(start, tokEnd)), 0.8f,
+        vertsFor(50f, y, 200f, y + 22f))))
+      paras += LPara(Some(LLayout(Vector(TextSegment(start, tokEnd)), 0.8f,
+        vertsFor(50f, y, 200f, y + 22f))))
+      y += 30f
+    }
+    if (rng.int(11) == 0) {
+      val start = text.length
+      text.append("orphan line\n")
+      tokens += LToken(Some(LLayout(Vector(TextSegment(start, start + 7)), 0.6f,
+        vertsFor(50f, y, 150f, y + 22f))), Vector.empty, hasBreak = false)
+      tokens += LToken(Some(LLayout(Vector(TextSegment(start + 7, start + 12)), 0.6f,
+        vertsFor(160f, y, 260f, y + 22f))), Vector.empty, hasBreak = true)
+      lines += LLine(Some(LLayout(Vector(TextSegment(start, start + 12)), 0.7f,
+        vertsFor(50f, y, 260f, y + 22f))))
+      y += 30f
+    }
+
+    val fullText = text.toString
+    val page = LPage(
+      pageNumber = 1,
+      dimW = dimW,
+      dimH = dimH,
+      layout = Some(LLayout(Vector(TextSegment(0, fullText.length)), 1.0f,
+        vertsFor(0f, 0f, dimW, dimH))),
+      detectedLanguages = Vector(pageLang),
+      blocks = blocks.toVector,
+      paragraphs = paras.toVector,
+      lines = lines.toVector,
+      tokens = tokens.toVector)
+    OcrResult(fullText, page)
+  }
+}
