@@ -18,13 +18,20 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Extract.run(CorpusGen.fromDocuments(spark, "/root/testdata/sf0.001"))
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_extract_flagship" -> ((s, dir) => Extract.run(CorpusGen.fromDocuments(s, dir)))
-  )
+  private val battery: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
+    graft.queries.Relational.all ++
+    graft.queries.TextAnalysisQ.all ++
+    graft.queries.DedupQ.all ++
+    graft.queries.SimilarityQ.all
 
-  def oracleSql: Map[String, String] = Map(
-    // q_extract_flagship: non-SQL-expressible (DOM/hOCR/classifier work);
-    // the driver records the rows-only check, correctness is pinned by the
-    // golden + distributed-equivalence suites in src/test.
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    battery.map { case (k, (fn, _)) => k -> fn } ++ Map(
+      // non-SQL-expressible flagship (DOM/hOCR/classifier work): the
+      // driver records the rows-only check; correctness is pinned by the
+      // golden + distributed-equivalence suites in src/test.
+      "q_extract_flagship" -> ((s: SparkSession, dir: String) =>
+        Extract.run(CorpusGen.fromDocuments(s, dir))))
+
+  def oracleSql: Map[String, String] =
+    battery.collect { case (k, (_, Some(sql))) => k -> sql }
 }

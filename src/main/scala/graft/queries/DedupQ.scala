@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline: exact dedup,
+  * MinHash+LSH near-dup candidates, n-gram Jaccard, SimHash.
+  *
+  * Hash functions are built from md5 (identical across Spark and DuckDB)
+  * so every stage is oracle-checkable: minhash_j(doc) =
+  * min over shingles s of md5(j || ':' || s), LSH bands = md5 of the
+  * concatenated band signature. No engine-specific hashing anywhere.
+  */
+object DedupQ {
+
+  def documents(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def norm(c: Column): Column = lower(regexp_replace(c, "\\s+", " "))
+
+  /** Exact dedup: canonical representative (min doc_id) per content hash
+    * + group size. */
+  def qDedupExact(s: SparkSession, dir: String): DataFrame = {
+    val withFp = documents(s, dir).select(col("doc_id"), md5(norm(col("text")).cast("binary")).as("fp"))
+    val w = Window.partitionBy(col("fp"))
+    withFp
+      .withColumn("rn", row_number().over(w.orderBy(col("doc_id"))))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("fp"), col("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDedupExactSql: String =
+    """SELECT doc_id, fp, n_copies FROM (
+      | SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+      |  ROW_NUMBER() OVER (PARTITION BY md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) ORDER BY doc_id) AS rn,
+      |  COUNT(*) OVER (PARTITION BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS n_copies
+      | FROM documents) t
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** Character 4-gram shingles of the normalized text, distinct per doc.
+    * Shingling itself is the scalable explode: one row per (doc, gram). */
+  private def shingles(s: SparkSession, dir: String, maxDocId: Option[Long]): DataFrame = {
+    val base0 = documents(s, dir).select(col("doc_id"), norm(col("text")).as("t"))
+    val base = maxDocId.map(m => base0.filter(col("doc_id") < m)).getOrElse(base0)
+    base
+      .select(col("doc_id"), col("t"), explode(sequence(lit(1), length(col("t")) - 3)).as("i"))
+      .select(col("doc_id"), expr("substr(t, i, 4)").as("s"))
+      .distinct()
+  }
+
+  /** MinHash (16 perms via md5 keyed by j) + LSH (4 bands x 4 rows):
+    * candidate near-duplicate pairs. The banding is the scale path: docs
+    * only ever meet through equal (band, band_hash) buckets — a shuffle
+    * on the bucket key, never an all-pairs product. */
+  def qMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir, None)
+    val mh = sh
+      .select(col("doc_id"), explode(sequence(lit(0), lit(15))).as("j"), col("s"))
+      .select(col("doc_id"), col("j"),
+        md5(concat(col("j").cast("string"), lit(":"), col("s")).cast("binary")).as("h"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(min(col("h")).as("m"))
+    val bands = mh
+      .groupBy(col("doc_id"), floor(col("j") / 4).as("band"))
+      .agg(md5(array_join(
+        transform(array_sort(collect_list(struct(col("j"), col("m")))), (x: Column) => x.getField("m")),
+        ",").cast("binary")).as("bh"))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qMinhashLshSql: String =
+    """WITH n AS (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 4) AS s
+      |       FROM n, UNNEST(generate_series(1, length(t) - 3)) AS u(i)),
+      |mh AS (SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || ':' || s)) AS m
+      |       FROM sh, UNNEST(generate_series(0, 15)) AS jj(j)
+      |       GROUP BY doc_id, j),
+      |bands AS (SELECT doc_id, CAST(FLOOR(j / 4) AS INT) AS band,
+      |                 md5(STRING_AGG(m, ',' ORDER BY j)) AS bh
+      |          FROM mh GROUP BY doc_id, CAST(FLOOR(j / 4) AS INT))
+      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** n-gram Jaccard similarity over a bounded doc subset (doc_id < 40):
+    * |A ∩ B| via a shingle equi-join, |A ∪ B| = |A| + |B| - |A ∩ B|.
+    * Ratio is int/int -> identical double on both engines. */
+  def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir, Some(40L)).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        (col("sa.n") + col("sb.n") - col("n_inter")).as("n_union"),
+        round(col("n_inter").cast("double") / (col("sa.n") + col("sb.n") - col("n_inter")), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.35)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qNgramJaccardSql: String =
+    """WITH n AS (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+      |           FROM documents WHERE doc_id < 40),
+      |sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 4) AS s
+      |       FROM n, UNNEST(generate_series(1, length(t) - 3)) AS u(i)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_inter
+      |          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      |          GROUP BY x.doc_id, y.doc_id)
+      |SELECT doc_a, doc_b, n_inter,
+      |       sa.n + sb.n - n_inter AS n_union,
+      |       ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) AS jaccard
+      |FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+      |WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) >= 0.35
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** 16-bit SimHash from md5 nibbles — one shared arithmetic formula,
+    * run through spark.sql on a temp view and through DuckDB verbatim
+    * (only the token-explode clause differs per engine). */
+  private def simhashCore(tokClause: String): String = {
+    val nibbleExpr = (j: Int) => s"(instr('0123456789abcdef', substr(m, ${j + 1}, 1)) - 1)"
+    val bitExpr = (i: Int) => {
+      val j = i / 4; val k = i % 4
+      val c = nibbleExpr(j)
+      k match {
+        case 0 => s"($c % 2)"
+        case _ => s"(CAST(FLOOR($c / ${1 << k}) AS INT) % 2)"
+      }
+    }
+    val votes = (0 until 16).map(i => s"SUM(2 * ${bitExpr(i)} - 1) AS v$i").mkString(",\n   ")
+    val assemble = (0 until 16).map(i => s"(CASE WHEN v$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    s"""WITH tok AS ($tokClause),
+       |h AS (SELECT doc_id, md5(t) AS m FROM tok),
+       |v AS (SELECT doc_id,
+       |   $votes
+       | FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM v ORDER BY doc_id""".stripMargin
+  }
+
+  def qSimhash(s: SparkSession, dir: String): DataFrame = {
+    documents(s, dir).createOrReplaceTempView("documents")
+    s.sql(simhashCore(
+      "SELECT doc_id, t FROM documents LATERAL VIEW explode(split(trim(text), '\\\\s+')) AS t"))
+  }
+
+  val qSimhashSql: String = simhashCore(
+    "SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t FROM documents")
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_dedup_exact" -> ((qDedupExact _, Some(qDedupExactSql))),
+    "q_minhash_lsh" -> ((qMinhashLsh _, Some(qMinhashLshSql))),
+    "q_ngram_jaccard" -> ((qNgramJaccard _, Some(qNgramJaccardSql))),
+    "q_simhash" -> ((qSimhash _, Some(qSimhashSql))))
+}

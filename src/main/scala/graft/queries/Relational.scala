@@ -1,0 +1,244 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator battery over the driver's TPC-H-ish tables, each
+  * with a DuckDB oracle (SURVEY.md §2.E: the SQL-expressible subset).
+  *
+  * Determinism rules for oracle parity:
+  *  - double SUMs are computed exactly: cast inputs to DECIMAL, aggregate,
+  *    cast the final value to DOUBLE (summation order then cannot matter);
+  *  - every query has a total ORDER BY;
+  *  - ratios are int/int divisions (identical doubles on both engines).
+  */
+object Relational {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,4)")
+
+  def lineitem(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/lineitem.parquet")
+  def orders(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/orders.parquet")
+  def customer(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/customer.parquet")
+  def nation(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/nation.parquet")
+  def events(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/events.parquet")
+
+  /** TPC-H Q1 shape: scan-side filter pushdown + partial aggregation. */
+  def qAggPushdown(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .filter(col("l_shipdate") < lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
+          .cast("double").as("sum_disc"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val qAggPushdownSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc,
+      | COUNT(*) AS n_rows
+      |FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Star join: fact orders x broadcast dims customer, nation. */
+  def qJoinBroadcast(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("n_name"))
+
+  val qJoinBroadcastSql: String =
+    """SELECT n_name,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      | COUNT(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Top-k with deterministic tie-break (G-16's top-1 generalized). */
+  def qTopkRevenue(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  val qTopkRevenueSql: String =
+    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+
+  /** Window functions: row_number + exact running total per customer. */
+  def qWindowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(s, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).as("rn"),
+        sum(dec(col("o_totalprice"))).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double").as("run_total"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val qWindowRunningSql: String =
+    """SELECT o_custkey, o_orderkey,
+      | ROW_NUMBER() OVER w AS rn,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_total
+      |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** Ordered stitch (H-13 relational analog): per user, event types
+    * concatenated in (ts, event_id) order. */
+  def qStitchOrder(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+          (x: Column) => x.getField("event_type")),
+        " ").as("type_seq"))
+      .orderBy(col("user_id"))
+
+  val qStitchOrderSql: String =
+    """SELECT user_id, STRING_AGG(event_type, ' ' ORDER BY ts, event_id) AS type_seq
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Page-sort shape (G-4): line numbers per order in ascending order. */
+  def qPageSort(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(array_join(
+        transform(array_sort(collect_list(col("l_linenumber"))), (x: Column) => x.cast("string")),
+        ",").as("line_seq"))
+      .orderBy(col("l_orderkey"))
+
+  val qPageSortSql: String =
+    """SELECT l_orderkey, STRING_AGG(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS line_seq
+      |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
+  /** Frequency argmax with lexicographic tie-break (G-16). */
+  def qFreqArgmax(s: SparkSession, dir: String): DataFrame = {
+    val counts = s.read.parquet(s"$dir/documents.parquet")
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source")).orderBy(col("c").desc, col("lang"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"), col("c").as("cnt"))
+      .orderBy(col("source"))
+  }
+
+  val qFreqArgmaxSql: String =
+    """SELECT source, lang AS top_lang, c AS cnt FROM (
+      | SELECT source, lang, COUNT(*) AS c,
+      |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY COUNT(*) DESC, lang) AS rn
+      | FROM documents GROUP BY source, lang
+      |) t WHERE rn = 1 ORDER BY source""".stripMargin
+
+  /** Duplicate-key fold (G-7/G-10 relational analog): distinct values per
+    * key in first-seen order. */
+  def qDupkeyFold(s: SparkSession, dir: String): DataFrame = {
+    val firstSeen = events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("ts")).as("first_ts"))
+    firstSeen
+      .groupBy(col("user_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("first_ts"), col("event_type")))),
+          (x: Column) => x.getField("event_type")),
+        "|").as("vals"))
+      .orderBy(col("user_id"))
+  }
+
+  val qDupkeyFoldSql: String =
+    """SELECT user_id, STRING_AGG(event_type, '|' ORDER BY first_ts, event_type) AS vals
+      |FROM (SELECT user_id, event_type, MIN(ts) AS first_ts FROM events GROUP BY user_id, event_type) t
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Interval-containment join (G-3/G-17 relational form) on ranges
+    * derived deterministically from the tables. The Spark plan uses the
+    * SCALABLE form: bin the range space, equi-join on bin, filter exact
+    * containment — no O(P x C) nested loop (SURVEY.md §2.E "Joins"). */
+  def qContainmentJoin(s: SparkSession, dir: String): DataFrame = {
+    val binSize = 256
+    val parents = orders(s, dir).select(
+      col("o_orderkey"),
+      (col("o_orderkey") * 7 % 5000).as("lo"),
+      (col("o_orderkey") * 7 % 5000 + col("o_orderkey") % 97 + 20).as("hi"))
+    val children = lineitem(s, dir).select(
+      ((col("l_orderkey") * 3 + col("l_linenumber") * 11) % 5000).as("clo"),
+      ((col("l_orderkey") * 3 + col("l_linenumber") * 11) % 5000 + col("l_partkey") % 13).as("chi"))
+    // parent spans bins floor(lo/B)..floor(hi/B); child lives in one bin
+    val pBinned = parents
+      .withColumn("bin", explode(sequence(floor(col("lo") / binSize), floor(col("hi") / binSize))))
+    val cBinned = children.withColumn("bin", floor(col("clo") / binSize))
+    pBinned.join(cBinned, Seq("bin"))
+      .filter(col("clo") >= col("lo") && col("chi") <= col("hi"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_contained"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val qContainmentJoinSql: String =
+    """WITH parents AS (
+      |  SELECT o_orderkey, (o_orderkey * 7) % 5000 AS lo,
+      |         (o_orderkey * 7) % 5000 + o_orderkey % 97 + 20 AS hi FROM orders),
+      |children AS (
+      |  SELECT (l_orderkey * 3 + l_linenumber * 11) % 5000 AS clo,
+      |         (l_orderkey * 3 + l_linenumber * 11) % 5000 + l_partkey % 13 AS chi FROM lineitem)
+      |SELECT o_orderkey, COUNT(*) AS n_contained
+      |FROM parents JOIN children ON clo >= lo AND chi <= hi
+      |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin
+
+  /** Sessionization: 30-minute inactivity gap (batch form). */
+  def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("is_new",
+        when(unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1).otherwise(0))
+      .groupBy(col("user_id"))
+      .agg((sum(col("is_new")) + 1).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val qSessionizeSql: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    CASE WHEN date_diff('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events)
+      |SELECT user_id, SUM(is_new) + 1 AS n_sessions, COUNT(*) AS n_events
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** JSON scalar extraction from the props column. */
+  def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  val qJsonExtractSql: String =
+    """SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k, COUNT(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_agg_pushdown" -> ((qAggPushdown _, Some(qAggPushdownSql))),
+    "q_join_broadcast" -> ((qJoinBroadcast _, Some(qJoinBroadcastSql))),
+    "q_topk_revenue" -> ((qTopkRevenue _, Some(qTopkRevenueSql))),
+    "q_window_running" -> ((qWindowRunning _, Some(qWindowRunningSql))),
+    "q_stitch_order" -> ((qStitchOrder _, Some(qStitchOrderSql))),
+    "q_page_sort" -> ((qPageSort _, Some(qPageSortSql))),
+    "q_freq_argmax" -> ((qFreqArgmax _, Some(qFreqArgmaxSql))),
+    "q_dupkey_fold" -> ((qDupkeyFold _, Some(qDupkeyFoldSql))),
+    "q_containment_join" -> ((qContainmentJoin _, Some(qContainmentJoinSql))),
+    "q_sessionize" -> ((qSessionize _, Some(qSessionizeSql))),
+    "q_json_extract" -> ((qJsonExtract _, Some(qJsonExtractSql))))
+}

@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embeddings table (Array[Float], 64-dim).
+  *
+  * Exactness strategy (int-quantized cosine, the int8-quantization idiom
+  * at production scale): elements are quantized to integers,
+  * round(x * 1000) — x*1000 is EXACT in double (24-bit float mantissa +
+  * 10 bits << 53) and can never tie at .5 (would need a 5^3 denominator,
+  * impossible for a binary float), so both engines produce the same
+  * ints. Dot products are then exact integer sums; the final cosine is
+  * a double computed from identical ints — bit-identical across Spark
+  * and DuckDB regardless of summation order.
+  */
+object SimilarityQ {
+
+  def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  private def decVec(c: Column): Column =
+    transform(c, (x: Column) => round(x.cast("double") * 1000).cast("long"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x: Column, y: Column) => x * y),
+      lit(0L), (acc: Column, x: Column) => acc + x)
+
+  /** Brute-force cosine top-10 per query vector (vec_id < 5). This is the
+    * correctness baseline; the LSH-bucketed variant below is the scale
+    * path. Query side is tiny -> broadcast; candidates stream. */
+  def qAnnCosine(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).select(col("vec_id"), decVec(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val joined = e.filter(col("vec_id") >= 5).as("c")
+      .join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        dot(col("qv"), col("v")).cast("double").as("dp"),
+        dot(col("qv"), col("qv")).cast("double").as("qq"),
+        dot(col("v"), col("v")).cast("double").as("cc"))
+      .select(col("qid"), col("cid"), (col("dp") / (sqrt(col("qq")) * sqrt(col("cc")))).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("rank"), col("cid"), col("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val qAnnCosineSql: String =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+      |el AS (SELECT qid, cid,
+      |   CAST(ROUND(CAST(UNNEST(qv) AS DOUBLE) * 1000) AS BIGINT) AS qx,
+      |   CAST(ROUND(CAST(UNNEST(cv) AS DOUBLE) * 1000) AS BIGINT) AS cx FROM q, c),
+      |dots AS (SELECT qid, cid,
+      |   CAST(SUM(qx * cx) AS DOUBLE) AS dp,
+      |   CAST(SUM(qx * qx) AS DOUBLE) AS qq,
+      |   CAST(SUM(cx * cx) AS DOUBLE) AS cc
+      | FROM el GROUP BY qid, cid),
+      |sims AS (SELECT qid, cid, dp / (sqrt(qq) * sqrt(cc)) AS sim,
+      |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dp / (sqrt(qq) * sqrt(cc)) DESC, cid) AS rank
+      | FROM dots)
+      |SELECT qid, rank, cid, sim
+      |FROM sims WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
+  /** Scale path: random-hyperplane LSH bucketing. Vectors meet only
+    * within a bucket (equi-join on the signature), never all-pairs. The
+    * 8 hyperplanes are derived from md5 — deterministic and portable.
+    * Output: bucket sizes (the bucketing itself is the oracle-checked
+    * semantics; neighbor search within buckets composes qAnnCosine). */
+  def qAnnLshBuckets(s: SparkSession, dir: String): DataFrame = {
+    // hyperplane h (0..7), dim d (0..63): weight = (nibble of md5("h:d") - 7.5) sign
+    // simplified to: sign component s_hd = +1 if nibble >= 8 else -1
+    // signature bit h = 1 iff sum_d s_hd * v_d > 0
+    val e = embeddings(s, dir)
+    e.createOrReplaceTempView("embeddings")
+    val sigBits = (0 until 8).map { h =>
+      s"""(CASE WHEN SUM((CASE WHEN instr('0123456789abcdef', substr(md5('$h' || ':' || CAST(u.d AS STRING)), 1, 1)) - 1 >= 8 THEN 1 ELSE -1 END) * CAST(ROUND(CAST(u.x AS DOUBLE) * 1000) AS BIGINT)) > 0 THEN ${1 << h} ELSE 0 END)"""
+    }.mkString(" + ")
+    s.sql(
+      s"""WITH u AS (
+         |  SELECT vec_id, posexplode(embedding) AS (d, x) FROM embeddings
+         |),
+         |sigs AS (SELECT vec_id, $sigBits AS bucket FROM u GROUP BY vec_id)
+         |SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec
+         |FROM sigs GROUP BY bucket ORDER BY bucket""".stripMargin)
+  }
+
+  val qAnnLshBucketsSql: String = {
+    val sigBits = (0 until 8).map { h =>
+      s"""(CASE WHEN SUM((CASE WHEN instr('0123456789abcdef', substr(md5('$h' || ':' || CAST(u.d AS VARCHAR)), 1, 1)) - 1 >= 8 THEN 1 ELSE -1 END) * CAST(ROUND(CAST(u.x AS DOUBLE) * 1000) AS BIGINT)) > 0 THEN ${1 << h} ELSE 0 END)"""
+    }.mkString(" + ")
+    s"""WITH u AS (
+       |  SELECT vec_id, UNNEST(embedding) AS x, UNNEST(generate_series(0, len(embedding) - 1)) AS d
+       |  FROM embeddings
+       |),
+       |sigs AS (SELECT vec_id, $sigBits AS bucket FROM u GROUP BY vec_id)
+       |SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec
+       |FROM sigs GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_ann_cosine" -> ((qAnnCosine _, Some(qAnnCosineSql))),
+    "q_ann_lsh_buckets" -> ((qAnnLshBuckets _, Some(qAnnLshBucketsSql))))
+}

@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token counting, quality scoring, language ID,
+  * fingerprinting. All oracle-checkable: counts are exact ints, ratios
+  * are int/int doubles (bit-identical across engines). */
+object TextAnalysisQ {
+
+  def documents(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  /** Whitespace token count + char count. */
+  def qTokenCount(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_txt"))
+      .orderBy(col("doc_id"))
+
+  val qTokenCountSql: String =
+    """SELECT doc_id,
+      | CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      | CAST(length(text) AS BIGINT) AS n_chars_txt
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: stopword ratio, mean token length (int/int
+    * divisions -> identical doubles; ROUND ties-away-from-zero on both
+    * engines). */
+  def qQualityScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val nTok = size(toks)
+    val nStop = size(filter(toks, (t: Column) => t.isInCollection(stopwords)))
+    val nNonSpace = length(regexp_replace(col("text"), "\\s", ""))
+    documents(s, dir)
+      .select(
+        col("doc_id"),
+        nTok.cast("long").as("n_tokens"),
+        nStop.cast("long").as("n_stop"),
+        round(nStop.cast("double") / nTok, 4).as("stop_ratio"),
+        round(nNonSpace.cast("double") / nTok, 4).as("mean_tok_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qQualityScoreSql: String = {
+    val sw = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       | SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks,
+       |        length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace
+       | FROM documents)
+       |SELECT doc_id,
+       | CAST(length(toks) AS BIGINT) AS n_tokens,
+       | CAST(length(list_filter(toks, x -> list_contains($sw, x))) AS BIGINT) AS n_stop,
+       | ROUND(CAST(length(list_filter(toks, x -> list_contains($sw, x))) AS DOUBLE) / length(toks), 4) AS stop_ratio,
+       | ROUND(CAST(n_nonspace AS DOUBLE) / length(toks), 4) AS mean_tok_len
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  /** Language ID by marker-token counting (n-gram-heuristic style):
+    * occurrences counted via the length-difference trick so both engines
+    * share the exact formula; fixed priority chain breaks ties. */
+  private val markers = Seq(
+    "en" -> Seq(" the ", " and "),
+    "de" -> Seq(" der ", " und "),
+    "fr" -> Seq(" le ", " et "),
+    "es" -> Seq(" el ", " y "))
+
+  def qLangid(s: SparkSession, dir: String): DataFrame = {
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    def occurrences(m: String): Column =
+      (length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(m), ""))) / m.length
+    def score(ms: Seq[String]): Column = ms.map(occurrences).reduce(_ + _)
+    val scored = markers.foldLeft(documents(s, dir)) { case (df, (lang, ms)) =>
+      df.withColumn(s"s_$lang", score(ms).cast("long"))
+    }
+    val pred = when(
+      col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") && col("s_en") >= col("s_es") && col("s_en") > 0, "en")
+      .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es") && col("s_de") > 0, "de")
+      .when(col("s_fr") >= col("s_es") && col("s_fr") > 0, "fr")
+      .when(col("s_es") > 0, "es")
+      .otherwise("unknown")
+    scored.select(col("doc_id"), pred.as("pred_lang"),
+        col("s_en"), col("s_de"), col("s_fr"), col("s_es"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qLangidSql: String = {
+    def occ(m: String): String =
+      s"(length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', '$m', ''))) / ${m.length}"
+    def score(ms: Seq[String]): String = ms.map(occ).mkString(" + ")
+    val cols = markers.map { case (l, ms) => s"CAST(${score(ms)} AS BIGINT) AS s_$l" }.mkString(",\n ")
+    s"""WITH t AS (SELECT doc_id,
+       | $cols
+       |FROM documents)
+       |SELECT doc_id,
+       | CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+       |      WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+       |      WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+       |      WHEN s_es > 0 THEN 'es'
+       |      ELSE 'unknown' END AS pred_lang,
+       | s_en, s_de, s_fr, s_es
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  /** Document fingerprint: md5 of the whitespace-normalized, lowercased
+    * text (portable across engines). */
+  def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"),
+        md5(lower(regexp_replace(col("text"), "\\s+", " ")).cast("binary")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  val qFingerprintSql: String =
+    """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_token_count" -> ((qTokenCount _, Some(qTokenCountSql))),
+    "q_quality_score" -> ((qQualityScore _, Some(qQualityScoreSql))),
+    "q_langid" -> ((qLangid _, Some(qLangidSql))),
+    "q_fingerprint" -> ((qFingerprint _, Some(qFingerprintSql))))
+}
