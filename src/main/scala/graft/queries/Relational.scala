@@ -169,11 +169,11 @@ object Relational {
     val binSize = 256
     val parents = orders(s, dir).select(
       col("o_orderkey"),
-      (col("o_orderkey") * 7 % 5000).as("lo"),
-      (col("o_orderkey") * 7 % 5000 + col("o_orderkey") % 97 + 20).as("hi"))
+      (col("o_orderkey") * 7 % 5000000).as("lo"),
+      (col("o_orderkey") * 7 % 5000000 + col("o_orderkey") % 97 + 20).as("hi"))
     val children = lineitem(s, dir).select(
-      ((col("l_orderkey") * 3 + col("l_linenumber") * 11) % 5000).as("clo"),
-      ((col("l_orderkey") * 3 + col("l_linenumber") * 11) % 5000 + col("l_partkey") % 13).as("chi"))
+      ((col("l_orderkey") * 3 + col("l_linenumber") * 11) % 5000000).as("clo"),
+      ((col("l_orderkey") * 3 + col("l_linenumber") * 11) % 5000000 + col("l_partkey") % 13).as("chi"))
     // parent spans bins floor(lo/B)..floor(hi/B); child lives in one bin
     val pBinned = parents
       .withColumn("bin", explode(sequence(floor(col("lo") / binSize), floor(col("hi") / binSize))))
@@ -187,11 +187,11 @@ object Relational {
 
   val qContainmentJoinSql: String =
     """WITH parents AS (
-      |  SELECT o_orderkey, (o_orderkey * 7) % 5000 AS lo,
-      |         (o_orderkey * 7) % 5000 + o_orderkey % 97 + 20 AS hi FROM orders),
+      |  SELECT o_orderkey, (o_orderkey * 7) % 5000000 AS lo,
+      |         (o_orderkey * 7) % 5000000 + o_orderkey % 97 + 20 AS hi FROM orders),
       |children AS (
-      |  SELECT (l_orderkey * 3 + l_linenumber * 11) % 5000 AS clo,
-      |         (l_orderkey * 3 + l_linenumber * 11) % 5000 + l_partkey % 13 AS chi FROM lineitem)
+      |  SELECT (l_orderkey * 3 + l_linenumber * 11) % 5000000 AS clo,
+      |         (l_orderkey * 3 + l_linenumber * 11) % 5000000 + l_partkey % 13 AS chi FROM lineitem)
       |SELECT o_orderkey, COUNT(*) AS n_contained
       |FROM parents JOIN children ON clo >= lo AND chi <= hi
       |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin
