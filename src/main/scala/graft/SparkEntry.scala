@@ -30,7 +30,19 @@ object SparkEntry {
       // driver records the rows-only check; correctness is pinned by the
       // golden + distributed-equivalence suites in src/test.
       "q_extract_flagship" -> ((s: SparkSession, dir: String) =>
-        Extract.run(CorpusGen.fromDocuments(s, dir))))
+        Extract.run(CorpusGen.fromDocuments(s, dir))),
+      // page-parallel G-21 pipeline over a deterministic page table
+      "q_pages_pipeline" -> ((s: SparkSession, dir: String) => {
+        // page table derived distributively from documents (1-4 pages/doc)
+        val df = s.read.parquet(s"$dir/documents.parquet")
+          .selectExpr("doc_id", "explode(sequence(0, CAST(doc_id % 3 AS INT))) AS page_idx")
+          .selectExpr("CAST(doc_id AS STRING) AS doc_id", "page_idx",
+            "concat('img://page/', doc_id, '/', page_idx) AS media_ref")
+        graft.pipeline.PagesPipeline.run(df)
+      }),
+      // multimodal featurizer (binary columns, stubbed decode)
+      "q_media_features" -> ((s: SparkSession, dir: String) =>
+        graft.multimodal.Multimodal.qMediaFeatures(s, dir)))
 
   def oracleSql: Map[String, String] =
     battery.collect { case (k, (_, Some(sql))) => k -> sql }

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators (the reference is pure batch — these
+  * are the streaming capabilities a training-data pipeline needs:
+  * incremental ingestion with event-time windows + watermarks, and
+  * custom stateful sessionization via flatMapGroupsWithState).
+  */
+object StreamingOps {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+  final case class SessionOut(user_id: Long, n_events: Int,
+      start_ms: Long, end_ms: Long)
+  final case class S(n: Int, start: Long, end: Long)
+
+  /** Event-time tumbling-window counts with a watermark: the streaming
+    * form of the batch windowed aggregation. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      // driver parquet stores naive timestamps (TIMESTAMP_NTZ); watermarks
+      // require TIMESTAMP — session tz is pinned UTC so the cast is exact
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("total"))
+
+  /** Custom state machine: 30-minute-gap sessionization with
+    * flatMapGroupsWithState (event-time timeout). Emits a session when
+    * the gap closes it. */
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[S, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[S]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, s.n, s.start, s.end))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= 30 * 60 * 1000 =>
+                  cur = Some(S(s.n + 1, s.start, t))
+                case Some(s) =>
+                  closed ::= SessionOut(user, s.n, s.start, s.end)
+                  cur = Some(S(1, t, t))
+                case None =>
+                  cur = Some(S(1, t, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + 30 * 60 * 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Drive a streaming query over the static events parquet (memory sink,
+    * synchronous) and return the sink table. */
+  def runWindowedOverDir(spark: SparkSession, sfDir: String, queryName: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // file-stream sources require a DIRECTORY; stage the (read-only)
+    // events file into a temp dir via symlink
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val q = windowedCounts(stream).writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory").queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}

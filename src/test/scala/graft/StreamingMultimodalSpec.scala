@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+import graft.pipeline.PagesPipeline
+import graft.streaming.StreamingOps
+
+class StreamingMultimodalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("streaming windowed counts == batch windowed counts") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val streamed = StreamingOps.runWindowedOverDir(spark, sfDir, "smoke_windows")
+      .select("w_start", "event_type", "n", "total")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = StreamingOps.windowedCounts(spark.read.parquet(s"$sfDir/events.parquet"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("stateful sessionization (flatMapGroupsWithState) matches batch gap logic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val eventsDf = spark.read.parquet(s"$sfDir/events.parquet")
+    val events = eventsDf.as[StreamingOps.Event]
+    // batch oracle: same 30-min-gap rule via window functions
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val expectedTotalSessions = eventsDf
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("is_new", when(
+        unix_timestamp(col("ts")) - unix_timestamp(col("prev")) > 1800, 1).otherwise(0))
+      .groupBy(col("user_id")).agg((sum(col("is_new")) + 1).as("n_sessions"))
+      .agg(sum("n_sessions")).collect()(0).getLong(0)
+
+    // drive the REAL flatMapGroupsWithState query on a memory stream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[StreamingOps.Event]
+    val q = StreamingOps.sessionize(source.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    source.addData(events.collect().toSeq: _*)
+    q.processAllAvailable()
+    // push the watermark far forward with a sentinel user so every real
+    // session times out and is emitted
+    val maxTs = events.collect().map(_.ts.getTime).max
+    source.addData(StreamingOps.Event(-1L,
+      new java.sql.Timestamp(maxTs + 24L * 3600 * 1000), -1L, "sentinel", 0.0, "{}"))
+    q.processAllAvailable()
+    // one more batch so the advanced watermark fires the timeouts
+    source.addData(StreamingOps.Event(-2L,
+      new java.sql.Timestamp(maxTs + 25L * 3600 * 1000), -1L, "sentinel2", 0.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("sessions_out")
+      .filter(org.apache.spark.sql.functions.col("user_id") >= 0)
+    assert(emitted.count() == expectedTotalSessions)
+  }
+
+  test("multimodal: binary payloads featurize deterministically with real batch shape") {
+    val feats = Multimodal.featurize(Multimodal.genTable(spark, 50)).collect()
+    assert(feats.length == 50)
+    feats.foreach { f =>
+      assert(f.features.length == 16)
+      assert(Math.abs(f.features.sum - 1.0f) < 1e-3)
+      assert(f.mean_luma >= 0f && f.mean_luma <= 1f)
+      if (f.kind == "video") assert(f.n_frames >= 1)
+    }
+    // determinism across runs
+    val again = Multimodal.featurize(Multimodal.genTable(spark, 50)).collect()
+    assert(feats.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
+  }
+
+  test("page-parallel pipeline (G-21): distributed == sequential, page order from data") {
+    import spark.implicits._
+    val pages = for {
+      d <- 0 until 12
+      p <- 0 until (1 + d % 4)
+    } yield (s"doc_$d", p, f"img://page/$d%d/$p%d")
+    // shuffle input row order to prove ordering comes from page_idx
+    val shuffled = scala.util.Random.shuffle(pages.toVector)
+    val df = shuffled.toDF("doc_id", "page_idx", "media_ref")
+    val got = PagesPipeline.run(df)
+      .as[(String, Int, String, String)].collect().map(r => r._1 -> r).toMap
+    pages.groupBy(_._1).foreach { case (docId, ps) =>
+      val (n, full, text) = PagesPipeline.runSequential(ps.map(p => (p._2, p._3)))
+      val g = got(docId)
+      assert(g._2 == n, s"$docId n_pages")
+      assert(g._3 == full, s"$docId full_text")
+      assert(g._4 == text, s"$docId doc_text")
+    }
+  }
+}
