@@ -51,12 +51,27 @@ object DedupQ {
       .distinct()
   }
 
+  /** Word 3-gram shingles (the standard text-dedup unit): ~5x fewer
+    * shingles than char grams at the same recall — the scale knob for
+    * MinHash. */
+  private def wordShingles(s: SparkSession, dir: String): DataFrame = {
+    val base = documents(s, dir)
+      .select(col("doc_id"), split(trim(norm(col("text"))), " ").as("w"))
+    base
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), greatest(size(col("w")) - 3, lit(0)))).as("i"))
+      .filter(col("i") <= size(col("w")) - 3)
+      .select(col("doc_id"),
+        concat_ws(" ", expr("w[i]"), expr("w[i+1]"), expr("w[i+2]")).as("s"))
+      .distinct()
+  }
+
   /** MinHash (16 perms via md5 keyed by j) + LSH (4 bands x 4 rows):
     * candidate near-duplicate pairs. The banding is the scale path: docs
     * only ever meet through equal (band, band_hash) buckets — a shuffle
     * on the bucket key, never an all-pairs product. */
   def qMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir, None)
+    val sh = wordShingles(s, dir)
     val mh = sh
       .select(col("doc_id"), explode(sequence(lit(0), lit(15))).as("j"), col("s"))
       .select(col("doc_id"), col("j"),
@@ -78,9 +93,10 @@ object DedupQ {
   }
 
   val qMinhashLshSql: String =
-    """WITH n AS (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 4) AS s
-      |       FROM n, UNNEST(generate_series(1, length(t) - 3)) AS u(i)),
+    """WITH n AS (SELECT doc_id, regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2] AS s
+      |       FROM n, UNNEST(generate_series(1, greatest(length(w) - 2, 0))) AS u(i)
+      |       WHERE CAST(i AS INT) <= length(w) - 2),
       |mh AS (SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || ':' || s)) AS m
       |       FROM sh, UNNEST(generate_series(0, 15)) AS jj(j)
       |       GROUP BY doc_id, j),

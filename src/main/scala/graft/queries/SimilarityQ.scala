@@ -101,7 +101,61 @@ object SimilarityQ {
        |FROM sigs GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+  /** Embedding-cosine near-dup: LSH buckets generate candidates (never
+    * an all-pairs product), exact int-quantized cosine verifies. The
+    * full near-dup pattern at scale: O(pairs-within-buckets), shuffle on
+    * the bucket key. */
+  def qEmbedNeardup(s: SparkSession, dir: String): DataFrame = {
+    embeddings(s, dir).createOrReplaceTempView("embeddings")
+    val sigBits = (0 until 8).map { h =>
+      s"""(CASE WHEN SUM((CASE WHEN instr('0123456789abcdef', substr(md5('$h' || ':' || CAST(u.d AS STRING)), 1, 1)) - 1 >= 8 THEN 1 ELSE -1 END) * CAST(ROUND(CAST(u.x AS DOUBLE) * 1000) AS BIGINT)) > 0 THEN ${1 << h} ELSE 0 END)"""
+    }.mkString(" + ")
+    s.sql(
+      s"""WITH u AS (
+         |  SELECT vec_id, posexplode(embedding) AS (d, x) FROM embeddings
+         |),
+         |uq AS (SELECT vec_id, d, CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS x FROM u),
+         |sigs AS (SELECT vec_id, $sigBits AS bucket FROM u GROUP BY vec_id),
+         |cand AS (SELECT a.vec_id AS va, b.vec_id AS vb
+         |         FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |el AS (SELECT c.va, c.vb, ua.x AS xa, ub.x AS xb
+         |       FROM cand c JOIN uq ua ON ua.vec_id = c.va JOIN uq ub ON ub.vec_id = c.vb AND ub.d = ua.d),
+         |dots AS (SELECT va, vb,
+         |    CAST(SUM(xa * xb) AS DOUBLE) AS dp,
+         |    CAST(SUM(xa * xa) AS DOUBLE) AS qq,
+         |    CAST(SUM(xb * xb) AS DOUBLE) AS cc
+         |  FROM el GROUP BY va, vb)
+         |SELECT va AS vec_a, vb AS vec_b, dp / (sqrt(qq) * sqrt(cc)) AS sim
+         |FROM dots WHERE dp / (sqrt(qq) * sqrt(cc)) >= 0.25
+         |ORDER BY vec_a, vec_b""".stripMargin)
+  }
+
+  val qEmbedNeardupSql: String = {
+    val sigBits = (0 until 8).map { h =>
+      s"""(CASE WHEN SUM((CASE WHEN instr('0123456789abcdef', substr(md5('$h' || ':' || CAST(u.d AS VARCHAR)), 1, 1)) - 1 >= 8 THEN 1 ELSE -1 END) * CAST(ROUND(CAST(u.x AS DOUBLE) * 1000) AS BIGINT)) > 0 THEN ${1 << h} ELSE 0 END)"""
+    }.mkString(" + ")
+    s"""WITH u AS (
+       |  SELECT vec_id, UNNEST(embedding) AS x, UNNEST(generate_series(0, len(embedding) - 1)) AS d
+       |  FROM embeddings
+       |),
+       |uq AS (SELECT vec_id, d, CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS x FROM u),
+       |sigs AS (SELECT vec_id, $sigBits AS bucket FROM u GROUP BY vec_id),
+       |cand AS (SELECT a.vec_id AS va, b.vec_id AS vb
+       |         FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |el AS (SELECT c.va, c.vb, ua.x AS xa, ub.x AS xb
+       |       FROM cand c JOIN uq ua ON ua.vec_id = c.va JOIN uq ub ON ub.vec_id = c.vb AND ub.d = ua.d),
+       |dots AS (SELECT va, vb,
+       |    CAST(SUM(xa * xb) AS DOUBLE) AS dp,
+       |    CAST(SUM(xa * xa) AS DOUBLE) AS qq,
+       |    CAST(SUM(xb * xb) AS DOUBLE) AS cc
+       |  FROM el GROUP BY va, vb)
+       |SELECT va AS vec_a, vb AS vec_b, dp / (sqrt(qq) * sqrt(cc)) AS sim
+       |FROM dots WHERE dp / (sqrt(qq) * sqrt(cc)) >= 0.25
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_ann_cosine" -> ((qAnnCosine _, Some(qAnnCosineSql))),
-    "q_ann_lsh_buckets" -> ((qAnnLshBuckets _, Some(qAnnLshBucketsSql))))
+    "q_ann_lsh_buckets" -> ((qAnnLshBuckets _, Some(qAnnLshBucketsSql))),
+    "q_embed_neardup" -> ((qEmbedNeardup _, Some(qEmbedNeardupSql))))
 }

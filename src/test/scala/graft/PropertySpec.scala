@@ -1,0 +1,121 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.hocr._
+import graft.model.BBox
+import graft.text.GoStrings
+
+/** Property-based round-trip laws (SURVEY.md §5.2 item 2), driven by
+  * deterministic scalacheck generators (seeded; scalatestplus bridge is
+  * not available offline, so we sample explicitly). */
+class PropertySpec extends AnyFunSuite {
+
+  private val params = Gen.Parameters.default.withSize(12)
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).map(i => g.pureApply(params, Seed(42L + i), retries = 200))
+
+  // word text safe for the non-escaping renderer (text/template inserts
+  // raw text, parse.go decodes entities — so avoid markup chars)
+  private val wordText: Gen[String] =
+    Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString),
+      Gen.oneOf("é", "ß", "€", "😀", "中"))).map(_.take(6).mkString)
+
+  private val genWord: Gen[HWord] = for {
+    t <- wordText
+    id <- Gen.identifier.map(_.take(8))
+    conf <- Gen.chooseNum(0, 100).map(_.toDouble)
+    x1 <- Gen.chooseNum(0, 500); y1 <- Gen.chooseNum(0, 500)
+    w <- Gen.chooseNum(1, 100); h <- Gen.chooseNum(1, 40)
+  } yield HWord(id = id, text = t, bbox = BBox(x1, y1, x1 + w, y1 + h), confidence = conf)
+
+  private val genLine: Gen[HLine] = for {
+    id <- Gen.identifier.map(_.take(8))
+    words <- Gen.nonEmptyListOf(genWord).map(_.take(5).toVector)
+  } yield HLine(id = id, words = words, bbox = BBox(0, 0, 600, 40))
+
+  private val genPara: Gen[HPara] = for {
+    id <- Gen.identifier.map(_.take(8))
+    lines <- Gen.listOf(genLine).map(_.take(3).toVector)
+    words <- Gen.listOf(genWord).map(_.take(2).toVector)
+  } yield HPara(id = id, lines = lines, words = words, bbox = BBox(0, 0, 600, 200))
+
+  private val genArea: Gen[HArea] = for {
+    id <- Gen.identifier.map(_.take(8))
+    paras <- Gen.listOf(genPara).map(_.take(2).toVector)
+    lines <- Gen.listOf(genLine).map(_.take(2).toVector)
+    words <- Gen.listOf(genWord).map(_.take(2).toVector)
+  } yield HArea(id = id, paragraphs = paras, lines = lines, words = words, bbox = BBox(0, 0, 600, 400))
+
+  private val genPage: Gen[HPage] = for {
+    n <- Gen.chooseNum(1, 3)
+    areas <- Gen.listOf(genArea).map(_.take(2).toVector)
+    paras <- Gen.listOf(genPara).map(_.take(2).toVector)
+    lines <- Gen.listOf(genLine).map(_.take(2).toVector)
+  } yield HPage(id = s"page_$n", pageNumber = n, areas = areas, paragraphs = paras,
+    lines = lines, bbox = BBox(0, 0, 1000, 1400))
+
+  private val genHocr: Gen[Hocr] = for {
+    pages <- Gen.nonEmptyListOf(genPage).map(_.take(3).toVector)
+    lang <- Gen.oneOf("", "en", "de")
+  } yield Hocr(title = "t", language = lang, pages = pages)
+
+  test("property: extractText(parse(render(h))) == extractText(h), 60 trees") {
+    samples(genHocr, 60).foreach { h =>
+      val rendered = HocrRender.render(h)
+      val reparsed = HocrParse.parseHocr(rendered.getBytes("UTF-8")).toOption.get
+      assert(HocrText.extractText(reparsed) == HocrText.extractText(h), rendered.take(400))
+    }
+  }
+
+  test("property: render o parse reaches a fixpoint after one iteration") {
+    samples(genHocr, 30).foreach { h =>
+      val r1 = HocrRender.render(h)
+      val p1 = HocrParse.parseHocr(r1.getBytes("UTF-8")).toOption.get
+      val r2 = HocrRender.render(p1)
+      val p2 = HocrParse.parseHocr(r2.getBytes("UTF-8")).toOption.get
+      assert(HocrRender.render(p2) == r2)
+    }
+  }
+
+  test("property: runeSlice == naive codepoint-array slice with clamping") {
+    val genStr = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString), Gen.const("😀"), Gen.const("é"), Gen.const("中")))
+      .map(_.mkString)
+    val triples = for {
+      s <- genStr; a <- Gen.chooseNum(-3, 30); b <- Gen.chooseNum(-3, 30)
+    } yield (s, a, b)
+    samples(triples, 300).foreach { case (s, a, b) =>
+      val cps = s.codePoints().toArray
+      var start = Math.max(a, 0)
+      var end = Math.min(b, cps.length)
+      if (end < 0) end = 0
+      if (start > end) start = end
+      val expected = new String(cps.slice(start, end), 0, end - start)
+      assert(GoStrings.runeSlice(s, a, b) == expected, s"($s, $a, $b)")
+    }
+  }
+
+  test("property: goFloat round-trips through parseDouble; ints stay ints") {
+    samples(Gen.chooseNum(-1e9, 1e9), 500).foreach { d =>
+      assert(java.lang.Double.parseDouble(GoStrings.goFloat(d)) == d, d.toString)
+    }
+    samples(Gen.chooseNum(-100000, 100000), 300).foreach { i =>
+      assert(GoStrings.goFloat(i.toDouble) == i.toString)
+    }
+  }
+
+  test("property: trimSpace/fields laws") {
+    val genWs = Gen.listOf(Gen.oneOf("a", "b", " ", "\t", "\n", " ", "")).map(_.mkString)
+    samples(genWs, 300).foreach { s =>
+      val t = GoStrings.trimSpace(s)
+      assert(t.isEmpty || (!GoStrings.isSpace(t.head) && !GoStrings.isSpace(t.last)))
+      val f = GoStrings.fields(s)
+      assert(f.forall(w => w.nonEmpty && !w.exists(GoStrings.isSpace)))
+      assert(f.mkString("") == s.filterNot(GoStrings.isSpace))
+    }
+  }
+}
