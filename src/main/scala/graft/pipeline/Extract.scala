@@ -58,18 +58,51 @@ object Extract {
     extracted(small).unionAll(extracted(big))
   }
 
-  /** Full job: (doc_id, spans) -> (doc_id, span_seq) sorted by `order`. */
+  /** Spans per partial-stitch run on the mega-doc path. */
+  val RunSize = 1024
+
+  private def reorderFields(seq: Column): Column =
+    transform(seq, (s: Column) => struct(
+      s.getField("kind").as("kind"),
+      s.getField("text").as("text"),
+      s.getField("media_ref").as("media_ref"),
+      s.getField("order").as("order")))
+
+  /** Full job: (doc_id, spans) -> (doc_id, span_seq) sorted by `order`.
+    *
+    * Stitch is TWO-PHASE for mega-docs (SURVEY.md §4.3): partial sorted
+    * runs per (doc_id, order/RunSize) — spread across reducers — then a
+    * final merge of S pre-sorted runs per doc. The final reducer handles
+    * S array objects instead of n_spans individual rows, bounding the
+    * single-group memory/CPU spike the skew tail would otherwise cause.
+    * Small docs keep the single-shuffle stitch (an extra exchange would
+    * tax the common case). */
   def run(input: DataFrame, spreadThreshold: Int = DefaultSpreadThreshold): DataFrame = {
-    extractSpans(input, spreadThreshold)
+    val withN =
+      if (input.columns.contains("n_spans")) input
+      else input.withColumn("n_spans", size(col("spans")))
+
+    val small = withN.filter(col("n_spans") <= spreadThreshold)
+      .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
+    val smallOut = extracted(small)
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(
         col("order"), col("kind"), col("text"), col("media_ref")))).as("seq0"))
-      .select(
-        col("doc_id"),
-        transform(col("seq0"), (s: Column) => struct(
-          s.getField("kind").as("kind"),
-          s.getField("text").as("text"),
-          s.getField("media_ref").as("media_ref"),
-          s.getField("order").as("order"))).as("span_seq"))
+      .select(col("doc_id"), reorderFields(col("seq0")).as("span_seq"))
+
+    val big = withN.filter(col("n_spans") > spreadThreshold)
+      .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
+      .repartition(col("doc_id"), col("pos"))
+    val bigOut = extracted(big)
+      .groupBy(col("doc_id"), floor(col("order") / RunSize).as("run_id"))
+      .agg(array_sort(collect_list(struct(
+        col("order"), col("kind"), col("text"), col("media_ref")))).as("run"))
+      .groupBy(col("doc_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("run_id"), col("run")))),
+        (r: Column) => r.getField("run"))).as("seq0"))
+      .select(col("doc_id"), reorderFields(col("seq0")).as("span_seq"))
+
+    smallOut.unionAll(bigOut)
   }
 }

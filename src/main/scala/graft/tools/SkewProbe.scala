@@ -1,0 +1,62 @@
+package graft.tools
+
+import scala.collection.mutable
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.model.{Doc, Span}
+
+/** Skew evidence (north rule: "salted repartitioning for skewed
+  * mega-documents"): one 100k-span mega-doc among 2k normal docs, run
+  * with and without the spread path; reports max/median task time of
+  * the heaviest stage. Usage: runMain graft.tools.SkewProbe */
+object SkewProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val taskTimes = mutable.ArrayBuffer.empty[Long]
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        taskTimes.synchronized { taskTimes += e.taskInfo.duration }
+    })
+
+    // corpus: 2000 small docs + ONE mega doc with 100k media spans
+    val small = spark.range(2000).map { id =>
+      Doc(s"doc_$id", (0 until 4).map(i =>
+        Span("media", "", f"img://sk/$id%d/$i%d", i * 10)))
+    }.toDF()
+    val mega = spark.createDataset(Seq(
+      Doc("mega", (0 until 100000).map(i =>
+        Span("media", "", f"img://mega/$i%d", i * 10)).toVector)
+    )).toDF().repartition(1)
+    val corpus = small.unionAll(mega)
+    corpus.write.mode("overwrite").parquet("/tmp/skew_corpus")
+    val input = spark.read.parquet("/tmp/skew_corpus")
+
+    def measure(label: String, threshold: Int): Unit = {
+      taskTimes.synchronized(taskTimes.clear())
+      val t0 = System.nanoTime()
+      graft.pipeline.Extract.run(input, spreadThreshold = threshold)
+        .write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val ts = taskTimes.synchronized(taskTimes.sorted.toVector)
+      val med = if (ts.nonEmpty) ts(ts.length / 2) else 0L
+      val max = if (ts.nonEmpty) ts.last else 0L
+      println(f"SKEW $label wall=$wall%6.2fs tasks=${ts.length}%4d medTask=${med}%5dms maxTask=${max}%6dms max/med=${if (med > 0) max.toDouble / med else 0.0}%6.1f")
+    }
+
+    measure("warmup   (spread)", 64)
+    measure("unsalted (narrow-only)", Int.MaxValue)
+    measure("salted   (spread>64)", 64)
+    measure("unsalted (narrow-only)", Int.MaxValue)
+    measure("salted   (spread>64)", 64)
+    spark.stop()
+  }
+}
