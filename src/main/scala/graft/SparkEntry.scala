@@ -22,7 +22,8 @@ object SparkEntry {
     graft.queries.Relational.all ++
     graft.queries.TextAnalysisQ.all ++
     graft.queries.DedupQ.all ++
-    graft.queries.SimilarityQ.all
+    graft.queries.SimilarityQ.all ++
+    graft.queries.PositionedQ.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     battery.map { case (k, (fn, _)) => k -> fn } ++ Map(

@@ -38,12 +38,17 @@ object HocrParse {
     * first token = key, rest = values. Later duplicate keys overwrite. */
   def parseTitle(title: String): Map[String, Seq[String]] = {
     var result = Map.empty[String, Seq[String]]
-    title.split(";", -1).foreach { part0 =>
-      val part = GoStrings.trimSpace(part0)
+    var from = 0
+    while (from <= title.length) {
+      val semi = title.indexOf(';', from)
+      val end = if (semi < 0) title.length else semi
+      val part = GoStrings.trimSpace(title.substring(from, end))
       if (part.nonEmpty) {
         val items = GoStrings.fields(part)
-        if (items.nonEmpty) result = result.updated(items(0), items.drop(1).toSeq)
+        if (items.nonEmpty)
+          result = result.updated(items(0), scala.collection.immutable.ArraySeq.unsafeWrapArray(items).drop(1))
       }
+      from = end + 1
     }
     result
   }
