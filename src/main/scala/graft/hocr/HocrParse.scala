@@ -54,15 +54,20 @@ object HocrParse {
   }
 
   /** ParseBoundingBoxFromTitle (parse.go:109-120); unparseable floats -> 0. */
-  def parseBBoxFromTitle(title: String): Option[BBox] = {
-    parseTitle(title).get("bbox") match {
+  def parseBBoxFromTitle(title: String): Option[BBox] =
+    bboxFromProps(parseTitle(title))
+
+  /** bbox from an already-parsed title map (the reference parses every
+    * title TWICE — once for the bbox, once for the props; we parse once,
+    * observable output identical). */
+  def bboxFromProps(props: Map[String, Seq[String]]): Option[BBox] =
+    props.get("bbox") match {
       case Some(bbox) if bbox.length >= 4 =>
         Some(BBox(
           GoStrings.parseFloatOrZero(bbox(0)), GoStrings.parseFloatOrZero(bbox(1)),
           GoStrings.parseFloatOrZero(bbox(2)), GoStrings.parseFloatOrZero(bbox(3))))
       case _ => None
     }
-  }
 
   /** extractDocumentMeta (parse.go:123-193). */
   private def extractDocumentMeta(doc: Node): Hocr = {
@@ -139,8 +144,8 @@ object HocrParse {
         case "lang" => page = page.copy(lang = v)
         case "title" =>
           page = page.copy(title = v)
-          parseBBoxFromTitle(v).foreach(b => page = page.copy(bbox = b))
           val props = parseTitle(v)
+          bboxFromProps(props).foreach(b => page = page.copy(bbox = b))
           props.get("image").foreach(img => if (img.nonEmpty) page = page.copy(imageName = img.head))
           props.get("ppageno").foreach(pp =>
             if (pp.nonEmpty) page = page.copy(pageNumber = GoStrings.atoiOrZero(pp.head)))
@@ -166,8 +171,9 @@ object HocrParse {
         case "id"   => area = area.copy(id = v)
         case "lang" => area = area.copy(lang = v)
         case "title" =>
-          parseBBoxFromTitle(v).foreach(b => area = area.copy(bbox = b))
-          val md = parseTitle(v).collect { case (pk, pv) if pk != "bbox" => pk -> pv.mkString(" ") }
+          val props = parseTitle(v)
+          bboxFromProps(props).foreach(b => area = area.copy(bbox = b))
+          val md = props.collect { case (pk, pv) if pk != "bbox" => pk -> pv.mkString(" ") }
           area = area.copy(metadata = md)
         case _ =>
       }
@@ -190,8 +196,9 @@ object HocrParse {
         case "id"   => para = para.copy(id = v)
         case "lang" => para = para.copy(lang = v)
         case "title" =>
-          parseBBoxFromTitle(v).foreach(b => para = para.copy(bbox = b))
-          val md = parseTitle(v).collect { case (pk, pv) if pk != "bbox" => pk -> pv.mkString(" ") }
+          val props = parseTitle(v)
+          bboxFromProps(props).foreach(b => para = para.copy(bbox = b))
+          val md = props.collect { case (pk, pv) if pk != "bbox" => pk -> pv.mkString(" ") }
           para = para.copy(metadata = md)
         case _ =>
       }
@@ -213,8 +220,8 @@ object HocrParse {
         case "id"   => line = line.copy(id = v)
         case "lang" => line = line.copy(lang = v)
         case "title" =>
-          parseBBoxFromTitle(v).foreach(b => line = line.copy(bbox = b))
           val props = parseTitle(v)
+          bboxFromProps(props).foreach(b => line = line.copy(bbox = b))
           props.get("baseline").foreach(b => line = line.copy(baseline = b.mkString(" ")))
           val md = props.collect { case (pk, pv) if pk != "bbox" && pk != "baseline" => pk -> pv.mkString(" ") }
           line = line.copy(metadata = md)
@@ -240,8 +247,8 @@ object HocrParse {
         case "id"   => word = word.copy(id = v)
         case "lang" => word = word.copy(lang = v)
         case "title" =>
-          parseBBoxFromTitle(v).foreach(b => word = word.copy(bbox = b))
           val props = parseTitle(v)
+          bboxFromProps(props).foreach(b => word = word.copy(bbox = b))
           props.get("x_wconf").foreach(c =>
             if (c.nonEmpty) word = word.copy(confidence = GoStrings.parseFloatOrZero(c.head)))
           props.get("lang").foreach(l => if (l.nonEmpty) word = word.copy(lang = l.head))

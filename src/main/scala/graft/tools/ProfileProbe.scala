@@ -49,5 +49,18 @@ object ProfileProbe {
     }
     // html decompose: dom parse vs boilerplate walk
     time("html-dom-parse", 5) { html.foreach(s => graft.html.HtmlDom.parse(s.text)) }
+    // hocr decompose further: DOM tokenize vs hOCR tree walk
+    time("hocr-dom-parse", 5) { hocr.foreach(s => graft.html.HtmlDom.parse(s.text)) }
+    val doms = hocr.map(s => graft.html.HtmlDom.parse(s.text))
+    time("hocr-walk-only", 5) {
+      doms.foreach { d =>
+        def find(n: graft.html.HtmlDom.Node): Unit = {
+          if (n.nodeType == graft.html.HtmlDom.ElementNode && n.data == "div" &&
+              n.attr("class").contains("ocr_page")) { graft.hocr.HocrParse.processPage(n); () }
+          else n.children.foreach(find)
+        }
+        find(d)
+      }
+    }
   }
 }
