@@ -90,9 +90,14 @@ object Extract {
         col("order"), col("kind"), col("text"), col("media_ref")))).as("seq0"))
       .select(col("doc_id"), reorderFields(col("seq0")).as("span_seq"))
 
+    // spread at RUN granularity: the partial-stitch groupBy below keys on
+    // exactly (doc_id, floor(pos/RunSize)), so Catalyst reuses this
+    // partitioning and the extracted text is NOT shuffled a second time
+    // before the partial stitch (one exchange saved on the skew path; a
+    // 100k-span doc still fans out across ~100 reducers)
     val big = withN.filter(col("n_spans") > spreadThreshold)
       .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
-      .repartition(col("doc_id"), col("pos"))
+      .repartition(col("doc_id"), floor(col("pos") / RunSize))
     val bigOut = extracted(big)
       .groupBy(col("doc_id"), floor(col("order") / RunSize).as("run_id"))
       .agg(array_sort(collect_list(struct(
