@@ -60,7 +60,11 @@ object Bench {
   private def corpusPath(spark: SparkSession, sfDir: String): String = {
     val sfName = Paths.get(sfDir).getFileName.toString
     val path = s"/tmp/graft_corpus_$sfName"
-    if (!Files.exists(Paths.get(path, "_SUCCESS"))) {
+    // rebuild when absent OR stale (schema without the n_spans split key)
+    val usable = Files.exists(Paths.get(path, "_SUCCESS")) &&
+      (try spark.read.parquet(path).columns.contains("n_spans")
+       catch { case _: Exception => false })
+    if (!usable) {
       import org.apache.spark.sql.functions.{col, size}
       CorpusGen.fromDocuments(spark, sfDir)
         .withColumn("n_spans", size(col("spans"))) // pushdown-able split key
