@@ -74,9 +74,9 @@ object Bench {
     path
   }
 
-  /** Replication factor for the timed run: 8x the corpus (doc_ids
-    * remapped to keep stitch groups distinct). Makes the measured region
-    * long enough (tens of seconds) that DAG/scheduling fixed costs stop
+  /** Replication factor for the timed run (doc_ids remapped to keep
+    * stitch groups distinct): makes the measured region long enough
+    * (tens of seconds) that fixed DAG/stage costs (~2-3s) stop
     * dominating the N-vs-4N comparison. */
   private val Replicas = 96
 

@@ -12,14 +12,16 @@ import org.apache.spark.sql.functions._
   *     │    posexplode -> per-span extraction IN THE SCAN STAGE (narrow,
   *     │    zero pre-shuffle) — raw span bytes never cross the wire;
   *     └─ mega-docs (> threshold spans, the skew tail):
-  *          posexplode -> repartition by (doc_id, pos) so one document's
-  *          spans spread across the cluster BEFORE the heavy work
-  *          (salting; the reference's own parallel unit is the page,
-  *          gdocai.go:77-111)
-  *   union -> groupBy(doc_id) stitch, array_sort on `order`
+  *          posexplode -> repartition by (doc_id, pos/RunSize) so one
+  *          document's spans spread across the cluster BEFORE the heavy
+  *          work (salting; the reference's own parallel unit is the
+  *          page, gdocai.go:77-111), then a TWO-PHASE stitch whose
+  *          partial phase REUSES that partitioning
+  *   union of per-doc results
   *
-  * The single full shuffle therefore carries only EXTRACTED text (much
-  * smaller than the raw HTML/hOCR input). Ordering always comes from the
+  * Shuffles carry only EXTRACTED text (much smaller than the raw
+  * HTML/hOCR input): one exchange on the small path, two on the skew
+  * path (3 total in the executed plan). Ordering always comes from the
   * data (`order` = span position), never from partition order.
   */
 object Extract {
