@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `runMain graft.Bench` must emit its one-line JSON on RAW stdout:
+// sbt's default LoggedOutput prefixes every line with `[info] `, which the
+// driver's JSON parser rejects (BENCH_r01 `parsed: null`).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -29,9 +29,18 @@ object SparkEntry {
     battery.map { case (k, (fn, _)) => k -> fn } ++ Map(
       // non-SQL-expressible flagship (DOM/hOCR/classifier work): the
       // driver records the rows-only check; correctness is pinned by the
-      // golden + distributed-equivalence suites in src/test.
-      "q_extract_flagship" -> ((s: SparkSession, dir: String) =>
-        Extract.run(CorpusGen.fromDocuments(s, dir))),
+      // golden + distributed-equivalence suites in src/test. The output is
+      // FLATTENED to scalar columns (one row per span) — the driver's
+      // pandas canonicalization cannot sort/hash an array<struct> column
+      // (CORRECTNESS_r01 `unhashable type: numpy.ndarray`).
+      "q_extract_flagship" -> ((s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.functions._
+        Extract.run(CorpusGen.fromDocuments(s, dir))
+          .select(col("doc_id"), posexplode(col("span_seq")).as(Seq("pos", "sp")))
+          .select(col("doc_id"), col("sp.order").as("span_order"),
+            col("sp.kind").as("kind"), col("sp.text").as("text"),
+            col("sp.media_ref").as("media_ref"), md5(col("sp.text").cast("binary")).as("text_md5"))
+      }),
       // page-parallel G-21 pipeline over a deterministic page table
       "q_pages_pipeline" -> ((s: SparkSession, dir: String) => {
         // page table derived distributively from documents (1-4 pages/doc)

@@ -30,6 +30,12 @@ object Extract {
     udf((kind: String, text: String, mediaRef: String) =>
       SpanExtract.extractSpanText(kind, text, mediaRef))
 
+  /** The kinds SpanExtract transforms; every other kind passes through
+    * unchanged (SpanExtract's `case _ => text`), so the plan routes only
+    * these through the opaque UDF — pass-through spans stay inside
+    * whole-stage codegen instead of paying a serialize/deserialize hop. */
+  private val ExtractedKinds = Seq("html", "pdf_layout", "media")
+
   /** Docs above this span count take the spread (salted) path. */
   val DefaultSpreadThreshold = 64
 
@@ -37,7 +43,9 @@ object Extract {
     exploded.select(
       col("doc_id"),
       col("span.kind").as("kind"),
-      extractUdf(col("span.kind"), col("span.text"), col("span.media_ref")).as("text"),
+      when(col("span.kind").isin(ExtractedKinds: _*),
+          extractUdf(col("span.kind"), col("span.text"), col("span.media_ref")))
+        .otherwise(col("span.text")).as("text"),
       col("span.media_ref").as("media_ref"),
       col("pos").as("order"))
 

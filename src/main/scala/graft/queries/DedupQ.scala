@@ -20,25 +20,24 @@ object DedupQ {
   private def norm(c: Column): Column = lower(regexp_replace(c, "\\s+", " "))
 
   /** Exact dedup: canonical representative (min doc_id) per content hash
-    * + group size. */
-  def qDedupExact(s: SparkSession, dir: String): DataFrame = {
-    val withFp = documents(s, dir).select(col("doc_id"), md5(norm(col("text")).cast("binary")).as("fp"))
-    val w = Window.partitionBy(col("fp"))
-    withFp
-      .withColumn("rn", row_number().over(w.orderBy(col("doc_id"))))
-      .withColumn("n_copies", count(lit(1)).over(w))
-      .filter(col("rn") === 1)
+    * + group size. groupBy (NOT a window over fp): hash aggregation gets
+    * map-side partial combine, so each partition ships one row per
+    * fingerprint instead of every input row — the shuffle carries the
+    * distinct-hash relation, not the corpus. */
+  def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), md5(norm(col("text")).cast("binary")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("fp"), col("n_copies"))
       .orderBy(col("doc_id"))
-  }
 
   val qDedupExactSql: String =
-    """SELECT doc_id, fp, n_copies FROM (
-      | SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
-      |  ROW_NUMBER() OVER (PARTITION BY md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) ORDER BY doc_id) AS rn,
-      |  COUNT(*) OVER (PARTITION BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS n_copies
-      | FROM documents) t
-      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    """SELECT MIN(doc_id) AS doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+      | COUNT(*) AS n_copies
+      |FROM documents
+      |GROUP BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+      |ORDER BY doc_id""".stripMargin
 
   /** Character 4-gram shingles of the normalized text, distinct per doc.
     * Shingling itself is the scalable explode: one row per (doc, gram). */
@@ -53,7 +52,9 @@ object DedupQ {
 
   /** Word 3-gram shingles (the standard text-dedup unit): ~5x fewer
     * shingles than char grams at the same recall — the scale knob for
-    * MinHash. */
+    * MinHash. NOT deduped: MinHash's min over a multiset equals min over
+    * the set, so skipping the `distinct` costs nothing semantically and
+    * removes an entire pre-aggregation shuffle of the shingle relation. */
   private def wordShingles(s: SparkSession, dir: String): DataFrame = {
     val base = documents(s, dir)
       .select(col("doc_id"), split(trim(norm(col("text"))), " ").as("w"))
@@ -63,28 +64,52 @@ object DedupQ {
       .filter(col("i") <= size(col("w")) - 3)
       .select(col("doc_id"),
         concat_ws(" ", expr("w[i]"), expr("w[i+1]"), expr("w[i+2]")).as("s"))
-      .distinct()
+  }
+
+  /** Docs per (band, band_hash) bucket above which the bucket is excluded
+    * from candidate generation — the skew guard: one degenerate bucket
+    * (boilerplate-identical docs) would otherwise make the self-join
+    * quadratic. 64x the largest bucket observed on the testdata (4 at
+    * sf0.1); a production corpus tunes it. Applied identically in the
+    * DuckDB oracle, and never silently: [[qLshBucketProfile]] is the
+    * oracle-checked drop report (`dropped = 1` rows are the exclusions). */
+  val MaxLshBucket = 256
+
+  /** (doc_id, band, bh) LSH band signatures. MinHash as 16 PARALLEL min
+    * aggregates over per-shingle hash columns: each shingle row carries
+    * its 16 keyed hashes in-register (no 16x row explode), and the single
+    * groupBy(doc_id) gets map-side partial combine — each partition ships
+    * at most one 16-column row per doc into the only shuffle. */
+  private def lshBands(s: SparkSession, dir: String): DataFrame = {
+    val hashed = wordShingles(s, dir).select(
+      col("doc_id") +:
+        (0 until 16).map(j =>
+          md5(concat(lit(j.toString), lit(":"), col("s")).cast("binary")).as(s"h$j")): _*)
+    val mh = hashed.groupBy(col("doc_id"))
+      .agg(min(col("h0")).as("m0"), (1 until 16).map(j => min(col(s"h$j")).as(s"m$j")): _*)
+    mh.select(col("doc_id"),
+      posexplode(array((0 until 4).map { b =>
+        md5(concat_ws(",", (4 * b until 4 * b + 4).map(k => col(s"m$k")): _*).cast("binary"))
+      }: _*)).as(Seq("band", "bh")))
   }
 
   /** MinHash (16 perms via md5 keyed by j) + LSH (4 bands x 4 rows):
     * candidate near-duplicate pairs. The banding is the scale path: docs
     * only ever meet through equal (band, band_hash) buckets — a shuffle
-    * on the bucket key, never an all-pairs product. */
+    * on the bucket key, never an all-pairs product — and oversized
+    * buckets are excluded (MaxLshBucket). */
   def qMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = wordShingles(s, dir)
-    val mh = sh
-      .select(col("doc_id"), explode(sequence(lit(0), lit(15))).as("j"), col("s"))
-      .select(col("doc_id"), col("j"),
-        md5(concat(col("j").cast("string"), lit(":"), col("s")).cast("binary")).as("h"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(min(col("h")).as("m"))
-    val bands = mh
-      .groupBy(col("doc_id"), floor(col("j") / 4).as("band"))
-      .agg(md5(array_join(
-        transform(array_sort(collect_list(struct(col("j"), col("m")))), (x: Column) => x.getField("m")),
-        ",").cast("binary")).as("bh"))
-    val a = bands.as("a")
-    val b = bands.as("b")
+    val bands = lshBands(s, dir)
+    // window (not groupBy+join): the band relation is already narrow
+    // (4 rows/doc of hashes), one shuffle on the bucket key that the
+    // self-join below then reuses.
+    val w = Window.partitionBy(col("band"), col("bh"))
+    val capped = bands
+      .withColumn("bn", count(lit(1)).over(w))
+      .filter(col("bn") <= MaxLshBucket)
+      .select(col("doc_id"), col("band"), col("bh"))
+    val a = capped.as("a")
+    val b = capped.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -93,7 +118,35 @@ object DedupQ {
   }
 
   val qMinhashLshSql: String =
-    """WITH n AS (SELECT doc_id, regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w FROM documents),
+    s"""WITH n AS (SELECT doc_id, regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2] AS s
+      |       FROM n, UNNEST(generate_series(1, greatest(length(w) - 2, 0))) AS u(i)
+      |       WHERE CAST(i AS INT) <= length(w) - 2),
+      |mh AS (SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || ':' || s)) AS m
+      |       FROM sh, UNNEST(generate_series(0, 15)) AS jj(j)
+      |       GROUP BY doc_id, j),
+      |bands AS (SELECT doc_id, CAST(FLOOR(j / 4) AS INT) AS band,
+      |                 md5(STRING_AGG(m, ',' ORDER BY j)) AS bh
+      |          FROM mh GROUP BY doc_id, CAST(FLOOR(j / 4) AS INT)),
+      |bsz AS (SELECT band, bh, COUNT(*) AS bn FROM bands GROUP BY band, bh),
+      |capped AS (SELECT doc_id, b.band, b.bh FROM bands b JOIN bsz USING (band, bh)
+      |           WHERE bn <= $MaxLshBucket)
+      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |FROM capped a JOIN capped b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** The skew guard's drop report (no silent caps): every LSH bucket with
+    * its size and whether the candidate stage excludes it. */
+  def qLshBucketProfile(s: SparkSession, dir: String): DataFrame =
+    lshBands(s, dir)
+      .groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+      .withColumn("dropped",
+        when(col("n_docs") > MaxLshBucket, lit(1)).otherwise(lit(0)))
+      .orderBy(col("band"), col("bh"))
+
+  val qLshBucketProfileSql: String =
+    s"""WITH n AS (SELECT doc_id, regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w FROM documents),
       |sh AS (SELECT DISTINCT doc_id, w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2] AS s
       |       FROM n, UNNEST(generate_series(1, greatest(length(w) - 2, 0))) AS u(i)
       |       WHERE CAST(i AS INT) <= length(w) - 2),
@@ -103,9 +156,9 @@ object DedupQ {
       |bands AS (SELECT doc_id, CAST(FLOOR(j / 4) AS INT) AS band,
       |                 md5(STRING_AGG(m, ',' ORDER BY j)) AS bh
       |          FROM mh GROUP BY doc_id, CAST(FLOOR(j / 4) AS INT))
-      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-      |ORDER BY doc_a, doc_b""".stripMargin
+      |SELECT band, bh, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc,
+      |       CAST(CASE WHEN COUNT(*) > $MaxLshBucket THEN 1 ELSE 0 END AS INT) AS dropped
+      |FROM bands GROUP BY band, bh ORDER BY band, bh""".stripMargin
 
   /** n-gram Jaccard similarity over a bounded doc subset (doc_id < 40):
     * |A ∩ B| via a shingle equi-join, |A ∪ B| = |A| + |B| - |A ∩ B|.
@@ -178,6 +231,7 @@ object DedupQ {
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_dedup_exact" -> ((qDedupExact _, Some(qDedupExactSql))),
     "q_minhash_lsh" -> ((qMinhashLsh _, Some(qMinhashLshSql))),
+    "q_lsh_bucket_profile" -> ((qLshBucketProfile _, Some(qLshBucketProfileSql))),
     "q_ngram_jaccard" -> ((qNgramJaccard _, Some(qNgramJaccardSql))),
     "q_simhash" -> ((qSimhash _, Some(qSimhashSql))))
 }

@@ -214,7 +214,7 @@ object Relational {
       |    CASE WHEN date_diff('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
       |         THEN 1 ELSE 0 END AS is_new
       |  FROM events)
-      |SELECT user_id, SUM(is_new) + 1 AS n_sessions, COUNT(*) AS n_events
+      |SELECT user_id, CAST(SUM(is_new) + 1 AS BIGINT) AS n_sessions, COUNT(*) AS n_events
       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** JSON scalar extraction from the props column. */
@@ -226,7 +226,7 @@ object Relational {
       .orderBy(col("event_type"))
 
   val qJsonExtractSql: String =
-    """SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k, COUNT(*) AS n
+    """SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, COUNT(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(

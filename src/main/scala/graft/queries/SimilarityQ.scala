@@ -101,47 +101,32 @@ object SimilarityQ {
        |FROM sigs GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
-  /** Embedding-cosine near-dup: LSH buckets generate candidates (never
-    * an all-pairs product), exact int-quantized cosine verifies. The
-    * full near-dup pattern at scale: O(pairs-within-buckets), shuffle on
-    * the bucket key. */
-  def qEmbedNeardup(s: SparkSession, dir: String): DataFrame = {
-    embeddings(s, dir).createOrReplaceTempView("embeddings")
-    val sigBits = (0 until 8).map { h =>
-      s"""(CASE WHEN SUM((CASE WHEN instr('0123456789abcdef', substr(md5('$h' || ':' || CAST(u.d AS STRING)), 1, 1)) - 1 >= 8 THEN 1 ELSE -1 END) * CAST(ROUND(CAST(u.x AS DOUBLE) * 1000) AS BIGINT)) > 0 THEN ${1 << h} ELSE 0 END)"""
-    }.mkString(" + ")
-    s.sql(
-      s"""WITH u AS (
-         |  SELECT vec_id, posexplode(embedding) AS (d, x) FROM embeddings
-         |),
-         |uq AS (SELECT vec_id, d, CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS x FROM u),
-         |sigs AS (SELECT vec_id, $sigBits AS bucket FROM u GROUP BY vec_id),
-         |cand AS (SELECT a.vec_id AS va, b.vec_id AS vb
-         |         FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
-         |el AS (SELECT c.va, c.vb, ua.x AS xa, ub.x AS xb
-         |       FROM cand c JOIN uq ua ON ua.vec_id = c.va JOIN uq ub ON ub.vec_id = c.vb AND ub.d = ua.d),
-         |dots AS (SELECT va, vb,
-         |    CAST(SUM(xa * xb) AS DOUBLE) AS dp,
-         |    CAST(SUM(xa * xa) AS DOUBLE) AS qq,
-         |    CAST(SUM(xb * xb) AS DOUBLE) AS cc
-         |  FROM el GROUP BY va, vb)
-         |SELECT va AS vec_a, vb AS vec_b, dp / (sqrt(qq) * sqrt(cc)) AS sim
-         |FROM dots WHERE dp / (sqrt(qq) * sqrt(cc)) >= 0.25
-         |ORDER BY vec_a, vec_b""".stripMargin)
-  }
+  /** Vectors per LSH bucket above which the bucket is excluded from
+    * candidate generation — the skew guard: a degenerate bucket (e.g. a
+    * corpus of near-identical embeddings all hashing to one signature)
+    * would otherwise make the candidate join quadratic. 10x the largest
+    * bucket observed on the testdata (25 at sf0.1, 255 buckets, avg 8);
+    * a production corpus tunes it. Applied identically in the DuckDB
+    * oracle — never a silent semantic divergence between engines. */
+  val MaxEmbedBucket = 256
 
-  val qEmbedNeardupSql: String = {
+  /** One SQL body for BOTH engines (only the array-unnest clause and the
+    * string-cast name differ), so the skew guard and the quantized-cosine
+    * arithmetic can never drift between Spark and the oracle. */
+  private def embedNeardupCore(uClause: String, str: String): String = {
     val sigBits = (0 until 8).map { h =>
-      s"""(CASE WHEN SUM((CASE WHEN instr('0123456789abcdef', substr(md5('$h' || ':' || CAST(u.d AS VARCHAR)), 1, 1)) - 1 >= 8 THEN 1 ELSE -1 END) * CAST(ROUND(CAST(u.x AS DOUBLE) * 1000) AS BIGINT)) > 0 THEN ${1 << h} ELSE 0 END)"""
+      s"""(CASE WHEN SUM((CASE WHEN instr('0123456789abcdef', substr(md5('$h' || ':' || CAST(u.d AS $str)), 1, 1)) - 1 >= 8 THEN 1 ELSE -1 END) * CAST(ROUND(CAST(u.x AS DOUBLE) * 1000) AS BIGINT)) > 0 THEN ${1 << h} ELSE 0 END)"""
     }.mkString(" + ")
     s"""WITH u AS (
-       |  SELECT vec_id, UNNEST(embedding) AS x, UNNEST(generate_series(0, len(embedding) - 1)) AS d
-       |  FROM embeddings
+       |  $uClause
        |),
        |uq AS (SELECT vec_id, d, CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS x FROM u),
        |sigs AS (SELECT vec_id, $sigBits AS bucket FROM u GROUP BY vec_id),
+       |bsz AS (SELECT bucket, COUNT(*) AS bn FROM sigs GROUP BY bucket),
        |cand AS (SELECT a.vec_id AS va, b.vec_id AS vb
-       |         FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |         FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |         JOIN bsz ON bsz.bucket = a.bucket
+       |         WHERE bsz.bn <= $MaxEmbedBucket),
        |el AS (SELECT c.va, c.vb, ua.x AS xa, ub.x AS xb
        |       FROM cand c JOIN uq ua ON ua.vec_id = c.va JOIN uq ub ON ub.vec_id = c.vb AND ub.d = ua.d),
        |dots AS (SELECT va, vb,
@@ -153,6 +138,20 @@ object SimilarityQ {
        |FROM dots WHERE dp / (sqrt(qq) * sqrt(cc)) >= 0.25
        |ORDER BY vec_a, vec_b""".stripMargin
   }
+
+  /** Embedding-cosine near-dup: LSH buckets generate candidates (never
+    * an all-pairs product, oversized buckets excluded — MaxEmbedBucket),
+    * exact int-quantized cosine verifies. The full near-dup pattern at
+    * scale: O(pairs-within-surviving-buckets), shuffle on the bucket key. */
+  def qEmbedNeardup(s: SparkSession, dir: String): DataFrame = {
+    embeddings(s, dir).createOrReplaceTempView("embeddings")
+    s.sql(embedNeardupCore(
+      "SELECT vec_id, posexplode(embedding) AS (d, x) FROM embeddings", "STRING"))
+  }
+
+  val qEmbedNeardupSql: String = embedNeardupCore(
+    "SELECT vec_id, UNNEST(embedding) AS x, UNNEST(generate_series(0, len(embedding) - 1)) AS d FROM embeddings",
+    "VARCHAR")
 
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_ann_cosine" -> ((qAnnCosine _, Some(qAnnCosineSql))),
