@@ -60,14 +60,17 @@ object Bench {
   private def corpusPath(spark: SparkSession, sfDir: String): String = {
     val sfName = Paths.get(sfDir).getFileName.toString
     val path = s"/tmp/graft_corpus_$sfName"
-    // rebuild when absent OR stale (schema without the n_spans split key)
+    // rebuild when absent OR stale (pre-part_idx schema): the timed corpus
+    // uses the PRE-SPLIT layout — bounded part rows so mega-doc scans
+    // parallelize (the single-row layout's one unsplittable scan unit was
+    // the last skew residue) — with n_spans as the pushdown split key.
     val usable = Files.exists(Paths.get(path, "_SUCCESS")) &&
-      (try spark.read.parquet(path).columns.contains("n_spans")
-       catch { case _: Exception => false })
+      (try {
+        val cols = spark.read.parquet(path).columns
+        cols.contains("n_spans") && cols.contains("part_idx")
+      } catch { case _: Exception => false })
     if (!usable) {
-      import org.apache.spark.sql.functions.{col, size}
-      CorpusGen.fromDocuments(spark, sfDir)
-        .withColumn("n_spans", size(col("spans"))) // pushdown-able split key
+      CorpusGen.preSplit(CorpusGen.fromDocuments(spark, sfDir))
         .repartition(32)
         .write.mode("overwrite").parquet(path)
     }
@@ -97,16 +100,17 @@ object Bench {
     val base = spark.read.parquet(corpus)
     // single-scan replication (a many-branch union would add ~seconds of
     // SERIAL driver planning per run — pure Amdahl loss in the N-vs-4N
-    // comparison)
+    // comparison); schema-generic so it carries the pre-split part_idx
     val big = base
-      .select(explode(sequence(lit(0), lit(replicas - 1))).as("r"),
-        col("doc_id"), col("spans"), col("n_spans"))
-      .select(concat(col("doc_id"), lit("#"), col("r")).as("doc_id"),
-        col("spans"), col("n_spans"))
+      .withColumn("r", explode(sequence(lit(0), lit(replicas - 1))))
+      .withColumn("doc_id", concat(col("doc_id"), lit("#"), col("r")))
+      .drop("r")
     val t0 = System.nanoTime()
     Extract.run(big).write.format("noop").mode("overwrite").save()
     val sec = (System.nanoTime() - t0) / 1e9
-    (sec, base.count() * replicas)
+    // docs = distinct doc_ids x replicas (base rows are PARTS, not docs)
+    val baseDocs = base.select("doc_id").distinct().count()
+    (sec, baseDocs * replicas)
   }
 
   def main(args: Array[String]): Unit = {

@@ -88,4 +88,29 @@ object CorpusGen {
       .map { case (id, text) => genDoc(id, text) }
       .toDF()
   }
+
+  /** The PRE-SPLIT storage layout (doc_id, part_idx, spans, n_spans):
+    * each doc's span array chunked into fixed Extract.PartSize slices,
+    * n_spans = the doc TOTAL (the pushdown split key). This is how a
+    * production corpus should be written: a mega-doc stored as one
+    * parquet row is an unsplittable scan unit no repartition can fix —
+    * stored as bounded part rows, the scan (and the extraction fused
+    * into it) parallelizes by itself. Extract.run accepts this layout
+    * directly and reconstructs global span order from
+    * part_idx * PartSize + local position. */
+  def preSplit(corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    // the chunk size is a layout CONTRACT, not a knob: Extract.runPreSplit
+    // reconstructs global order as part_idx * Extract.PartSize + local pos
+    val partSize = graft.pipeline.Extract.PartSize
+    val withN =
+      if (corpus.columns.contains("n_spans")) corpus
+      else corpus.withColumn("n_spans", size(col("spans")))
+    withN
+      .select(col("doc_id"), col("n_spans"),
+        posexplode(expr(
+          s"transform(sequence(0, (n_spans - 1) div $partSize), p -> slice(spans, p * $partSize + 1, $partSize))"))
+          .as(Seq("part_idx", "spans")))
+      .select(col("doc_id"), col("part_idx"), col("spans"), col("n_spans"))
+  }
 }

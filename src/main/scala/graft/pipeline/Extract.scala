@@ -71,6 +71,18 @@ object Extract {
   /** Spans per partial-stitch run on the mega-doc path. */
   val RunSize = 1024
 
+  /** Spans per storage part in the PRE-SPLIT layout (== RunSize so part
+    * rows coincide with partial-stitch runs). The pre-split layout —
+    * (doc_id, part_idx, spans, n_spans) with fixed-size chunks, written
+    * by [[graft.fixtures.CorpusGen.preSplit]] — is the storage-level
+    * answer to the one scale-killer of the single-row layout: a 100k-span
+    * doc stored as ONE parquet row is unsplittable, so its scan (and the
+    * extraction fused into it) runs on one task no matter how the rest of
+    * the plan spreads. Stored as ~98 bounded rows, the scan itself
+    * parallelizes and NO raw-byte repartition is needed at all — the
+    * first exchange carries extracted text only. */
+  val PartSize: Int = RunSize
+
   private def reorderFields(seq: Column): Column =
     transform(seq, (s: Column) => struct(
       s.getField("kind").as("kind"),
@@ -88,6 +100,8 @@ object Extract {
     * Small docs keep the single-shuffle stitch (an extra exchange would
     * tax the common case). */
   def run(input: DataFrame, spreadThreshold: Int = DefaultSpreadThreshold): DataFrame = {
+    if (input.columns.contains("part_idx"))
+      return runPreSplit(input, spreadThreshold)
     val withN =
       if (input.columns.contains("n_spans")) input
       else input.withColumn("n_spans", size(col("spans")))
@@ -109,6 +123,42 @@ object Extract {
       .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
       .repartition(col("doc_id"), floor(col("pos") / RunSize))
     val bigOut = extracted(big)
+      .groupBy(col("doc_id"), floor(col("order") / RunSize).as("run_id"))
+      .agg(array_sort(collect_list(struct(
+        col("order"), col("kind"), col("text"), col("media_ref")))).as("run"))
+      .groupBy(col("doc_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("run_id"), col("run")))),
+        (r: Column) => r.getField("run"))).as("seq0"))
+      .select(col("doc_id"), reorderFields(col("seq0")).as("span_seq"))
+
+    smallOut.unionAll(bigOut)
+  }
+
+  /** Pre-split ingest: input is (doc_id, part_idx, spans, n_spans) with
+    * fixed PartSize chunks (n_spans = the DOC total, the pushdown split
+    * key). Global span position is reconstructed as
+    * part_idx * PartSize + local position — order still comes from the
+    * data, never from partition order.
+    *
+    * Plan shape: extraction fuses into the scan for BOTH paths (every
+    * row is a bounded <= PartSize unit), so unlike the single-row layout
+    * there is no raw-byte repartition anywhere; mega-docs hit the same
+    * two-phase stitch, whose partial runs coincide with part rows. */
+  private def runPreSplit(input: DataFrame, spreadThreshold: Int): DataFrame = {
+    val exploded = input
+      .select(col("doc_id"), col("n_spans"), col("part_idx"),
+        posexplode(col("spans")).as(Seq("p", "span")))
+      .select(col("doc_id"), col("n_spans"),
+        (col("part_idx").cast("int") * PartSize + col("p")).as("pos"), col("span"))
+
+    val smallOut = extracted(exploded.filter(col("n_spans") <= spreadThreshold))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(
+        col("order"), col("kind"), col("text"), col("media_ref")))).as("seq0"))
+      .select(col("doc_id"), reorderFields(col("seq0")).as("span_seq"))
+
+    val bigOut = extracted(exploded.filter(col("n_spans") > spreadThreshold))
       .groupBy(col("doc_id"), floor(col("order") / RunSize).as("run_id"))
       .agg(array_sort(collect_list(struct(
         col("order"), col("kind"), col("text"), col("media_ref")))).as("run"))

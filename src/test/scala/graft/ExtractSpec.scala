@@ -47,6 +47,25 @@ class ExtractSpec extends AnyFunSuite {
     assert(allNarrow.nonEmpty)
   }
 
+  test("pre-split storage layout == single-row layout (incl. multi-part mega doc)") {
+    import spark.implicits._
+    // sf0.001 corpus (mixed small + >256-span mega docs) plus one doc
+    // large enough to span multiple PartSize=1024 chunks
+    val base = CorpusGen.fromDocuments(spark, "/root/testdata/sf0.001")
+    val multiPart = spark.createDataset(Seq(
+      Doc("mp", (0 until 2600).map(i => Span("media", "", f"img://mp/$i%d", i * 10)).toVector)
+    )).toDF()
+    val input = base.unionAll(multiPart)
+    val pre = CorpusGen.preSplit(input)
+    // sanity: the 2600-span doc really is chunked
+    assert(pre.filter("doc_id = 'mp'").count() == 3)
+    assert(Extract.run(pre).schema == Extract.run(input).schema)
+    assert(canon(Extract.run(pre)) == canon(Extract.run(input)))
+    // and through the mega path for everything
+    assert(canon(Extract.run(pre, spreadThreshold = 0)) ==
+      canon(Extract.run(input, spreadThreshold = 0)))
+  }
+
   test("hostile spans: malformed html/hOCR, empty docs, weird kinds survive") {
     import spark.implicits._
     val hostile = Seq(
