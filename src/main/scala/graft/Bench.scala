@@ -59,7 +59,10 @@ object Bench {
     * time extraction, not corpus synthesis). */
   private def corpusPath(spark: SparkSession, sfDir: String): String = {
     val sfName = Paths.get(sfDir).getFileName.toString
-    val path = s"/tmp/graft_corpus_$sfName"
+    // _v2: generator-version suffix — busts stale caches whose SCHEMA
+    // still matches when the synthesis semantics change (e.g. the
+    // non-BMP vocab word); bump on any CorpusGen/MediaOcr output change
+    val path = s"/tmp/graft_corpus_${sfName}_v2"
     // rebuild when absent OR stale (pre-part_idx schema): the timed corpus
     // uses the PRE-SPLIT layout — bounded part rows so mega-doc scans
     // parallelize (the single-row layout's one unsplittable scan unit was

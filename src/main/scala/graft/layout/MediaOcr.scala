@@ -20,7 +20,12 @@ object MediaOcr {
     "elit", "sed", "tempor", "incididunt", "labore", "dolore", "magna",
     "aliqua", "enim", "minim", "veniam", "quis", "nostrud", "exercitation",
     "ullamco", "laboris", "nisi", "aliquip", "commodo", "consequat", "duis",
-    "aute", "irure", "voluptate", "velit", "esse", "cillum", "fugiat")
+    "aute", "irure", "voluptate", "velit", "esse", "cillum", "fugiat",
+    // non-BMP (plane-1 mathematical Fraktur, surrogate pairs in UTF-16):
+    // keeps the G-6 codepoint-anchor arithmetic honest on the media path —
+    // with this word present, any char-offset (UTF-16) slip corrupts every
+    // downstream anchor and fails the golden fixture.
+    "𝔤𝔯𝔞𝔣𝔱")
 
   private val langs = Array("en", "de", "fr", "es")
 
@@ -61,6 +66,12 @@ object MediaOcr {
 
     val nBlocks = 1 + rng.int(3)
     val text = new StringBuilder
+    // anchors are CODEPOINT offsets (G-6 rune slices, layout.go semantics),
+    // NOT UTF-16 char offsets — they diverge once the vocab contains a
+    // non-BMP word, so all segment positions track `rlen`, never
+    // `text.length`.
+    var rlen = 0
+    def emit(s: String): Unit = { text.append(s); rlen += s.codePointCount(0, s.length) }
     val tokens = ArrayBuffer.empty[LToken]
     val lines = ArrayBuffer.empty[LLine]
     val paras = ArrayBuffer.empty[LPara]
@@ -71,23 +82,23 @@ object MediaOcr {
       Vector((x1 / dimW, y1 / dimH), (x2 / dimW, y1 / dimH), (x2 / dimW, y2 / dimH), (x1 / dimW, y2 / dimH))
 
     for (_ <- 0 until nBlocks) {
-      val blockStart = text.length // ASCII text => char offset == rune offset
+      val blockStart = rlen
       val nParas = 1 + rng.int(2)
       for (_ <- 0 until nParas) {
-        val paraStart = text.length
+        val paraStart = rlen
         val nLines = 1 + rng.int(3)
         for (_ <- 0 until nLines) {
-          val lineStart = text.length
+          val lineStart = rlen
           val nTokens = 2 + rng.int(6)
           var x = 50f
           for (t <- 0 until nTokens) {
             val word = vocab(rng.int(vocab.length))
-            val tokStart = text.length
-            text.append(word)
+            val tokStart = rlen
+            emit(word)
             val last = t == nTokens - 1
-            text.append(if (last) "\n" else " ")
-            val tokEnd = text.length // anchor includes the break char, like DocAI
-            val w = 18f * word.length
+            emit(if (last) "\n" else " ")
+            val tokEnd = rlen // anchor includes the break char, like DocAI
+            val w = 18f * word.codePointCount(0, word.length)
             val conf = 0.5f + rng.int(50) / 100.0f
             val tokLangs = if (rng.int(5) == 0) Vector(langs(rng.int(langs.length))) else Vector.empty[String]
             tokens += LToken(
@@ -99,16 +110,16 @@ object MediaOcr {
           }
           val lineLangs = if (rng.int(4) == 0) Vector(langs(rng.int(langs.length))) else Vector.empty[String]
           lines += LLine(
-            layout = Some(LLayout(Vector(TextSegment(lineStart, text.length)), 0.9f,
+            layout = Some(LLayout(Vector(TextSegment(lineStart, rlen)), 0.9f,
               vertsFor(50f, y, 950f, y + 22f))),
             detectedLanguages = lineLangs)
           y += 28f
         }
-        paras += LPara(Some(LLayout(Vector(TextSegment(paraStart, text.length)), 0.9f,
+        paras += LPara(Some(LLayout(Vector(TextSegment(paraStart, rlen)), 0.9f,
           vertsFor(48f, y - 28f * nLines - 2f, 952f, y + 2f))))
         y += 10f
       }
-      blocks += LBlock(Some(LLayout(Vector(TextSegment(blockStart, text.length)), 0.9f,
+      blocks += LBlock(Some(LLayout(Vector(TextSegment(blockStart, rlen)), 0.9f,
         vertsFor(45f, y - 80f, 955f, y + 5f))))
       y += 20f
     }
@@ -116,10 +127,10 @@ object MediaOcr {
     // Edge shapes (FIXTURES.md §3): occasionally a paragraph contained in
     // no block, and a line contained in no paragraph.
     if (rng.int(7) == 0) {
-      val start = text.length
+      val start = rlen
       val word = vocab(rng.int(vocab.length))
-      text.append(word).append("\n")
-      val tokEnd = text.length
+      emit(word); emit("\n")
+      val tokEnd = rlen
       tokens += LToken(Some(LLayout(Vector(TextSegment(start, tokEnd)), 0.75f,
         vertsFor(50f, y, 200f, y + 22f))), Vector.empty, hasBreak = true)
       lines += LLine(Some(LLayout(Vector(TextSegment(start, tokEnd)), 0.8f,
@@ -129,8 +140,8 @@ object MediaOcr {
       y += 30f
     }
     if (rng.int(11) == 0) {
-      val start = text.length
-      text.append("orphan line\n")
+      val start = rlen
+      emit("orphan line\n")
       tokens += LToken(Some(LLayout(Vector(TextSegment(start, start + 7)), 0.6f,
         vertsFor(50f, y, 150f, y + 22f))), Vector.empty, hasBreak = false)
       tokens += LToken(Some(LLayout(Vector(TextSegment(start + 7, start + 12)), 0.6f,
@@ -145,7 +156,7 @@ object MediaOcr {
       pageNumber = 1,
       dimW = dimW,
       dimH = dimH,
-      layout = Some(LLayout(Vector(TextSegment(0, fullText.length)), 1.0f,
+      layout = Some(LLayout(Vector(TextSegment(0, rlen)), 1.0f,
         vertsFor(0f, 0f, dimW, dimH))),
       detectedLanguages = Vector(pageLang),
       blocks = blocks.toVector,

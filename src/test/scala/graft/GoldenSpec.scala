@@ -53,6 +53,29 @@ class GoldenSpec extends AnyFunSuite {
     assert(got("edge_empty") == Seq(("html", "", "", 0)))
   }
 
+  test("golden corpus carries non-BMP media text through the distributed path") {
+    import spark.implicits._
+    // the MediaOcr vocab contains a plane-1 word (surrogate pairs in
+    // UTF-16), so codepoint-anchor slips (G-6) can't hide behind ASCII:
+    // the frozen fixture must contain it, and the distributed extraction
+    // must reproduce it byte-identically
+    assert(frozen.exists(_.contains("𝔤𝔯𝔞𝔣𝔱")), "fixture lost the non-BMP vocab word")
+    val withNonBmp = Golden.corpus.filter(_.spans.exists { sp =>
+      graft.pipeline.SpanExtract.extractSpanText(sp.kind, sp.text, sp.media_ref).contains("𝔤𝔯𝔞𝔣𝔱")
+    })
+    assert(withNonBmp.nonEmpty)
+    val input = spark.createDataset(withNonBmp.toVector).toDF()
+    val got = graft.pipeline.Extract.run(input, spreadThreshold = 2)
+      .as[(String, Seq[(String, String, String, Int)])]
+      .collect().map(r => r._1 -> r._2).toMap
+    withNonBmp.foreach { d =>
+      val expected = d.spans.zipWithIndex.map { case (s, i) =>
+        (s.kind, graft.pipeline.SpanExtract.extractSpanText(s.kind, s.text, s.media_ref), s.media_ref, i)
+      }
+      assert(got(d.doc_id) == expected, s"non-BMP doc ${d.doc_id} corrupted in flight")
+    }
+  }
+
   test("edge fixture pins the reference branch behaviors") {
     val out = Golden.corpus.find(_.doc_id == "edge_hocr").get.spans.head
     val text = graft.pipeline.SpanExtract.extractSpanText(out.kind, out.text, out.media_ref)
