@@ -155,12 +155,16 @@ object Bench {
     val sec32 = sec16
 
     // ---- battery at 32 cores ----
+    // per-query shuffle-write deltas (listener snapshot around each run):
+    // the scale-audit signal — a query whose shuffle bytes dwarf its
+    // output is shuffling something it shouldn't
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
+      val w0 = l32.shuffleWrite.sum()
       try {
         fn(s32, sfDir).write.format("noop").mode("overwrite").save()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => name -> -1.0 }
+        (name, (System.nanoTime() - t0) / 1e9, l32.shuffleWrite.sum() - w0)
+      } catch { case _: Throwable => (name, -1.0, 0L) }
     }
     val spillMem = l32.memSpilled.sum()
     val spillDisk = l32.diskSpilled.sum()
@@ -168,9 +172,10 @@ object Bench {
     val shufWrite = l32.shuffleWrite.sum()
     s32.stop()
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val qshuf = results.map { case (k, _, w) => "\"" + k + "\":" + w }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(
-      s"""{"metric":"extract_docs_per_sec_4N16","value":${f"$tp32%.2f"},"unit":"docs/sec","queries":$qs,"sf":"$sfDir","total_query_sec":${f"$total%.2f"},"n_docs":$nDocs,"extract_sec_N4":${f"$sec8%.3f"},"extract_sec_4N16":${f"$sec32%.3f"},"throughput_N4":${f"$tp8%.2f"},"throughput_4N16":${f"$tp32%.2f"},"scaling_efficiency":${f"$eff%.3f"},"scaling_pairs":[${pairs.map { case (a, b) => f"[$a%.2f,$b%.2f]" }.mkString(",")}],"scaling_efficiencies":[${effs.map(e => f"$e%.3f").mkString(",")}],"shuffle_partitions":{"N4":4,"4N16":16},"spill_bytes_mem":$spillMem,"spill_bytes_disk":$spillDisk,"shuffle_read_bytes":$shufRead,"shuffle_write_bytes":$shufWrite}""")
+      s"""{"metric":"extract_docs_per_sec_4N16","value":${f"$tp32%.2f"},"unit":"docs/sec","queries":$qs,"queries_shuffle_write_bytes":$qshuf,"sf":"$sfDir","total_query_sec":${f"$total%.2f"},"n_docs":$nDocs,"extract_sec_N4":${f"$sec8%.3f"},"extract_sec_4N16":${f"$sec32%.3f"},"throughput_N4":${f"$tp8%.2f"},"throughput_4N16":${f"$tp32%.2f"},"scaling_efficiency":${f"$eff%.3f"},"scaling_pairs":[${pairs.map { case (a, b) => f"[$a%.2f,$b%.2f]" }.mkString(",")}],"scaling_efficiencies":[${effs.map(e => f"$e%.3f").mkString(",")}],"shuffle_partitions":{"N4":4,"4N16":16},"spill_bytes_mem":$spillMem,"spill_bytes_disk":$spillDisk,"shuffle_read_bytes":$shufRead,"shuffle_write_bytes":$shufWrite}""")
   }
 }

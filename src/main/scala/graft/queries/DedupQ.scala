@@ -108,6 +108,10 @@ object DedupQ {
       .withColumn("bn", count(lit(1)).over(w))
       .filter(col("bn") <= MaxLshBucket)
       .select(col("doc_id"), col("band"), col("bh"))
+      // self-join below: without the cache the ENTIRE shingle->minhash
+      // lineage executes twice (once per side); the band relation is
+      // 4 narrow rows per doc — cheap to keep, expensive to recompute
+      .cache()
     val a = capped.as("a")
     val b = capped.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&

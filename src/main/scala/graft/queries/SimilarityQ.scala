@@ -65,28 +65,45 @@ object SimilarityQ {
       |SELECT qid, rank, cid, sim
       |FROM sims WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
+  /** The 8x64 random-hyperplane sign table, s_hd = +1 iff the first md5
+    * nibble of "h:d" >= 8 else -1 — the SAME rule the DuckDB oracles
+    * spell out with md5()/instr(). It is a CONSTANT: the Spark plans
+    * precompute it once on the driver and inline it as array literals,
+    * so the hot path does one multiply-add per dimension instead of an
+    * md5 per (row x dim x hyperplane). Cross-engine equality of this
+    * table vs the SQL formula is unit-pinned (SimilaritySignsSpec). */
+  val hyperplaneSigns: Array[Array[Long]] = {
+    val mdHex = (t: String) => {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      f"${d(0) & 0xFF}%02x"
+    }
+    Array.tabulate(8, 64) { (h, d) =>
+      if (Integer.parseInt(mdHex(s"$h:$d").substring(0, 1), 16) >= 8) 1L else -1L
+    }
+  }
+
+  /** Signature bucket as a NARROW per-row expression: no posexplode to
+    * 64 rows, no re-grouping shuffle, no md5 at execution — zip_with
+    * against the literal sign row, integer dot, sign test per plane. */
+  private def bucketCol(v: Column): Column =
+    (0 until 8).map { h =>
+      val dotH = aggregate(
+        zip_with(typedLit(hyperplaneSigns(h).toSeq), v, (sgn: Column, x: Column) => sgn * x),
+        lit(0L), (acc: Column, t: Column) => acc + t)
+      when(dotH > 0, lit(1 << h)).otherwise(lit(0))
+    }.reduce(_ + _)
+
   /** Scale path: random-hyperplane LSH bucketing. Vectors meet only
-    * within a bucket (equi-join on the signature), never all-pairs. The
-    * 8 hyperplanes are derived from md5 — deterministic and portable.
+    * within a bucket (equi-join on the signature), never all-pairs.
     * Output: bucket sizes (the bucketing itself is the oracle-checked
     * semantics; neighbor search within buckets composes qAnnCosine). */
-  def qAnnLshBuckets(s: SparkSession, dir: String): DataFrame = {
-    // hyperplane h (0..7), dim d (0..63): weight = (nibble of md5("h:d") - 7.5) sign
-    // simplified to: sign component s_hd = +1 if nibble >= 8 else -1
-    // signature bit h = 1 iff sum_d s_hd * v_d > 0
-    val e = embeddings(s, dir)
-    e.createOrReplaceTempView("embeddings")
-    val sigBits = (0 until 8).map { h =>
-      s"""(CASE WHEN SUM((CASE WHEN instr('0123456789abcdef', substr(md5('$h' || ':' || CAST(u.d AS STRING)), 1, 1)) - 1 >= 8 THEN 1 ELSE -1 END) * CAST(ROUND(CAST(u.x AS DOUBLE) * 1000) AS BIGINT)) > 0 THEN ${1 << h} ELSE 0 END)"""
-    }.mkString(" + ")
-    s.sql(
-      s"""WITH u AS (
-         |  SELECT vec_id, posexplode(embedding) AS (d, x) FROM embeddings
-         |),
-         |sigs AS (SELECT vec_id, $sigBits AS bucket FROM u GROUP BY vec_id)
-         |SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec
-         |FROM sigs GROUP BY bucket ORDER BY bucket""".stripMargin)
-  }
+  def qAnnLshBuckets(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir)
+      .select(bucketCol(decVec(col("embedding"))).as("bucket"), col("vec_id"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
+      .orderBy(col("bucket"))
 
   val qAnnLshBucketsSql: String = {
     val sigBits = (0 until 8).map { h =>
@@ -142,11 +159,33 @@ object SimilarityQ {
   /** Embedding-cosine near-dup: LSH buckets generate candidates (never
     * an all-pairs product, oversized buckets excluded — MaxEmbedBucket),
     * exact int-quantized cosine verifies. The full near-dup pattern at
-    * scale: O(pairs-within-surviving-buckets), shuffle on the bucket key. */
+    * scale: O(pairs-within-surviving-buckets), shuffle on the bucket key.
+    *
+    * Spark plan (vs the oracle's CTE spelling, which this matches value-
+    * for-value): signatures are the narrow [[bucketCol]] expression —
+    * no 64-row posexplode, no md5 per row — and the signature relation
+    * is CACHED so the self-join reads it twice instead of recomputing
+    * the lineage twice; the exact cosine runs on the carried quantized
+    * arrays (zip_with dot), not a by-dimension join. */
   def qEmbedNeardup(s: SparkSession, dir: String): DataFrame = {
-    embeddings(s, dir).createOrReplaceTempView("embeddings")
-    s.sql(embedNeardupCore(
-      "SELECT vec_id, posexplode(embedding) AS (d, x) FROM embeddings", "STRING"))
+    val sigs = embeddings(s, dir)
+      .select(col("vec_id"), decVec(col("embedding")).as("v"))
+      .withColumn("bucket", bucketCol(col("v")))
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      .filter(col("bn") <= MaxEmbedBucket)
+      .select(col("vec_id"), col("bucket"), col("v"))
+      .cache()
+    val a = sigs.as("a")
+    val b = sigs.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        dot(col("a.v"), col("b.v")).cast("double").as("dp"),
+        dot(col("a.v"), col("a.v")).cast("double").as("qq"),
+        dot(col("b.v"), col("b.v")).cast("double").as("cc"))
+      .select(col("vec_a"), col("vec_b"),
+        (col("dp") / (sqrt(col("qq")) * sqrt(col("cc")))).as("sim"))
+      .filter(col("sim") >= 0.25)
+      .orderBy(col("vec_a"), col("vec_b"))
   }
 
   val qEmbedNeardupSql: String = embedNeardupCore(
