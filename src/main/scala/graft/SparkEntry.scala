@@ -23,7 +23,8 @@ object SparkEntry {
     graft.queries.TextAnalysisQ.all ++
     graft.queries.DedupQ.all ++
     graft.queries.SimilarityQ.all ++
-    graft.queries.PositionedQ.all
+    graft.queries.PositionedQ.all ++
+    graft.queries.PdfQ.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     battery.map { case (k, (fn, _)) => k -> fn } ++ Map(

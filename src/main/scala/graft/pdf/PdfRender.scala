@@ -1,0 +1,237 @@
+package graft.pdf
+
+import java.nio.charset.StandardCharsets.ISO_8859_1
+
+import scala.collection.mutable
+
+import graft.hocr.Hocr
+
+/** Deterministic PDF 1.4 writer — the binary sink for P-7/P-8
+  * (/root/reference/pkg/pdfocr/create.go:14-65, layer.go:14-144), built
+  * from the public PDF 1.4 specification only (no pdf library exists in
+  * this environment). Produces what the reference's fpdf path produces
+  * semantically:
+  *
+  *   - one PDF page per hOCR page, MediaBox = page bbox (points);
+  *   - an Optional Content Group (OCG) per page named
+  *     "{layerName} (Page N)" and registered in /OCProperties — the same
+  *     structure our own P-3 `detectPdfLayers` regexes (and any PDF
+  *     reader's layer panel) recognize;
+  *   - the OCR text inside a marked-content /OC block, invisible via an
+  *     alpha-0 ExtGState (fpdf's SetAlpha(0.0, "Normal"), layer.go:38) —
+  *     selectable/searchable, not rendered;
+  *   - per-word Helvetica at drawWord's fitted size and baseline
+  *     (geometry from PdfOps.drawPage, identical to the positioned-spans
+  *     relation);
+  *   - optionally a full-page image underlay (create.go:44-46). JPEG
+  *     payloads embed natively (DCTDecode passthrough + SOF header
+  *     dimensions — no codec needed); PNG/GIF would require a real
+  *     decode/recompress (no codecs in this container), so those pages
+  *     emit the text layer without the underlay and carry a warning.
+  *
+  * Documented divergences from fpdf byte output (semantics preserved,
+  * bytes not): object layout/ordering is ours; non-Latin-1 characters
+  * render as '?' where Go writes mojibake fallback bytes
+  * (layer.go:122-127 counts them as encoding errors either way — the
+  * >10% error gate is preserved exactly).
+  */
+object PdfRender {
+
+  final case class PdfPage(
+      width: Double, height: Double,
+      image: Option[Array[Byte]],
+      words: Vector[PdfOps.PositionedWord],
+      layerName: String)
+
+  final case class PdfResult(pdf: Array[Byte], warnings: Vector[String])
+
+  /** JPEG pixel dimensions from the SOF0/1/2/9/10 frame header (public
+    * JFIF spec): FF D8, then marker segments FF mm len(2) payload; SOF
+    * payload = precision(1) height(2) width(2). */
+  def jpegDims(data: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int) = data(i) & 0xFF
+    if (data.length < 4 || u8(0) != 0xFF || u8(1) != 0xD8) return None
+    var i = 2
+    while (i + 3 < data.length) {
+      if (u8(i) != 0xFF) return None
+      var m = i + 1
+      while (m < data.length && u8(m) == 0xFF) m += 1 // fill bytes
+      if (m >= data.length) return None
+      val marker = u8(m)
+      if (marker == 0xD9 || marker == 0xDA) return None // EOI / SOS before SOF
+      if (m + 2 >= data.length) return None
+      val len = (u8(m + 1) << 8) | u8(m + 2)
+      val isSof = (marker >= 0xC0 && marker <= 0xCF) &&
+        marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+      if (isSof) {
+        if (m + 7 >= data.length) return None
+        val h = (u8(m + 4) << 8) | u8(m + 5)
+        val w = (u8(m + 6) << 8) | u8(m + 7)
+        return Some((w, h))
+      }
+      i = m + 1 + len
+    }
+    None
+  }
+
+  private def f2(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
+
+  /** PDF literal-string escape over the Latin-1-projected text. The
+    * reference encodes to ISO-8859-1 and falls back to the raw string on
+    * failure (layer.go:122-127); we project unencodable chars to '?'. */
+  private def pdfString(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach { c =>
+      val cc = if (c > 0xFF) '?' else c
+      cc match {
+        case '\\' => sb.append("\\\\")
+        case '(' => sb.append("\\(")
+        case ')' => sb.append("\\)")
+        case '\r' => sb.append("\\r")
+        case '\n' => sb.append("\\n")
+        case other => sb.append(other)
+      }
+    }
+    sb.toString
+  }
+
+  /** Assemble the byte stream: header, numbered objects, xref with exact
+    * byte offsets, trailer. */
+  def render(pages: Seq[PdfPage]): PdfResult = {
+    val warnings = Vector.newBuilder[String]
+    final case class Ids(page: Int, content: Int, ocg: Int, image: Option[Int])
+    var next = 5 // 1 Catalog, 2 Pages, 3 Font, 4 ExtGState
+    val ids = pages.map { p =>
+      val embeddable = p.image.exists(img =>
+        PdfOps.detectImageType(img).contains("JPEG") && jpegDims(img).isDefined)
+      p.image.foreach { img =>
+        if (!embeddable) warnings +=
+          s"image underlay skipped (codec ${PdfOps.detectImageType(img).getOrElse("unknown")} not embeddable without decode); text layer emitted"
+      }
+      val r = Ids(next, next + 1, next + 2, if (embeddable) Some(next + 3) else None)
+      next += (if (embeddable) 4 else 3)
+      r
+    }
+
+    val objs = mutable.LinkedHashMap.empty[Int, Array[Byte]]
+    def put(id: Int, body: String): Unit = objs(id) = body.getBytes(ISO_8859_1)
+
+    val ocgRefs = ids.map(i => s"${i.ocg} 0 R").mkString(" ")
+    put(1,
+      s"<< /Type /Catalog /Pages 2 0 R /OCProperties << /OCGs [$ocgRefs] " +
+      s"/D << /Order [$ocgRefs] /ON [$ocgRefs] >> >> >>")
+    put(2,
+      s"<< /Type /Pages /Kids [${ids.map(i => s"${i.page} 0 R").mkString(" ")}] /Count ${ids.length} >>")
+    put(3, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
+    put(4, "<< /Type /ExtGState /BM /Normal /CA 0.000 /ca 0.000 >>")
+
+    pages.zip(ids).zipWithIndex.foreach { case ((p, id), k) =>
+      val xobj = id.image.map(i => s" /XObject << /Img$k $i 0 R >>").getOrElse("")
+      put(id.page,
+        s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 ${f2(p.width)} ${f2(p.height)}] " +
+        s"/Resources << /Font << /F1 3 0 R >> /ExtGState << /GS0 4 0 R >>$xobj " +
+        s"/Properties << /OC$k ${id.ocg} 0 R >> >> /Contents ${id.content} 0 R >>")
+
+      val body = new StringBuilder
+      if (id.image.isDefined)
+        body.append(s"q\n${f2(p.width)} 0 0 ${f2(p.height)} 0 0 cm\n/Img$k Do\nQ\n")
+      body.append(s"/OC /OC$k BDC\nq\n/GS0 gs\nBT\n")
+      p.words.foreach { w =>
+        body.append(s"/F1 ${f2(w.fontSize)} Tf\n")
+        body.append(s"1 0 0 1 ${f2(w.x)} ${f2(p.height - w.yBaseline)} Tm\n")
+        body.append(s"(${pdfString(w.text)}) Tj\n")
+      }
+      body.append("ET\nQ\nEMC\n")
+      val bodyBytes = body.toString.getBytes(ISO_8859_1)
+      objs(id.content) =
+        (s"<< /Length ${bodyBytes.length} >>\nstream\n".getBytes(ISO_8859_1) ++
+         bodyBytes ++ "\nendstream".getBytes(ISO_8859_1))
+
+      put(id.ocg, s"<< /Type /OCG /Name (${pdfString(p.layerName)}) >>")
+
+      id.image.foreach { imgId =>
+        val img = p.image.get
+        val (iw, ih) = jpegDims(img).get
+        objs(imgId) =
+          (s"<< /Type /XObject /Subtype /Image /Width $iw /Height $ih " +
+           s"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode " +
+           s"/Length ${img.length} >>\nstream\n").getBytes(ISO_8859_1) ++
+          img ++ "\nendstream".getBytes(ISO_8859_1)
+      }
+    }
+
+    val out = new java.io.ByteArrayOutputStream()
+    def write(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    // binary-content comment line per spec so transfers treat the file as binary
+    write("%PDF-1.4\n%âãÏÓ\n")
+    val offsets = new Array[Long](next)
+    (1 until next).foreach { id =>
+      offsets(id) = out.size().toLong
+      write(s"$id 0 obj\n")
+      out.write(objs(id))
+      write("\nendobj\n")
+    }
+    val xrefAt = out.size()
+    write(s"xref\n0 $next\n")
+    write("0000000000 65535 f \n")
+    (1 until next).foreach(id => write("%010d 00000 n \n".formatLocal(java.util.Locale.ROOT, offsets(id))))
+    write(s"trailer\n<< /Size $next /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    PdfResult(out.toByteArray, warnings.result())
+  }
+
+  /** P-7 createPDFFromImage (create.go:14-65): new searchable PDF from
+    * page images + the hOCR layout. Page i gets image i, MediaBox from
+    * the page bbox, and the invisible OCR layer "{layerName} (Page N)".
+    * The loop bound, 1-based page numbering, startFromPage offset, and
+    * the >10% encoding-error failure (layer.go:104-107) all match the
+    * reference. */
+  def createPdfFromImages(
+      hocr: Hocr,
+      imagesData: Seq[Array[Byte]],
+      startFromPage: Int = 1,
+      layerNameBase: String = "OCR Text",
+      font: PdfOps.FontConfig = PdfOps.FontConfig()): Either[String, PdfResult] = {
+    val startIdx = startFromPage - 1
+    val pages = Vector.newBuilder[PdfPage]
+    var i = startIdx
+    while (i < hocr.pages.length && i < imagesData.length) {
+      val page = hocr.pages(i)
+      val (w, h) = (page.bbox.x2, page.bbox.y2)
+      // create.go's transform normalizes hOCR coords to the SAME (w,h) —
+      // identity by construction; drawPage applies it
+      val drawn = PdfOps.drawPage(page,
+        (x, y) => PdfOps.normalizeCoords(x, y, w, h, w, h), font)
+      if (drawn.tooManyEncodingErrors)
+        return Left(s"character encoding issues in ${drawn.encodingErrors} of ${drawn.wordCount} words")
+      pages += PdfPage(w, h, Some(imagesData(i)), drawn.words,
+        PdfOps.layerName(layerNameBase, i + 1))
+      i += 1
+    }
+    Right(render(pages.result()))
+  }
+
+  /** P-8 modifyExistingPDF (modify.go:14-51) — partial by design: the
+    * OCR layer pages are produced exactly as the reference does, but the
+    * original page background is NOT imported (gofpdi's template import
+    * needs a full PDF interpreter; none exists in this environment).
+    * Output: a valid searchable PDF carrying only the positioned OCR
+    * layers, page-aligned with the source. */
+  def applyOcrPdf(
+      hocr: Hocr,
+      layerNameBase: String = "OCR Text",
+      font: PdfOps.FontConfig = PdfOps.FontConfig()): Either[String, PdfResult] = {
+    val pages = Vector.newBuilder[PdfPage]
+    var i = 0
+    while (i < hocr.pages.length) {
+      val page = hocr.pages(i)
+      // modify.go uses the identity transform
+      val drawn = PdfOps.drawPage(page, (x, y) => (x, y), font)
+      if (drawn.tooManyEncodingErrors)
+        return Left(s"character encoding issues in ${drawn.encodingErrors} of ${drawn.wordCount} words")
+      pages += PdfPage(page.bbox.x2, page.bbox.y2, None, drawn.words,
+        PdfOps.layerName(layerNameBase, i + 1))
+      i += 1
+    }
+    Right(render(pages.result()))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.hocr.{HLine, HPage, HWord, Hocr}
+import graft.model.BBox
+import graft.pdf.{PdfAssemble, PdfOps, PdfRender}
+
+/** PDF emission queries.
+  *
+  * q_pdf_roundtrip is the oracle-checked one: Spark BUILDS real PDF bytes
+  * per doc (deterministic ASCII layout), then re-detects the OCR layers
+  * from those bytes with the P-3/P-4 operators — while DuckDB predicts
+  * the layer count/name/gate INDEPENDENTLY from the page-count rule. A
+  * broken writer (OCG structure, escaping, xref) or a broken detector
+  * hash-mismatches; nothing is compared to itself.
+  *
+  * q_pdf_assemble is the production-shaped sink over the MediaOcr page
+  * table (binary payloads incl. non-Latin-1 text, the encoding-error
+  * gate live) — binary output, rows-only like q_media_features. */
+object PdfQ {
+
+  /** Deterministic ASCII-only page: Latin-1-safe by construction, so the
+    * encoding gate never fires and the oracle can predict every output. */
+  private def synthPage(docId: Long, pageIdx: Int): HPage = {
+    val n = 5 + ((docId + pageIdx) % 4).toInt
+    val words = (0 until n).map { i =>
+      HWord(id = s"w$i", text = s"doc${docId}pg${pageIdx}w$i",
+        bbox = BBox(40.0 + i * 90, 80.0, 120.0 + i * 90, 98.0), confidence = 90.0)
+    }.toVector
+    HPage(
+      id = s"page_${pageIdx + 1}", pageNumber = pageIdx + 1,
+      bbox = BBox(0, 0, 612, 792),
+      lines = Vector(HLine(id = "l1", bbox = BBox(40, 80, 580, 98), words = words)))
+  }
+
+  def qPdfRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet").select("doc_id").as[Long]
+      .map { id =>
+        val nPages = (id % 3).toInt + 1
+        val pages = (0 until nPages).map(p => synthPage(id, p)).toVector
+        val pdf = PdfRender.applyOcrPdf(Hocr(pages = pages))
+          .fold(e => sys.error(e), _.pdf)
+        val layers = PdfOps.detectPdfLayers(pdf).getOrElse(Vector.empty)
+        val hasOcr = PdfOps.checkExistingOcrLayers(pdf, "OCR Text")
+          .toOption.exists(_.hasOcrLayer)
+        (id, nPages, layers.length, layers.headOption.getOrElse(""), if (hasOcr) 1 else 0)
+      }
+      .toDF("doc_id", "n_pages", "n_layers", "first_layer", "has_ocr")
+      .orderBy(col("doc_id"))
+  }
+
+  /** The prediction side. `first_layer` is 'OCR Text (Page 1\' — no
+    * closing paren, trailing backslash: fpdf-style writers escape parens
+    * inside PDF strings, the reference's detection regex `\(([^)]+)\)`
+    * stops at the escaped `\)` capturing the backslash (detect.go:24-47),
+    * and its unescape only rewrites complete \( \) \\ pairs
+    * (helpers.go:18-23). Our writer+detector reproduce exactly that. */
+  val qPdfRoundtripSql: String =
+    """SELECT doc_id,
+      | CAST(doc_id % 3 AS INT) + 1 AS n_pages,
+      | CAST(doc_id % 3 AS INT) + 1 AS n_layers,
+      | 'OCR Text (Page 1\' AS first_layer,
+      | 1 AS has_ocr
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def qPdfAssemble(s: SparkSession, dir: String): DataFrame = {
+    val pageTable = s.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "explode(sequence(0, CAST(doc_id % 3 AS INT))) AS page_idx")
+      .selectExpr("CAST(doc_id AS STRING) AS doc_id", "page_idx",
+        "concat('img://page/', doc_id, '/', page_idx) AS media_ref")
+    PdfAssemble.run(pageTable)
+      .select(col("doc_id"), col("n_pages"), length(col("pdf")).as("pdf_bytes"),
+        col("err"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_pdf_roundtrip" -> ((qPdfRoundtrip _, Some(qPdfRoundtripSql))),
+    "q_pdf_assemble" -> ((qPdfAssemble _, None)))
+}
