@@ -23,10 +23,14 @@ import graft.pipeline.Extract
   * skipped (anti-join on bucket id): zero re-extraction of committed
   * partitions.
   *
-  * Scale note: here each wave filters the input by bucket, which
-  * re-scans the source per wave; on a production table the input is
-  * bucketed/partitioned by hash(doc_id) (Iceberg-style), so the same
-  * filter partition-prunes to exactly the wave's files.
+  * Scale note: [[run]] filters the raw input by bucket, which re-scans
+  * the source per wave — fine when the source is already bucketed. When
+  * it is not, [[stageByBucket]] + [[runStaged]] is the production path:
+  * ONE pass writes the input hive-partitioned by bucket, after which
+  * every wave's read partition-prunes to exactly its own files (the
+  * filter lands in PartitionFilters, not a data scan) — total input I/O
+  * is 2 passes regardless of wave count, instead of one full pass per
+  * wave.
   */
 object ResumableExtract {
 
@@ -43,6 +47,35 @@ object ResumableExtract {
       .select("bucket").distinct().collect().map(_.getInt(0)).toSet
   }
 
+  private def bucketExpr(buckets: Int) =
+    pmod(xxhash64(col("doc_id")), lit(buckets)).cast("int")
+
+  /** One-pass staging: the input written hive-partitioned by bucket
+    * (`bucket=K/` dirs) — the sandbox stand-in for an Iceberg/Hive table
+    * bucketed on hash(doc_id). After this, a wave's
+    * `filter(bucket IN wave)` is a pure PartitionFilter: only the wave's
+    * files are opened. */
+  def stageByBucket(spark: SparkSession, input: DataFrame, stageDir: String,
+      buckets: Int = 16): Unit =
+    input.withColumn("bucket", bucketExpr(buckets))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(stageDir)
+
+  /** Resumable extraction over a [[stageByBucket]]-staged input: each
+    * wave reads ONLY its bucket partitions (partition pruning), so the
+    * source is scanned exactly once across all waves + resumes. */
+  def runStaged(
+      spark: SparkSession,
+      stageDir: String,
+      outDir: String,
+      buckets: Int = 16,
+      waveSize: Int = 4,
+      attempt: String = "a1",
+      failAfterWaves: Int = -1): Unit =
+    runWaves(spark,
+      wave => spark.read.parquet(stageDir)
+        .filter(col("bucket").isin(wave.map(Integer.valueOf): _*)).drop("bucket"),
+      outDir, buckets, waveSize, attempt, failAfterWaves)
+
   /** Injectable failure for the kill/resume test: throw after this many
     * waves committed (negative = never). */
   def run(
@@ -53,18 +86,31 @@ object ResumableExtract {
       waveSize: Int = 4,
       attempt: String = "a1",
       failAfterWaves: Int = -1): Unit = {
+    val withBucket = input.withColumn("bucket", bucketExpr(buckets))
+    runWaves(spark,
+      wave => withBucket.filter(col("bucket").isin(wave.map(Integer.valueOf): _*)).drop("bucket"),
+      outDir, buckets, waveSize, attempt, failAfterWaves)
+  }
+
+  private def runWaves(
+      spark: SparkSession,
+      partForWave: Seq[Int] => DataFrame,
+      outDir: String,
+      buckets: Int,
+      waveSize: Int,
+      attempt: String,
+      failAfterWaves: Int): Unit = {
     import spark.implicits._
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val done = completedBuckets(spark, outDir)
-    val bucketOf = pmod(xxhash64(col("doc_id")), lit(buckets)).cast("int")
-    val withBucket = input.withColumn("bucket", bucketOf)
+    val bucketOf = bucketExpr(buckets)
     val remaining = (0 until buckets).filterNot(done)
 
     remaining.grouped(waveSize).zipWithIndex.foreach { case (wave, wi) =>
       if (failAfterWaves >= 0 && wi >= failAfterWaves)
         throw new RuntimeException(s"injected failure before wave $wi")
       val t0 = System.nanoTime()
-      val part = withBucket.filter(col("bucket").isin(wave.map(Integer.valueOf): _*)).drop("bucket")
+      val part = partForWave(wave)
       val out = Extract.run(part).withColumn("bucket", bucketOf)
       out.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(dataDir(outDir))
       val wallMs = (System.nanoTime() - t0) / 1000000

@@ -55,4 +55,40 @@ class ResumeSpec extends AnyFunSuite {
     assert(resumed == direct)
     assert(resumed.size == 500)
   }
+
+  test("staged path: waves partition-prune the bucketed input; kill+resume identical") {
+    import org.apache.spark.sql.functions._
+    val stage = Files.createTempDirectory("graft_stage").toString
+    val out = Files.createTempDirectory("graft_resume_staged").toString
+    val input = CorpusGen.fromDocuments(spark, "/root/testdata/sf0.001")
+
+    ResumableExtract.stageByBucket(spark, input, stage, buckets = 16)
+
+    // pruning evidence: a one-wave read opens ONLY the wave's bucket dirs
+    val waveRead = spark.read.parquet(stage)
+      .filter(col("bucket").isin(0, 1, 2, 3))
+    val plan = waveRead.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(500))
+    val scannedDirs = waveRead.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+      .map(f => f.substring(f.indexOf("bucket="))).map(_.takeWhile(_ != '/')).toSet
+    assert(scannedDirs == Set("bucket=0", "bucket=1", "bucket=2", "bucket=3"),
+      s"wave read touched $scannedDirs")
+
+    // kill after 1 wave, resume; output == direct
+    intercept[RuntimeException] {
+      ResumableExtract.runStaged(spark, stage, out, buckets = 16, waveSize = 4,
+        attempt = "s1", failAfterWaves = 1)
+    }
+    assert(ResumableExtract.completedBuckets(spark, out).size == 4)
+    ResumableExtract.runStaged(spark, stage, out, buckets = 16, waveSize = 4, attempt = "s2")
+    assert(ResumableExtract.completedBuckets(spark, out).size == 16)
+    val resumed = spark.read.parquet(ResumableExtract.dataDir(out))
+      .select(col("doc_id"), to_json(col("span_seq")).as("j"))
+      .collect().map(r => r.getString(0) + "|" + r.getString(1)).sorted.toSeq
+    val direct = Extract.run(input)
+      .select(col("doc_id"), to_json(col("span_seq")).as("j"))
+      .collect().map(r => r.getString(0) + "|" + r.getString(1)).sorted.toSeq
+    assert(resumed == direct)
+  }
 }
