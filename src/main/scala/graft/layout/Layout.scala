@@ -47,19 +47,30 @@ final case class LDoc(text: String, pages: Vector[LPage], entities: Vector[LEnti
   * reference's O(doc_len) []rune re-materialization per element
   * (text.go:22) — observable output identical, per SURVEY.md §4.1. */
 final class RuneIndex(val s: String) {
-  // charPos(i) = UTF-16 offset of codepoint i; length = runeCount+1
-  private val charPos: Array[Int] = {
-    val buf = new Array[Int](s.codePointCount(0, s.length) + 1)
-    var ci = 0; var cp = 0
-    while (ci < s.length) {
-      buf(cp) = ci
-      ci += Character.charCount(s.codePointAt(ci))
-      cp += 1
-    }
-    buf(cp) = s.length
-    buf
+  // Fast path: no surrogate pairs => codepoint index == UTF-16 index,
+  // slices are plain substrings and no position array is needed. Real
+  // corpora are overwhelmingly BMP-only; the array is the non-BMP tax.
+  private val identity: Boolean = {
+    var i = 0
+    var id = true
+    while (id && i < s.length) { if (Character.isHighSurrogate(s.charAt(i))) id = false; i += 1 }
+    id
   }
-  val runeCount: Int = charPos.length - 1
+  // charPos(i) = UTF-16 offset of codepoint i; length = runeCount+1
+  private val charPos: Array[Int] =
+    if (identity) null
+    else {
+      val buf = new Array[Int](s.codePointCount(0, s.length) + 1)
+      var ci = 0; var cp = 0
+      while (ci < s.length) {
+        buf(cp) = ci
+        ci += Character.charCount(s.codePointAt(ci))
+        cp += 1
+      }
+      buf(cp) = s.length
+      buf
+    }
+  val runeCount: Int = if (identity) s.length else charPos.length - 1
 
   /** Go string([]rune(s)[start:end]) with textFromLayout clamping
     * (text.go:26-38). */
@@ -68,7 +79,9 @@ final class RuneIndex(val s: String) {
     var end = if (end0 > runeCount) runeCount else end0
     if (end < 0) end = 0
     if (start > end) start = end
-    if (start == end) "" else s.substring(charPos(start), charPos(end))
+    if (start == end) ""
+    else if (identity) s.substring(start, end)
+    else s.substring(charPos(start), charPos(end))
   }
 }
 

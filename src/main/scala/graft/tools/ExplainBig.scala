@@ -15,5 +15,18 @@ object ExplainBig {
     val nExchanges = "(?m)^.*Exchange hashpartitioning".r.findAllIn(plan).length
     println(s"EXCHANGES_ON_BIG_PATH: $nExchanges")
     println(plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    // pass-through short-circuit: the extraction UDF must appear only
+    // inside the CASE branch gated on the extracted kinds
+    val udfLines = plan.linesIterator.filter(_.contains("UDF(")).toVector
+    println(s"UDF_SITES: ${udfLines.length}")
+    println(s"UDF_GATED: ${udfLines.forall(l => l.contains("CASE WHEN") && l.contains("pdf_layout"))}")
+    // pre-split layout: exchanges on the PRE-SPLIT ingest (scan-fused
+    // extraction, no raw-byte repartition)
+    val pre = graft.fixtures.CorpusGen.preSplit(corpus)
+    val planPre = graft.pipeline.Extract.run(pre)
+      .queryExecution.executedPlan.toString
+    val nPre = "(?m)^.*Exchange hashpartitioning".r.findAllIn(planPre).length
+    println(s"EXCHANGES_PRESPLIT: $nPre")
+    println(planPre.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 }
