@@ -116,28 +116,58 @@ object Bench {
     (sec, baseDocs * replicas)
   }
 
+  /** CPU-capacity calibration: a fixed splitmix64 burn on `threads`
+    * JVM threads, returning wall seconds. Run IMMEDIATELY before each
+    * timed extraction at the same thread count, it measures what the
+    * bursty host actually delivers at that moment — reported raw in the
+    * JSON so throttle state is visible per measurement, and used for a
+    * transparency-only normalized efficiency (raw stays the headline). */
+  private def burnSec(threads: Int): Double = {
+    val perThread = 60_000_000L // ~60M splitmix rounds per thread
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { t =>
+      val th = new Thread(() => {
+        var h = 0x9E3779B97F4A7C15L + t
+        var i = 0L
+        while (i < perThread) {
+          h ^= h >>> 30; h *= 0xBF58476D1CE4E5B9L
+          h ^= h >>> 27; h *= 0x94D049BB133111EBL
+          i += 1
+        }
+        if (h == 42L) println("") // defeat dead-code elimination
+      })
+      th.start(); th
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     // ---- interleaved N=4 / 4N=16 pairs ----
     // The host throttles CPU after sustained load (burst credits), so
     // absolute timings drift over minutes. Adjacent A/B pairs see similar
-    // throttle state, making the RATIO robust; we report every pair.
+    // throttle state, making the RATIO robust; we report every pair,
+    // each with its same-moment burn calibration.
     var nDocs = 0L
+    burnSec(4) // JIT-warm the burn loop itself
     val pairs = (1 to 3).map { i =>
       val (s4, _) = newSession(4)
       val corpus = corpusPath(s4, sfDir)
       warm(s4, corpus)
+      val b4 = burnSec(4)
       val (t4, n) = timedExtract(s4, corpus)
       nDocs = n
       s4.stop()
       val (s16x, _) = newSession(16)
       warm(s16x, corpus)
+      val b16 = burnSec(16)
       val (t16, _) = timedExtract(s16x, corpus)
       s16x.stop()
-      (t4, t16)
+      (t4, t16, b4, b16)
     }
-    val effs = pairs.map { case (t4, t16) => (nDocs / t16) / (4.0 * (nDocs / t4)) }
+    val effs = pairs.map { case (t4, t16, _, _) => (nDocs / t16) / (4.0 * (nDocs / t4)) }
     // Primary statistic: min time per LEVEL across pairs. The host's
     // burst-credit throttle depletes during the long N runs (one pair
     // even measured efficiency > 1, which is physically impossible), so
@@ -149,6 +179,15 @@ object Bench {
     val eff = Math.min(1.0, sec8 / (4.0 * sec16))
     val tp8 = nDocs / sec8
     val tp32 = nDocs / sec16
+    // capacity-normalized efficiency per pair: what the extraction ratio
+    // looks like relative to what the HOST could deliver at that moment.
+    // cap ratio = (4 threads of burn work / b4) vs (16 threads / b16):
+    // ideal host -> 4.0; a throttled 16-level shows < 4. Transparency
+    // metric only — the headline `scaling_efficiency` stays raw.
+    val capRatios = pairs.map { case (_, _, b4, b16) => (16.0 / b16) / (4.0 / b4) }
+    val normEffs = pairs.zip(capRatios).map { case ((t4, t16, _, _), cap) =>
+      if (cap <= 0) 0.0 else Math.min(1.0, (t4 / t16) / cap)
+    }
 
     // ---- battery session at 32 cores ----
     val (s32, l32) = newSession(32)
@@ -176,6 +215,6 @@ object Bench {
     val qshuf = results.map { case (k, _, w) => "\"" + k + "\":" + w }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(
-      s"""{"metric":"extract_docs_per_sec_4N16","value":${f"$tp32%.2f"},"unit":"docs/sec","queries":$qs,"queries_shuffle_write_bytes":$qshuf,"sf":"$sfDir","total_query_sec":${f"$total%.2f"},"n_docs":$nDocs,"extract_sec_N4":${f"$sec8%.3f"},"extract_sec_4N16":${f"$sec32%.3f"},"throughput_N4":${f"$tp8%.2f"},"throughput_4N16":${f"$tp32%.2f"},"scaling_efficiency":${f"$eff%.3f"},"scaling_pairs":[${pairs.map { case (a, b) => f"[$a%.2f,$b%.2f]" }.mkString(",")}],"scaling_efficiencies":[${effs.map(e => f"$e%.3f").mkString(",")}],"shuffle_partitions":{"N4":4,"4N16":16},"spill_bytes_mem":$spillMem,"spill_bytes_disk":$spillDisk,"shuffle_read_bytes":$shufRead,"shuffle_write_bytes":$shufWrite}""")
+      s"""{"metric":"extract_docs_per_sec_4N16","value":${f"$tp32%.2f"},"unit":"docs/sec","queries":$qs,"queries_shuffle_write_bytes":$qshuf,"sf":"$sfDir","total_query_sec":${f"$total%.2f"},"n_docs":$nDocs,"extract_sec_N4":${f"$sec8%.3f"},"extract_sec_4N16":${f"$sec32%.3f"},"throughput_N4":${f"$tp8%.2f"},"throughput_4N16":${f"$tp32%.2f"},"scaling_efficiency":${f"$eff%.3f"},"scaling_pairs":[${pairs.map { case (a, b, _, _) => f"[$a%.2f,$b%.2f]" }.mkString(",")}],"scaling_efficiencies":[${effs.map(e => f"$e%.3f").mkString(",")}],"burn_sec_pairs":[${pairs.map { case (_, _, b4, b16) => f"[$b4%.2f,$b16%.2f]" }.mkString(",")}],"cpu_capacity_ratios":[${capRatios.map(c => f"$c%.2f").mkString(",")}],"capacity_normalized_efficiencies":[${normEffs.map(e => f"$e%.3f").mkString(",")}],"shuffle_partitions":{"N4":4,"4N16":16},"spill_bytes_mem":$spillMem,"spill_bytes_disk":$spillDisk,"shuffle_read_bytes":$shufRead,"shuffle_write_bytes":$shufWrite}""")
   }
 }
