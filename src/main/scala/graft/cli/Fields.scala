@@ -76,31 +76,69 @@ object Fields {
 
   private val controlChars = Pattern.compile("""[\x00-\x1F\x7F<>:"/\\|?*]""")
 
-  /** Minimal deterministic ASCII transliteration (the reference uses the
-    * anyascii table; we only need determinism + coverage of common Latin
-    * accents — unknown non-ASCII folds to "", like anyascii's default for
-    * unmapped planes). */
+  /** Post-NFKD single-char fold table for letters NFKD cannot reduce:
+    * Latin specials, the Greek and Cyrillic alphabets (standard
+    * romanization), typographic punctuation. The reference uses the
+    * anyascii table (main.go:307); shipping that table verbatim is out of
+    * scope (zero egress), so this is our own deterministic romanization —
+    * a DOCUMENTED divergence on exotic planes, but common European
+    * scripts now fold instead of dropping. Lowercase keys only: callers
+    * see the result lowercased by sanitizeFilename anyway, and uppercase
+    * source chars are folded via toLower below. */
+  private val foldTable: Map[Char, String] = {
+    val latin = Map(
+      'ß' -> "ss", 'æ' -> "ae", 'ø' -> "o", 'đ' -> "d", 'þ' -> "th",
+      'ð' -> "d", 'ł' -> "l", 'œ' -> "oe", 'ŋ' -> "ng", 'ħ' -> "h")
+    val greek = Map(
+      'α' -> "a", 'β' -> "b", 'γ' -> "g", 'δ' -> "d", 'ε' -> "e",
+      'ζ' -> "z", 'η' -> "e", 'θ' -> "th", 'ι' -> "i", 'κ' -> "k",
+      'λ' -> "l", 'μ' -> "m", 'ν' -> "n", 'ξ' -> "x", 'ο' -> "o",
+      'π' -> "p", 'ρ' -> "r", 'σ' -> "s", 'ς' -> "s", 'τ' -> "t",
+      'υ' -> "y", 'φ' -> "f", 'χ' -> "ch", 'ψ' -> "ps", 'ω' -> "o")
+    val cyrillic = Map(
+      'а' -> "a", 'б' -> "b", 'в' -> "v", 'г' -> "g", 'д' -> "d",
+      'е' -> "e", 'ё' -> "e", 'ж' -> "zh", 'з' -> "z", 'и' -> "i",
+      'й' -> "i", 'к' -> "k", 'л' -> "l", 'м' -> "m", 'н' -> "n",
+      'о' -> "o", 'п' -> "p", 'р' -> "r", 'с' -> "s", 'т' -> "t",
+      'у' -> "u", 'ф' -> "f", 'х' -> "kh", 'ц' -> "ts", 'ч' -> "ch",
+      'ш' -> "sh", 'щ' -> "shch", 'ъ' -> "", 'ы' -> "y", 'ь' -> "",
+      'э' -> "e", 'ю' -> "yu", 'я' -> "ya")
+    val punct = Map(
+      '‐' -> "-", '‑' -> "-", '–' -> "-", '—' -> "-",
+      '‘' -> "'", '’' -> "'", '“' -> "\"", '”' -> "\"",
+      '«' -> "\"", '»' -> "\"", '•' -> "*", '·' -> "*",
+      '€' -> "EUR", '£' -> "GBP", '¥' -> "JPY",
+      '©' -> "(c)", '®' -> "(r)", '°' -> "deg")
+    latin ++ greek ++ cyrillic ++ punct
+  }
+
+  /** Deterministic ASCII transliteration: NFKD per CODEPOINT (so
+    * compatibility forms — fullwidth, mathematical alphanumerics like
+    * the non-BMP Fraktur vocab word — reduce to their ASCII base), then
+    * the fold table for what NFKD cannot reduce; anything still unmapped
+    * drops (like anyascii's default for unmapped planes). */
   def transliterate(s: String): String = {
     val sb = new StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
-      val c = s.charAt(i)
-      if (c < 0x80) sb.append(c)
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      if (cp < 0x80) sb.append(cp.toChar)
       else {
-        val d = java.text.Normalizer.normalize(c.toString, java.text.Normalizer.Form.NFKD)
-          .filter(_ < 0x80)
-        if (d.nonEmpty) sb.append(d)
-        else c match {
-          case 'ß' => sb.append("ss")
-          case 'æ' | 'Æ' => sb.append(if (c == 'æ') "ae" else "AE")
-          case 'ø' | 'Ø' => sb.append(if (c == 'ø') "o" else "O")
-          case 'đ' | 'Đ' => sb.append(if (c == 'đ') "d" else "D")
-          case 'þ' | 'Þ' => sb.append(if (c == 'þ') "th" else "TH")
-          case '€' => sb.append("EUR")
-          case _ => // unmapped -> dropped
+        val d = java.text.Normalizer.normalize(
+          new String(Character.toChars(cp)), java.text.Normalizer.Form.NFKD)
+        d.foreach { dc =>
+          if (dc < 0x80) sb.append(dc)
+          else foldTable.get(dc) match {
+            case Some(f) => sb.append(f)
+            case None =>
+              val lower = Character.toLowerCase(dc)
+              foldTable.get(lower).foreach { f =>
+                sb.append(if (f.nonEmpty && Character.isUpperCase(dc)) f.toUpperCase else f)
+              } // else: combining marks / unmapped planes drop
+          }
         }
       }
-      i += 1
     }
     sb.toString
   }

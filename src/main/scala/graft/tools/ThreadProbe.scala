@@ -44,9 +44,11 @@ object ThreadProbe {
       (System.nanoTime() - t0) / 1e9
     }
     run(4) // warm JIT
-    for (t <- Seq(1, 8, 32)) {
+    var base = -1.0
+    for (t <- Seq(1, 4, 16, 4, 16)) {
       val s = run(t)
-      println(f"THREADS $t%2d  wall=$s%6.2fs  speedup_vs_1=${if (t == 1) 1.0 else -1.0}%.1f")
+      if (t == 1) base = s
+      println(f"THREADS $t%2d  wall=$s%6.2fs  speedup_vs_1=${if (base > 0) base / s else -1.0}%.2f")
     }
     // second pass to print speedups properly
     val s1 = run(1); val s8 = run(8); val s32 = run(32)

@@ -90,6 +90,15 @@ class PdfCliSpec extends AnyFunSuite {
     assert(Fields.sanitizeFilename("  ../..\\Ärger: <Straße>/CON.txt  ") ==
       "arger_ _strasse_con.txt")
     assert(Fields.sanitizeFilename("con") == "_con")
+    // transliteration: NFKD compatibility forms + Greek/Cyrillic folds
+    assert(Fields.transliterate("Ελλάδα") == "Ellada")
+    assert(Fields.transliterate("Москва") == "Moskva")
+    assert(Fields.transliterate("щука ы") == "shchuka y")
+    assert(Fields.transliterate("𝔤𝔯𝔞𝔣𝔱") == "graft") // non-BMP math letters via NFKD
+    assert(Fields.transliterate("ＦＵＬＬ　ｗｉｄｔｈ") == "FULL width")
+    assert(Fields.transliterate("€9 — “fin”") == "EUR9 - \"fin\"")
+    assert(Fields.transliterate("中文") == "") // unmapped planes drop (documented)
+    assert(Fields.sanitizeFilename("Отчёт — Q4.pdf") == "otchet - q4.pdf")
     assert(Fields.sanitizeFilename("com7.pdf") == "_com7.pdf")
     assert(Fields.sanitizeFilename("") == "unnamed")
     assert(Fields.sanitizeFilename("...") == "unnamed")
