@@ -69,6 +69,32 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(emitted.count() == expectedTotalSessions)
   }
 
+  test("streaming extraction (append, stateless) == batch Extract.run") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.OutputMode
+    // stage the corpus as an append-only parquet dir, stream it in
+    // 1-file micro-batches, extract, append to a memory sink
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_corpus").toString
+    val corpus = graft.fixtures.CorpusGen.fromDocuments(spark, "/root/testdata/sf0.001")
+    corpus.repartition(4).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = StreamingOps.extractStream(stream).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("stream_extract")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("doc_id"), to_json(col("span_seq")).as("j"))
+        .collect().map(r => r.getString(0) + "|" + r.getString(1)).sorted.toSeq
+    val streamed = canon(spark.table("stream_extract"))
+    val batch = canon(graft.pipeline.Extract.run(corpus))
+    assert(streamed.size == 500)
+    assert(streamed == batch)
+  }
+
   test("multimodal: binary payloads featurize deterministically with real batch shape") {
     val feats = Multimodal.featurize(Multimodal.genTable(spark, 50)).collect()
     assert(feats.length == 50)
