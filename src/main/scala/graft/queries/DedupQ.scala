@@ -121,8 +121,10 @@ object DedupQ {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val qMinhashLshSql: String =
-    s"""WITH n AS (SELECT doc_id, regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w FROM documents),
+  /** Shared DuckDB CTE prefix: documents -> band signatures (the oracle
+    * spelling of [[lshBands]]), used by all three MinHash oracles. */
+  private val bandsCte: String =
+    s"""WITH RECURSIVE n AS (SELECT doc_id, regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w FROM documents),
       |sh AS (SELECT DISTINCT doc_id, w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2] AS s
       |       FROM n, UNNEST(generate_series(1, greatest(length(w) - 2, 0))) AS u(i)
       |       WHERE CAST(i AS INT) <= length(w) - 2),
@@ -131,13 +133,19 @@ object DedupQ {
       |       GROUP BY doc_id, j),
       |bands AS (SELECT doc_id, CAST(FLOOR(j / 4) AS INT) AS band,
       |                 md5(STRING_AGG(m, ',' ORDER BY j)) AS bh
-      |          FROM mh GROUP BY doc_id, CAST(FLOOR(j / 4) AS INT)),
-      |bsz AS (SELECT band, bh, COUNT(*) AS bn FROM bands GROUP BY band, bh),
+      |          FROM mh GROUP BY doc_id, CAST(FLOOR(j / 4) AS INT))""".stripMargin
+
+  private val cappedCte: String =
+    s"""bsz AS (SELECT band, bh, COUNT(*) AS bn FROM bands GROUP BY band, bh),
       |capped AS (SELECT doc_id, b.band, b.bh FROM bands b JOIN bsz USING (band, bh)
-      |           WHERE bn <= $MaxLshBucket)
-      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |FROM capped a JOIN capped b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-      |ORDER BY doc_a, doc_b""".stripMargin
+      |           WHERE bn <= $MaxLshBucket),
+      |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |          FROM capped a JOIN capped b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
+
+  val qMinhashLshSql: String =
+    s"""$bandsCte,
+      |$cappedCte
+      |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin
 
   /** The skew guard's drop report (no silent caps): every LSH bucket with
     * its size and whether the candidate stage excludes it. */
@@ -150,19 +158,62 @@ object DedupQ {
       .orderBy(col("band"), col("bh"))
 
   val qLshBucketProfileSql: String =
-    s"""WITH n AS (SELECT doc_id, regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2] AS s
-      |       FROM n, UNNEST(generate_series(1, greatest(length(w) - 2, 0))) AS u(i)
-      |       WHERE CAST(i AS INT) <= length(w) - 2),
-      |mh AS (SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || ':' || s)) AS m
-      |       FROM sh, UNNEST(generate_series(0, 15)) AS jj(j)
-      |       GROUP BY doc_id, j),
-      |bands AS (SELECT doc_id, CAST(FLOOR(j / 4) AS INT) AS band,
-      |                 md5(STRING_AGG(m, ',' ORDER BY j)) AS bh
-      |          FROM mh GROUP BY doc_id, CAST(FLOOR(j / 4) AS INT))
+    s"""$bandsCte
       |SELECT band, bh, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc,
       |       CAST(CASE WHEN COUNT(*) > $MaxLshBucket THEN 1 ELSE 0 END AS INT) AS dropped
       |FROM bands GROUP BY band, bh ORDER BY band, bh""".stripMargin
+
+  /** Dedup CLUSTERING: connected components over the MinHash candidate
+    * pairs — what a production dedup actually needs (a near-dup GROUP
+    * keeps one canonical doc; pairwise candidates alone over-delete via
+    * chains). Spark side: iterative min-label propagation (the Pregel
+    * shape — per iteration one equi-join + one min-aggregate, converges
+    * within the component diameter, each iteration's relation cached and
+    * the previous unpersisted). The oracle computes the same components
+    * via a recursive transitive closure — fine at oracle scale, exactly
+    * the quadratic thing the Spark side avoids. */
+  def qDedupCluster(s: SparkSession, dir: String): DataFrame = {
+    val pairs = qMinhashLsh(s, dir)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 50) {
+      val msgs = edges.join(labels, col("src") === col("id"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
+      val updated = labels.join(msgs, col("id") === col("dst"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .cache()
+      changed = updated.as("u")
+        .join(labels.select(col("id").as("oid"), col("label").as("old")), col("id") === col("oid"))
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = updated
+      iter += 1
+    }
+    val w = Window.partitionBy(col("label"))
+    labels
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .select(col("id").as("doc_id"), col("label").as("cluster_rep"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDedupClusterSql: String =
+    s"""$bandsCte,
+      |$cappedCte,
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach AS (SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges) t
+      |          UNION
+      |          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |labels AS (SELECT src AS doc_id, MIN(dst) AS cluster_rep FROM reach GROUP BY src)
+      |SELECT doc_id, cluster_rep,
+      |       CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
+      |FROM labels ORDER BY doc_id""".stripMargin
 
   /** n-gram Jaccard similarity over a bounded doc subset (doc_id < 40):
     * |A ∩ B| via a shingle equi-join, |A ∪ B| = |A| + |B| - |A ∩ B|.
@@ -236,6 +287,7 @@ object DedupQ {
     "q_dedup_exact" -> ((qDedupExact _, Some(qDedupExactSql))),
     "q_minhash_lsh" -> ((qMinhashLsh _, Some(qMinhashLshSql))),
     "q_lsh_bucket_profile" -> ((qLshBucketProfile _, Some(qLshBucketProfileSql))),
+    "q_dedup_cluster" -> ((qDedupCluster _, Some(qDedupClusterSql))),
     "q_ngram_jaccard" -> ((qNgramJaccard _, Some(qNgramJaccardSql))),
     "q_simhash" -> ((qSimhash _, Some(qSimhashSql))))
 }

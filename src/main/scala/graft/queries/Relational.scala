@@ -229,7 +229,43 @@ object Relational {
     """SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, COUNT(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** As-of join (each purchase matched to the user's most recent PRIOR
+    * view) in the SCALE form: one sort-shuffle window over the unioned
+    * event stream — `last(ignoreNulls)` over rows-up-to-previous — not a
+    * per-pair range join (which re-scans the build side per probe).
+    * Ordering ties broken by event_id; epochs in millis (exact BIGINT on
+    * both engines); -1/-1 for purchases with no prior view. */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(s, dir)
+      .withColumn("prior_view_id",
+        last(when(col("event_type") === "view", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("prior_view_ms",
+        last(when(col("event_type") === "view", unix_millis(col("ts").cast("timestamp"))),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts").cast("timestamp")).as("purchase_ms"),
+        coalesce(col("prior_view_id"), lit(-1L)).as("prior_view_id"),
+        coalesce(col("prior_view_ms"), lit(-1L)).as("prior_view_ms"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val qAsofJoinSql: String =
+    """SELECT event_id, user_id, purchase_ms, prior_view_id, prior_view_ms FROM (
+      | SELECT event_id, user_id, event_type,
+      |  epoch_ms(ts) AS purchase_ms,
+      |  COALESCE(LAST_VALUE(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+      |    OVER w, -1) AS prior_view_id,
+      |  COALESCE(LAST_VALUE(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END IGNORE NULLS)
+      |    OVER w, -1) AS prior_view_ms
+      | FROM events
+      | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |) t WHERE event_type = 'purchase' ORDER BY user_id, event_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_asof_join" -> ((qAsofJoin _, Some(qAsofJoinSql))),
     "q_agg_pushdown" -> ((qAggPushdown _, Some(qAggPushdownSql))),
     "q_join_broadcast" -> ((qJoinBroadcast _, Some(qJoinBroadcastSql))),
     "q_topk_revenue" -> ((qTopkRevenue _, Some(qTopkRevenueSql))),
