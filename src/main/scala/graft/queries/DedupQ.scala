@@ -251,6 +251,51 @@ object DedupQ {
       |WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) >= 0.35
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** The production two-stage near-dup: MinHash+LSH DISCOVERS candidate
+    * pairs (never all-pairs), exact word-3gram Jaccard VERIFIES each —
+    * the composition the bounded qNgramJaccard kernel exists for. Cost
+    * is bounded by the candidate count times shingle sizes, not by the
+    * corpus squared. */
+  def qNeardupVerified(s: SparkSession, dir: String): DataFrame = {
+    val pairs = qMinhashLsh(s, dir).cache()
+    val docs = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    // distinct shingle SETS, restricted to candidate docs only
+    val sh = wordShingles(s, dir).join(docs, Seq("doc_id")).distinct().cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sh.as("y"), col("doc_b") === col("y.doc_id") && col("x.s") === col("y.s"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    val jac = col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left").na.fill(0L, Seq("n_inter"))
+      .join(sizes.select(col("doc_id"), col("n").as("na")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n").as("nb")), col("doc_b") === col("doc_id")).drop("doc_id")
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        round(jac, 4).as("jaccard"),
+        when(round(jac, 4) >= 0.5, lit(1)).otherwise(lit(0)).as("verified"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qNeardupVerifiedSql: String =
+    s"""$bandsCte,
+      |$cappedCte,
+      |cdocs AS (SELECT DISTINCT doc_id FROM (SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs) t),
+      |shp AS (SELECT sh.doc_id, sh.s FROM sh JOIN cdocs USING (doc_id)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shp GROUP BY doc_id),
+      |inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+      |          FROM pairs p JOIN shp x ON x.doc_id = p.doc_a
+      |                       JOIN shp y ON y.doc_id = p.doc_b AND y.s = x.s
+      |          GROUP BY p.doc_a, p.doc_b)
+      |SELECT p.doc_a, p.doc_b, COALESCE(i.n_inter, 0) AS n_inter,
+      |       ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE) / (sa.n + sb.n - COALESCE(i.n_inter, 0)), 4) AS jaccard,
+      |       CAST(CASE WHEN ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE) / (sa.n + sb.n - COALESCE(i.n_inter, 0)), 4) >= 0.5 THEN 1 ELSE 0 END AS INT) AS verified
+      |FROM pairs p LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+      |JOIN sizes sa ON sa.doc_id = p.doc_a
+      |JOIN sizes sb ON sb.doc_id = p.doc_b
+      |ORDER BY p.doc_a, p.doc_b""".stripMargin
+
   /** 16-bit SimHash from md5 nibbles — one shared arithmetic formula,
     * run through spark.sql on a temp view and through DuckDB verbatim
     * (only the token-explode clause differs per engine). */
@@ -288,6 +333,7 @@ object DedupQ {
     "q_minhash_lsh" -> ((qMinhashLsh _, Some(qMinhashLshSql))),
     "q_lsh_bucket_profile" -> ((qLshBucketProfile _, Some(qLshBucketProfileSql))),
     "q_dedup_cluster" -> ((qDedupCluster _, Some(qDedupClusterSql))),
+    "q_neardup_verified" -> ((qNeardupVerified _, Some(qNeardupVerifiedSql))),
     "q_ngram_jaccard" -> ((qNgramJaccard _, Some(qNgramJaccardSql))),
     "q_simhash" -> ((qSimhash _, Some(qSimhashSql))))
 }
