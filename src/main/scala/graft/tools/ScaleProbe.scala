@@ -40,7 +40,13 @@ object ScaleProbe {
       s.range(0, 2048, 1, cores * 4).select(burn(col("id"))).write.format("noop").mode("overwrite").save()
       val cpuSec = (System.nanoTime() - t0) / 1e9
 
-      val corpus0 = s.read.parquet(s"/tmp/graft_corpus_sf0.1")
+      // same pre-split cache the bench uses (built here if absent)
+      val corpusPath = "/tmp/graft_corpus_sf0.1_v2"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(corpusPath, "_SUCCESS")))
+        graft.fixtures.CorpusGen.preSplit(
+          graft.fixtures.CorpusGen.fromDocuments(s, sfDir))
+          .repartition(32).write.mode("overwrite").parquet(corpusPath)
+      val corpus0 = s.read.parquet(corpusPath)
       val corpus = (0 until 8).map(i => corpus0.withColumn("doc_id", concat(col("doc_id"), lit(i.toString)))).reduce(_ unionAll _)
       val spansOnly = graft.pipeline.Extract.extractSpans(corpus)
       spansOnly.write.format("noop").mode("overwrite").save() // warm
