@@ -134,7 +134,10 @@ object Fields {
             case None =>
               val lower = Character.toLowerCase(dc)
               foldTable.get(lower).foreach { f =>
-                sb.append(if (f.nonEmpty && Character.isUpperCase(dc)) f.toUpperCase else f)
+                // Locale.ROOT: default-locale toUpperCase is host-dependent
+                // (tr-TR turns "i" into non-ASCII U+0130)
+                sb.append(if (f.nonEmpty && Character.isUpperCase(dc))
+                  f.toUpperCase(java.util.Locale.ROOT) else f)
               } // else: combining marks / unmapped planes drop
           }
         }

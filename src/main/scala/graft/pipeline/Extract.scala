@@ -26,15 +26,18 @@ import org.apache.spark.sql.functions._
   */
 object Extract {
 
-  private val extractUdf =
+  /** Shared by the batch paths here and the streaming path
+    * (StreamingOps.extractStream) — one definition, no drift. */
+  private[graft] val extractUdf =
     udf((kind: String, text: String, mediaRef: String) =>
       SpanExtract.extractSpanText(kind, text, mediaRef))
 
   /** The kinds SpanExtract transforms; every other kind passes through
     * unchanged (SpanExtract's `case _ => text`), so the plan routes only
     * these through the opaque UDF — pass-through spans stay inside
-    * whole-stage codegen instead of paying a serialize/deserialize hop. */
-  private val ExtractedKinds = Seq("html", "pdf_layout", "media")
+    * whole-stage codegen instead of paying a serialize/deserialize hop.
+    * Single source of truth for batch AND streaming extraction. */
+  val ExtractedKinds = Seq("html", "pdf_layout", "media")
 
   /** Docs above this span count take the spread (salted) path. */
   val DefaultSpreadThreshold = 64

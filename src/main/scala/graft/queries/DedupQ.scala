@@ -11,6 +11,13 @@ import org.apache.spark.sql.functions._
   * so every stage is oracle-checkable: minhash_j(doc) =
   * min over shingles s of md5(j || ':' || s), LSH bands = md5 of the
   * concatenated band signature. No engine-specific hashing anywhere.
+  *
+  * Cache policy (deliberate): the self-join/iteration temporaries
+  * (capped bands, candidate shingle sets, labels) are cache()d without
+  * an unpersist — they are narrow keyed relations, Spark's CacheManager
+  * shares them across the queries of one battery session, and eager
+  * unpersist before the caller's action would just force recompute. A
+  * long-lived production session should unpersist after materializing.
   */
 object DedupQ {
 
@@ -177,23 +184,27 @@ object DedupQ {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
+    // iterate TO CONVERGENCE (labels decrease monotonically in a finite
+    // lattice, so termination is guaranteed) — a fixed iteration cap
+    // would silently return unconverged components and diverge from the
+    // exact-closure oracle on long chains. localCheckpoint per round
+    // truncates the logical plan: without it each iteration's plan
+    // embeds all previous ones and Catalyst re-analysis grows
+    // quadratically with the component diameter.
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).cache()
+      .withColumn("label", col("id")).localCheckpoint()
     var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < 50) {
+    while (changed > 0) {
       val msgs = edges.join(labels, col("src") === col("id"))
         .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
       val updated = labels.join(msgs, col("id") === col("dst"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .cache()
+        .localCheckpoint()
       changed = updated.as("u")
         .join(labels.select(col("id").as("oid"), col("label").as("old")), col("id") === col("oid"))
         .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
       labels = updated
-      iter += 1
     }
     val w = Window.partitionBy(col("label"))
     labels

@@ -100,6 +100,10 @@ object SimilarityQ {
     * semantics; neighbor search within buckets composes qAnnCosine). */
   def qAnnLshBuckets(s: SparkSession, dir: String): DataFrame =
     embeddings(s, dir)
+      // the oracle's UNNEST emits no rows for null/empty arrays, so
+      // those vecs never reach sigs — match that, or they'd land in
+      // bucket 0 here (empty aggregate => dot 0 on every plane)
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
       .select(bucketCol(decVec(col("embedding"))).as("bucket"), col("vec_id"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
@@ -169,6 +173,7 @@ object SimilarityQ {
     * arrays (zip_with dot), not a by-dimension join. */
   def qEmbedNeardup(s: SparkSession, dir: String): DataFrame = {
     val sigs = embeddings(s, dir)
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0) // match UNNEST semantics
       .select(col("vec_id"), decVec(col("embedding")).as("v"))
       .withColumn("bucket", bucketCol(col("v")))
       .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("bucket"))))

@@ -83,15 +83,14 @@ object StreamingOps {
     * the batch engine's spread/pre-split paths are for backfills, where
     * SLA is throughput, not latency.) Output schema == batch Extract.run. */
   def extractStream(corpus: DataFrame): DataFrame = {
-    val ex = udf((kind: String, text: String, mediaRef: String) =>
-      graft.pipeline.SpanExtract.extractSpanText(kind, text, mediaRef))
+    import graft.pipeline.Extract.{extractUdf, ExtractedKinds} // shared: no batch/stream drift
     corpus
       .filter(size(col("spans")) > 0) // batch groupBy drops empty docs; match it
       .select(col("doc_id"), transform(col("spans"),
         (s, i) => struct(
           s.getField("kind").as("kind"),
-          when(s.getField("kind").isin("html", "pdf_layout", "media"),
-              ex(s.getField("kind"), s.getField("text"), s.getField("media_ref")))
+          when(s.getField("kind").isin(ExtractedKinds: _*),
+              extractUdf(s.getField("kind"), s.getField("text"), s.getField("media_ref")))
             .otherwise(s.getField("text")).as("text"),
           s.getField("media_ref").as("media_ref"),
           i.as("order"))).as("span_seq"))

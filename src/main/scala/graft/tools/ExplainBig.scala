@@ -19,7 +19,10 @@ object ExplainBig {
     // inside the CASE branch gated on the extracted kinds
     val udfLines = plan.linesIterator.filter(_.contains("UDF(")).toVector
     println(s"UDF_SITES: ${udfLines.length}")
-    println(s"UDF_GATED: ${udfLines.forall(l => l.contains("CASE WHEN") && l.contains("pdf_layout"))}")
+    // nonEmpty guard: with zero UDF sites a forall is vacuously true and
+    // the gating would read as "verified" when nothing was checked
+    println(s"UDF_GATED: ${udfLines.nonEmpty &&
+      udfLines.forall(l => l.contains("CASE WHEN") && l.contains("pdf_layout"))}")
     // pre-split layout: exchanges on the PRE-SPLIT ingest (scan-fused
     // extraction, no raw-byte repartition)
     val pre = graft.fixtures.CorpusGen.preSplit(corpus)

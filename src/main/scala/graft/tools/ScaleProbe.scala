@@ -40,8 +40,11 @@ object ScaleProbe {
       s.range(0, 2048, 1, cores * 4).select(burn(col("id"))).write.format("noop").mode("overwrite").save()
       val cpuSec = (System.nanoTime() - t0) / 1e9
 
-      // same pre-split cache the bench uses (built here if absent)
-      val corpusPath = "/tmp/graft_corpus_sf0.1_v2"
+      // same pre-split cache the bench uses (built here if absent) —
+      // named from sfDir so probing another scale can't poison the
+      // bench's sf0.1 cache with wrong-scale data
+      val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+      val corpusPath = s"/tmp/graft_corpus_${sfName}_v2"
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(corpusPath, "_SUCCESS")))
         graft.fixtures.CorpusGen.preSplit(
           graft.fixtures.CorpusGen.fromDocuments(s, sfDir))
