@@ -103,10 +103,44 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       assert(Math.abs(f.features.sum - 1.0f) < 1e-3)
       assert(f.mean_luma >= 0f && f.mean_luma <= 1f)
       if (f.kind == "video") assert(f.n_frames >= 1)
+      // BMP images and PCM WAVs take the REAL decode path; video (codec
+      // stand-in bytes) takes the documented stub
+      assert(f.decoded == (if (f.kind == "video") 0 else 1), s"${f.kind} ${f.media_id}")
     }
     // determinism across runs
     val again = Multimodal.featurize(Multimodal.genTable(spark, 50)).collect()
     assert(feats.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
+  }
+
+  test("real decoders: handcrafted BMP pixels and WAV samples give exact stats") {
+    // 2x1 BMP: pixel0 = pure white, pixel1 = pure black (bottom-up rows,
+    // BGR, row padded to 4 bytes -> rowBytes=8)
+    val bmp = java.nio.ByteBuffer.allocate(54 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bmp.put('B'.toByte).put('M'.toByte).putInt(62).putInt(0).putInt(54)
+    bmp.putInt(40).putInt(2).putInt(1).putShort(1).putShort(24)
+      .putInt(0).putInt(8).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    bmp.put(Array[Byte](-1, -1, -1, 0, 0, 0, 0, 0)) // white, black, pad
+    val Some((w, h, luma, hist)) = Multimodal.decodeBmp(bmp.array())
+    assert((w, h) == (2, 1))
+    assert(math.abs(luma - 0.5f) < 1e-4) // (255 + 0)/2/255
+    assert(hist(15) == 0.5f && hist(0) == 0.5f)
+
+    // WAV: two samples, 0 and 16384 (=0.5 amplitude) -> RMS = sqrt(0.125)
+    val wav = java.nio.ByteBuffer.allocate(48)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    wav.put("RIFF".getBytes).putInt(40).put("WAVE".getBytes)
+    wav.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+    wav.put("data".getBytes).putInt(4).putShort(0).putShort(16384)
+    val Some((sr, n, rms, _)) = Multimodal.decodeWav(wav.array())
+    assert(sr == 8000 && n == 2)
+    assert(math.abs(rms - math.sqrt(0.125).toFloat) < 1e-5)
+
+    // corrupt payloads fall through to None (the stub path), not a crash
+    assert(Multimodal.decodeBmp(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.decodeWav("RIFFxxxxWAVEgarbage".getBytes).isEmpty)
+    assert(Multimodal.decodeBmp("BM tiny".getBytes).isEmpty)
   }
 
   test("page-parallel pipeline (G-21): distributed == sequential, page order from data") {
