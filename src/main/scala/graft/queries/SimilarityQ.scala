@@ -197,7 +197,104 @@ object SimilarityQ {
     "SELECT vec_id, UNNEST(embedding) AS x, UNNEST(generate_series(0, len(embedding) - 1)) AS d FROM embeddings",
     "VARCHAR")
 
+  /** IVF coarse quantizer — the other classic ANN scale path (alongside
+    * LSH): every vector is assigned to its nearest of K=16 deterministic
+    * centroids (the vectors with vec_id < 16 — a deterministic seeding;
+    * production would k-means these, but assignment mechanics and the
+    * probe path are identical). Plan: centroids broadcast (tiny), one
+    * narrow pass computes all K quantized cosines per row, argmax picked
+    * with a deterministic tie-break — no shuffle at all until the
+    * aggregation a caller adds. */
+  def qIvfAssign(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"), decVec(col("embedding")).as("v"))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val joined = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        (dot(col("v"), col("cv")).cast("double") /
+          (sqrt(dot(col("v"), col("v")).cast("double")) *
+           sqrt(dot(col("cv"), col("cv")).cast("double")))).as("sim"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
+    joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("centroid"), col("sim"))
+      .orderBy(col("vec_id"))
+  }
+
+  val qIvfAssignSql: String =
+    """WITH q AS (SELECT vec_id, embedding FROM embeddings),
+      |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+      |el AS (SELECT q.vec_id, c.cid,
+      |   CAST(ROUND(CAST(UNNEST(q.embedding) AS DOUBLE) * 1000) AS BIGINT) AS qx,
+      |   CAST(ROUND(CAST(UNNEST(c.cv) AS DOUBLE) * 1000) AS BIGINT) AS cx FROM q, c),
+      |dots AS (SELECT vec_id, cid,
+      |   CAST(SUM(qx * cx) AS DOUBLE) AS dp,
+      |   CAST(SUM(qx * qx) AS DOUBLE) AS qq,
+      |   CAST(SUM(cx * cx) AS DOUBLE) AS cc
+      | FROM el GROUP BY vec_id, cid),
+      |ranked AS (SELECT vec_id, cid, dp / (sqrt(qq) * sqrt(cc)) AS sim,
+      |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dp / (sqrt(qq) * sqrt(cc)) DESC, cid) AS rn
+      | FROM dots)
+      |SELECT vec_id, cid AS centroid, sim FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  /** IVF probe search: queries (vec_id < 5) search ONLY the candidate
+    * list of their own nearest centroid — the index lookup that makes
+    * IVF sublinear (cost = list size, not corpus size). Equi-join on the
+    * centroid id; exact quantized cosine ranks within the probed list. */
+  def qIvfProbe(s: SparkSession, dir: String): DataFrame = {
+    val assign = qIvfAssign(s, dir).select(col("vec_id"), col("centroid")).cache()
+    val e = embeddings(s, dir)
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"), decVec(col("embedding")).as("v"))
+    val queries = e.filter(col("vec_id") < 5)
+      .join(assign, Seq("vec_id"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("centroid"))
+    val cands = e.filter(col("vec_id") >= 5).join(assign, Seq("vec_id"))
+      .select(col("vec_id").as("cand_id"), col("v").as("cv"), col("centroid"))
+    val scored = cands.join(broadcast(queries), Seq("centroid"))
+      .select(col("qid"), col("cand_id"),
+        (dot(col("qv"), col("cv")).cast("double") /
+          (sqrt(dot(col("qv"), col("qv")).cast("double")) *
+           sqrt(dot(col("cv"), col("cv")).cast("double")))).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("cand_id"), col("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val qIvfProbeSql: String =
+    """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+      |ael AS (SELECT q.vec_id, c.cid,
+      |   CAST(ROUND(CAST(UNNEST(q.embedding) AS DOUBLE) * 1000) AS BIGINT) AS qx,
+      |   CAST(ROUND(CAST(UNNEST(c.cv) AS DOUBLE) * 1000) AS BIGINT) AS cx FROM embeddings q, c),
+      |adots AS (SELECT vec_id, cid,
+      |   CAST(SUM(qx * cx) AS DOUBLE) AS dp, CAST(SUM(qx * qx) AS DOUBLE) AS qq, CAST(SUM(cx * cx) AS DOUBLE) AS cc
+      | FROM ael GROUP BY vec_id, cid),
+      |assign AS (SELECT vec_id, cid AS centroid FROM (
+      |   SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dp / (sqrt(qq) * sqrt(cc)) DESC, cid) AS rn
+      |   FROM adots) t WHERE rn = 1),
+      |qs AS (SELECT e.vec_id AS qid, e.embedding AS qv, a.centroid
+      |       FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id WHERE e.vec_id < 5),
+      |cands AS (SELECT e.vec_id AS cand_id, e.embedding AS cv, a.centroid
+      |          FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id WHERE e.vec_id >= 5),
+      |el AS (SELECT qs.qid, cands.cand_id,
+      |   CAST(ROUND(CAST(UNNEST(qs.qv) AS DOUBLE) * 1000) AS BIGINT) AS qx,
+      |   CAST(ROUND(CAST(UNNEST(cands.cv) AS DOUBLE) * 1000) AS BIGINT) AS cx
+      | FROM qs JOIN cands ON qs.centroid = cands.centroid),
+      |dots AS (SELECT qid, cand_id,
+      |   CAST(SUM(qx * cx) AS DOUBLE) AS dp, CAST(SUM(qx * qx) AS DOUBLE) AS qq, CAST(SUM(cx * cx) AS DOUBLE) AS cc
+      | FROM el GROUP BY qid, cand_id),
+      |ranked AS (SELECT qid, cand_id, dp / (sqrt(qq) * sqrt(cc)) AS sim,
+      |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dp / (sqrt(qq) * sqrt(cc)) DESC, cand_id) AS rank
+      | FROM dots)
+      |SELECT qid, rank, cand_id, sim FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_ivf_assign" -> ((qIvfAssign _, Some(qIvfAssignSql))),
+    "q_ivf_probe" -> ((qIvfProbe _, Some(qIvfProbeSql))),
     "q_ann_cosine" -> ((qAnnCosine _, Some(qAnnCosineSql))),
     "q_ann_lsh_buckets" -> ((qAnnLshBuckets _, Some(qAnnLshBucketsSql))),
     "q_embed_neardup" -> ((qEmbedNeardup _, Some(qEmbedNeardupSql))))
