@@ -264,7 +264,61 @@ object Relational {
       | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
       |) t WHERE event_type = 'purchase' ORDER BY user_id, event_id""".stripMargin
 
+  /** Hierarchical rollup (region -> nation -> grand total) with an exact
+    * decimal revenue and a distinct-count — grouping sets + COUNT
+    * DISTINCT coverage. All three dims broadcast; subtotal NULLs are
+    * COALESCEd to 'ALL' so the cross-engine hash never sees engine NULL
+    * ordering. */
+  def qRollupRevenue(s: SparkSession, dir: String): DataFrame = {
+    val sup = s.read.parquet(s"$dir/supplier.parquet")
+    val reg = s.read.parquet(s"$dir/region.parquet")
+    lineitem(s, dir)
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        count(lit(1)).as("n_rows"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("revenue"), col("n_supp"), col("n_rows"))
+      .orderBy(col("region"), col("nation"))
+  }
+
+  val qRollupRevenueSql: String =
+    """SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+      | COUNT(DISTINCT l_suppkey) AS n_supp, COUNT(*) AS n_rows
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name) ORDER BY region, nation""".stripMargin
+
+  /** Fact x broadcast part dimension: per-brand item counts, distinct
+    * parts, exact quantity sum. */
+  def qBrandStats(s: SparkSession, dir: String): DataFrame = {
+    val part = s.read.parquet(s"$dir/part.parquet")
+    lineitem(s, dir)
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+      .orderBy(col("p_brand"))
+  }
+
+  val qBrandStatsSql: String =
+    """SELECT p_brand, COUNT(*) AS n_items, COUNT(DISTINCT l_partkey) AS n_parts,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_rollup_revenue" -> ((qRollupRevenue _, Some(qRollupRevenueSql))),
+    "q_brand_stats" -> ((qBrandStats _, Some(qBrandStatsSql))),
     "q_asof_join" -> ((qAsofJoin _, Some(qAsofJoinSql))),
     "q_agg_pushdown" -> ((qAggPushdown _, Some(qAggPushdownSql))),
     "q_join_broadcast" -> ((qJoinBroadcast _, Some(qJoinBroadcastSql))),
