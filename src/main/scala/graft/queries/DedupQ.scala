@@ -339,12 +339,74 @@ object DedupQ {
   val qSimhashSql: String = simhashCore(
     "SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t FROM documents")
 
+  /** 60-bit SimHash near-dup at scale: the classic Hamming-block scheme.
+    * 60 bits = 4 blocks x 15 bits; by pigeonhole, any pair within
+    * Hamming distance 3 shares at least one UNCHANGED block, so
+    * candidates come from equi-joins on (block_idx, block_value) — never
+    * all-pairs — and bit_count(XOR) verifies exactly. 60 (not 64) bits
+    * so the assembled value never touches the BIGINT sign bit, which
+    * the two engines would render differently. Shared vote formula with
+    * [[simhashCore]]; only shift/xor spellings differ per engine. */
+  private def simhash60Votes(tokClause: String): String = {
+    val nibbleExpr = (j: Int) => s"(instr('0123456789abcdef', substr(m, ${j + 1}, 1)) - 1)"
+    val bitExpr = (i: Int) => {
+      val j = i / 4; val k = i % 4
+      val c = nibbleExpr(j)
+      k match {
+        case 0 => s"($c % 2)"
+        case _ => s"(CAST(FLOOR($c / ${1 << k}) AS INT) % 2)"
+      }
+    }
+    val votes = (0 until 60).map(i => s"SUM(2 * ${bitExpr(i)} - 1) AS v$i").mkString(",\n   ")
+    val assemble = (0 until 60).map(i => s"(CASE WHEN v$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    s"""tok AS ($tokClause),
+       |hh AS (SELECT doc_id, md5(t) AS m FROM tok),
+       |v AS (SELECT doc_id,
+       |   $votes
+       | FROM hh GROUP BY doc_id),
+       |sims AS (SELECT doc_id, CAST($assemble AS BIGINT) AS sh FROM v)""".stripMargin
+  }
+
+  /** @param shr  engine spelling of `(x >> n)`  (n a literal int)
+    * @param xor  engine spelling of `xor(a, b)` */
+  private def simhashNeardupCore(tokClause: String,
+      shr: (String, Int) => String, xor: (String, String) => String): String = {
+    val blockRows = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS blk, (${shr("sh", 15 * b)} & 32767) AS bv, sh FROM sims"
+    }.mkString("\n       UNION ALL ")
+    s"""WITH ${simhash60Votes(tokClause)},
+       |blocks AS (
+       |       $blockRows),
+       |bsz AS (SELECT blk, bv, COUNT(*) AS bn FROM blocks GROUP BY blk, bv),
+       |capped AS (SELECT blocks.doc_id, blocks.blk, blocks.bv, blocks.sh
+       |           FROM blocks JOIN bsz ON bsz.blk = blocks.blk AND bsz.bv = blocks.bv
+       |           WHERE bsz.bn <= $MaxLshBucket),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sha, b.sh AS shb
+       |         FROM capped a JOIN capped b
+       |           ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(${xor("sha", "shb")}) AS INT) AS hamming
+       |FROM cand WHERE bit_count(${xor("sha", "shb")}) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  def qSimhashNeardup(s: SparkSession, dir: String): DataFrame = {
+    documents(s, dir).createOrReplaceTempView("documents")
+    s.sql(simhashNeardupCore(
+      "SELECT doc_id, t FROM documents LATERAL VIEW explode(split(trim(text), '\\\\s+')) AS t",
+      (x, n) => s"shiftright($x, $n)", (a, b) => s"($a ^ $b)"))
+  }
+
+  val qSimhashNeardupSql: String = simhashNeardupCore(
+    "SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t FROM documents",
+    (x, n) => s"($x >> $n)", (a, b) => s"xor($a, $b)")
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_dedup_exact" -> ((qDedupExact _, Some(qDedupExactSql))),
     "q_minhash_lsh" -> ((qMinhashLsh _, Some(qMinhashLshSql))),
     "q_lsh_bucket_profile" -> ((qLshBucketProfile _, Some(qLshBucketProfileSql))),
     "q_dedup_cluster" -> ((qDedupCluster _, Some(qDedupClusterSql))),
     "q_neardup_verified" -> ((qNeardupVerified _, Some(qNeardupVerifiedSql))),
+    "q_simhash_neardup" -> ((qSimhashNeardup _, Some(qSimhashNeardupSql))),
     "q_ngram_jaccard" -> ((qNgramJaccard _, Some(qNgramJaccardSql))),
     "q_simhash" -> ((qSimhash _, Some(qSimhashSql))))
 }
