@@ -14,18 +14,25 @@ object TextAnalysisQ {
 
   private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
 
-  /** Whitespace token count + char count. */
+  /** BPE-style pretokenizer regex (GPT-2-family shape, simplified to the
+    * subset whose semantics are identical in Java and RE2 regex
+    * dialects): letter runs, digit runs, single punctuation marks. */
+  private val BpeRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Token counting: whitespace tokens AND BPE-ish pretokens + chars. */
   def qTokenCount(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
       .select(
         col("doc_id"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        size(regexp_extract_all(col("text"), lit(BpeRegex), lit(0))).cast("long").as("n_bpe_tokens"),
         length(col("text")).cast("long").as("n_chars_txt"))
       .orderBy(col("doc_id"))
 
   val qTokenCountSql: String =
-    """SELECT doc_id,
-      | CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+    s"""SELECT doc_id,
+      | CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+      | CAST(length(regexp_extract_all(text, '$BpeRegex')) AS BIGINT) AS n_bpe_tokens,
       | CAST(length(text) AS BIGINT) AS n_chars_txt
       |FROM documents ORDER BY doc_id""".stripMargin
 
