@@ -126,7 +126,45 @@ object TextAnalysisQ {
     """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Corpus-self-trained familiarity score — the LM-perplexity idea in
+    * exact integer arithmetic (a transcendental log would hash-diverge
+    * across engines in the last ulp): global character-bigram counts
+    * over the corpus, then each doc scored by the mean corpus frequency
+    * of its own bigrams. Rare-glyph/garbled docs score low — a standard
+    * pipeline quality filter. Plan: the global table is a tiny
+    * aggregate (distinct bigrams), broadcast back against the bigram
+    * stream — one shuffle for the global agg, one for the per-doc agg,
+    * no sort until the final output ORDER BY. */
+  def qBigramFamiliarity(s: SparkSession, dir: String): DataFrame = {
+    val bi = documents(s, dir)
+      .select(col("doc_id"), lower(regexp_replace(col("text"), "\\s+", " ")).as("t"))
+      .select(col("doc_id"),
+        explode(sequence(lit(1), greatest(length(col("t")) - 1, lit(0)))).as("i"), col("t"))
+      .filter(col("i") <= length(col("t")) - 1)
+      .select(col("doc_id"), expr("substr(t, i, 2)").as("b"))
+    val global = bi.groupBy(col("b")).agg(count(lit(1)).as("gc"))
+    bi.join(broadcast(global), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("gc")).as("sum_gc"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sum_gc").cast("double") / col("n_bigrams"), 4).as("familiarity"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qBigramFamiliaritySql: String =
+    """WITH bi AS (
+      |  SELECT doc_id, substr(t, CAST(i AS INT), 2) AS b
+      |  FROM (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents) d,
+      |       UNNEST(generate_series(1, greatest(length(t) - 1, 0))) AS u(i)
+      |  WHERE CAST(i AS INT) <= length(t) - 1),
+      |g AS (SELECT b, COUNT(*) AS gc FROM bi GROUP BY b)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |       ROUND(CAST(CAST(SUM(gc) AS BIGINT) AS DOUBLE) / COUNT(*), 4) AS familiarity
+      |FROM bi JOIN g USING (b)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_bigram_familiarity" -> ((qBigramFamiliarity _, Some(qBigramFamiliaritySql))),
     "q_token_count" -> ((qTokenCount _, Some(qTokenCountSql))),
     "q_quality_score" -> ((qQualityScore _, Some(qQualityScoreSql))),
     "q_langid" -> ((qLangid _, Some(qLangidSql))),
