@@ -21,6 +21,7 @@ object SparkEntry {
   private val battery: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
     graft.queries.Relational.all ++
     graft.queries.TextAnalysisQ.all ++
+    graft.queries.CorpusQ.all ++
     graft.queries.DedupQ.all ++
     graft.queries.SimilarityQ.all ++
     graft.queries.PositionedQ.all ++

@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * on top of the per-doc signals: Gopher-style repetition filters,
+  * boilerplate-prefix dedup, TF-IDF keyword terms, and the composed
+  * keep/reject selection query. All oracle-checkable — counts are exact
+  * ints; every ratio is an int/int double (bit-identical IEEE division
+  * in Spark and DuckDB); ranking ties break on a string column.
+  *
+  * Scale notes (100 TB framing):
+  *   - repetition + tfidf explode to one row per token/bigram, then
+  *     hash-aggregate — partial map-side combine means the shuffles
+  *     carry per-(doc,term) distinct rows, not the token stream;
+  *   - the document-frequency relation is vocabulary-sized; its join
+  *     back to (doc,term) counts is a shuffle equi-join that AQE can
+  *     convert to broadcast when the vocab fits (it usually does after
+  *     stopword-heavy corpora dedup into a Zipf head);
+  *   - prefix dedup is a pure groupBy with map-side combine (same shape
+  *     as q_dedup_exact);
+  *   - the corpus filter needs every input row in the output, so the
+  *     min-representative is a window over prefix_fp (one shuffle of the
+  *     slim projected relation) — a groupBy+join-back would shuffle the
+  *     same rows twice for the same result.
+  */
+object CorpusQ {
+
+  def documents(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def toksOf(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+
+  /** Gopher-style repetition signals: duplicate-token fraction and the
+    * share of the most frequent word bigram. High values flag listy /
+    * boilerplate / degenerate documents. */
+  def qRepetitionSignals(s: SparkSession, dir: String): DataFrame = {
+    val d = toksOf(s, dir)
+    val base = d.select(
+      col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+    // one row per bigram -> (doc,bigram) counts -> per-doc max/sum, all
+    // with map-side partial aggregation; docs with <2 tokens simply
+    // produce no bigram rows (left join backfills zeros)
+    val bi = d.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks)-1), i -> concat(element_at(toks, i), ' ', element_at(toks, i+1)))")).as("b"))
+    val agg = bi.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_bigram_count"), sum(col("c")).as("n_bigrams"))
+    base.join(agg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round((col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"), 4).as("dup_tok_frac"),
+        coalesce(col("top_bigram_count"), lit(0L)).as("top_bigram_count"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(col("top_bigram_count").cast("double") / col("n_bigrams"), 4)).as("top_bigram_share"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qRepetitionSignalsSql: String =
+    """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      |base AS (SELECT doc_id, CAST(length(toks) AS BIGINT) AS n_tokens,
+      |                CAST(length(list_distinct(toks)) AS BIGINT) AS n_distinct FROM d),
+      |bi AS (SELECT doc_id, toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1] AS b
+      |       FROM d, UNNEST(generate_series(1, length(toks)-1)) AS u(i)
+      |       WHERE length(toks) >= 2),
+      |bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bi GROUP BY doc_id, b),
+      |agg AS (SELECT doc_id, MAX(c) AS top_bigram_count, CAST(SUM(c) AS BIGINT) AS n_bigrams
+      |        FROM bc GROUP BY doc_id)
+      |SELECT base.doc_id, n_tokens, n_distinct,
+      |  ROUND(CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens, 4) AS dup_tok_frac,
+      |  COALESCE(top_bigram_count, 0) AS top_bigram_count,
+      |  COALESCE(n_bigrams, 0) AS n_bigrams,
+      |  CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN 0.0
+      |       ELSE ROUND(CAST(top_bigram_count AS DOUBLE) / n_bigrams, 4) END AS top_bigram_share
+      |FROM base LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Boilerplate-prefix dedup: documents sharing the same first 8 tokens
+    * collapse to one representative (min doc_id). Catches template/
+    * mirror pages that exact full-text dedup misses. Same groupBy shape
+    * as q_dedup_exact (map-side partial combine; the shuffle carries the
+    * distinct-prefix relation, not the corpus). */
+  def qPrefixDedup(s: SparkSession, dir: String): DataFrame =
+    toksOf(s, dir)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("toks"), 1, 8)).cast("binary")).as("prefix_fp"))
+      .groupBy(col("prefix_fp"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_docs"))
+      .select(col("doc_id"), col("prefix_fp"), col("n_docs"))
+      .orderBy(col("doc_id"))
+
+  val qPrefixDedupSql: String =
+    """WITH t AS (SELECT doc_id,
+      |  md5(array_to_string((regexp_split_to_array(trim(text), '\s+'))[1:8], ' ')) AS prefix_fp
+      |FROM documents)
+      |SELECT MIN(doc_id) AS doc_id, prefix_fp, COUNT(*) AS n_docs
+      |FROM t GROUP BY prefix_fp ORDER BY doc_id""".stripMargin
+
+  /** Per-document top-3 keyword terms ranked by tf/df — the TF-IDF idea
+    * with an exact rational score: both engines divide the same two
+    * BIGINTs, so the doubles (and the ranking) are bit-identical,
+    * whereas a log-based idf could diverge in the last ulp. Ties break
+    * on the term string. */
+  def qTfidfTerms(s: SparkSession, dir: String): DataFrame = {
+    val tf = toksOf(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy((col("tf").cast("double") / col("df")).desc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rnk").cast("long").as("rnk"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  val qTfidfTermsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, u.term FROM (
+      |    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents) d,
+      |    UNNEST(d.toks) AS u(term)),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |ranked AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+      |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY CAST(tf.tf AS DOUBLE)/dfreq.df DESC, tf.term ASC) AS rnk
+      |  FROM tf JOIN dfreq USING (term))
+      |SELECT doc_id, term, tf, df, CAST(rnk AS BIGINT) AS rnk
+      |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
+  /** The composed training-set selection: every document gets a keep
+    * flag and the FIRST rejection reason in fixed priority order —
+    * (1) non-canonical member of a prefix-dedup group, (2) language
+    * unidentifiable, (3) too short. One pass over documents; the only
+    * shuffle is the window over prefix_fp (slim projection). */
+  def qCorpusFilter(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysisQ.withLangScores(documents(s, dir))
+      .select(col("doc_id"),
+        split(trim(col("text")), "\\s+").as("toks"),
+        TextAnalysisQ.predLangCol.as("pred_lang"))
+      .select(col("doc_id"), col("pred_lang"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", slice(col("toks"), 1, 8)).cast("binary")).as("prefix_fp"))
+    val rep = min(col("doc_id")).over(Window.partitionBy(col("prefix_fp")))
+    val reason = when(col("doc_id") =!= col("rep"), "dup_prefix")
+      .when(col("pred_lang") === "unknown", "lang_unknown")
+      .when(col("n_tokens") < 20, "too_short")
+      .otherwise("kept")
+    scored.withColumn("rep", rep)
+      .withColumn("reason", reason)
+      .select(col("doc_id"), col("reason"),
+        when(col("reason") === "kept", 1L).otherwise(0L).as("keep_flag"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qCorpusFilterSql: String =
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks,
+       | ${TextAnalysisQ.langScoreSqlCols}
+       |FROM documents),
+       |w AS (SELECT doc_id, CAST(length(toks) AS BIGINT) AS n_tokens,
+       |        md5(array_to_string(toks[1:8], ' ')) AS prefix_fp,
+       |        ${TextAnalysisQ.predLangCaseSql} AS pred_lang
+       |      FROM t),
+       |m AS (SELECT *, MIN(doc_id) OVER (PARTITION BY prefix_fp) AS rep FROM w),
+       |r AS (SELECT doc_id,
+       |        CASE WHEN doc_id != rep THEN 'dup_prefix'
+       |             WHEN pred_lang = 'unknown' THEN 'lang_unknown'
+       |             WHEN n_tokens < 20 THEN 'too_short'
+       |             ELSE 'kept' END AS reason
+       |      FROM m)
+       |SELECT doc_id, reason,
+       |  CAST(CASE WHEN reason = 'kept' THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
+       |FROM r ORDER BY doc_id""".stripMargin
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_repetition_signals" -> ((qRepetitionSignals _, Some(qRepetitionSignalsSql))),
+    "q_prefix_dedup" -> ((qPrefixDedup _, Some(qPrefixDedupSql))),
+    "q_tfidf_terms" -> ((qTfidfTerms _, Some(qTfidfTermsSql))),
+    "q_corpus_filter" -> ((qCorpusFilter _, Some(qCorpusFilterSql))))
+}

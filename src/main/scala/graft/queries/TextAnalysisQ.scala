@@ -77,42 +77,58 @@ object TextAnalysisQ {
     "fr" -> Seq(" le ", " et "),
     "es" -> Seq(" el ", " y "))
 
-  def qLangid(s: SparkSession, dir: String): DataFrame = {
+  /** Appends the four marker-count columns s_en..s_es (shared with
+    * CorpusQ's composed filter — one formula, two call sites). */
+  private[queries] def withLangScores(df: DataFrame): DataFrame = {
     val padded = concat(lit(" "), lower(col("text")), lit(" "))
     def occurrences(m: String): Column =
       (length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(m), ""))) / m.length
     def score(ms: Seq[String]): Column = ms.map(occurrences).reduce(_ + _)
-    val scored = markers.foldLeft(documents(s, dir)) { case (df, (lang, ms)) =>
-      df.withColumn(s"s_$lang", score(ms).cast("long"))
+    markers.foldLeft(df) { case (d, (lang, ms)) =>
+      d.withColumn(s"s_$lang", score(ms).cast("long"))
     }
-    val pred = when(
+  }
+
+  /** Fixed-priority argmax over the marker scores. */
+  private[queries] val predLangCol: Column =
+    when(
       col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") && col("s_en") >= col("s_es") && col("s_en") > 0, "en")
       .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es") && col("s_de") > 0, "de")
       .when(col("s_fr") >= col("s_es") && col("s_fr") > 0, "fr")
       .when(col("s_es") > 0, "es")
       .otherwise("unknown")
-    scored.select(col("doc_id"), pred.as("pred_lang"),
+
+  def qLangid(s: SparkSession, dir: String): DataFrame = {
+    val scored = withLangScores(documents(s, dir))
+    scored.select(col("doc_id"), predLangCol.as("pred_lang"),
         col("s_en"), col("s_de"), col("s_fr"), col("s_es"))
       .orderBy(col("doc_id"))
   }
 
-  val qLangidSql: String = {
+  /** The s_en..s_es column list in DuckDB SQL (shared with CorpusQ). */
+  private[queries] val langScoreSqlCols: String = {
     def occ(m: String): String =
       s"(length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', '$m', ''))) / ${m.length}"
     def score(ms: Seq[String]): String = ms.map(occ).mkString(" + ")
-    val cols = markers.map { case (l, ms) => s"CAST(${score(ms)} AS BIGINT) AS s_$l" }.mkString(",\n ")
+    markers.map { case (l, ms) => s"CAST(${score(ms)} AS BIGINT) AS s_$l" }.mkString(",\n ")
+  }
+
+  /** The pred-lang CASE in DuckDB SQL (shared with CorpusQ). */
+  private[queries] val predLangCaseSql: String =
+    """CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+      |      WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+      |      WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+      |      WHEN s_es > 0 THEN 'es'
+      |      ELSE 'unknown' END""".stripMargin
+
+  val qLangidSql: String =
     s"""WITH t AS (SELECT doc_id,
-       | $cols
+       | $langScoreSqlCols
        |FROM documents)
        |SELECT doc_id,
-       | CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
-       |      WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
-       |      WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
-       |      WHEN s_es > 0 THEN 'es'
-       |      ELSE 'unknown' END AS pred_lang,
+       | $predLangCaseSql AS pred_lang,
        | s_en, s_de, s_fr, s_es
        |FROM t ORDER BY doc_id""".stripMargin
-  }
 
   /** Document fingerprint: md5 of the whitespace-normalized, lowercased
     * text (portable across engines). */
