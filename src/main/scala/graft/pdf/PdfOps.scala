@@ -7,10 +7,11 @@ import scala.collection.mutable
 import graft.hocr.{HPage, HWord}
 import graft.text.GoStrings
 
-/** PDF-side operators — mirrors /root/reference/pkg/pdfocr.
-  * We never emit binary PDFs (sink replaced by the positioned-spans
-  * relation, SURVEY.md §2.C P-7/P-8); the detection/ordering/geometry
-  * semantics are preserved exactly. */
+/** PDF-side operators — mirrors /root/reference/pkg/pdfocr: layer
+  * detection, the OCR gate, and the drawWord geometry. Binary emission
+  * lives in PdfRender (P-7 create, P-8 modify-with-background-import)
+  * and the positioned-spans relation (queries/PositionedQ) exposes the
+  * same geometry relationally. */
 object PdfOps {
 
   /** detectPDFLayers (detect.go:10-69): six OCG regexes over the raw PDF

@@ -1,0 +1,449 @@
+package graft.pdf
+
+import java.nio.charset.StandardCharsets.ISO_8859_1
+import java.util.zip.Inflater
+
+import scala.collection.mutable
+
+/** Minimal PDF object-model parser — enough of the public PDF 1.4 spec
+  * to IMPORT pages from an existing PDF (the gofpdi role in the
+  * reference's modifyExistingPDF, modify.go:14-51): classic `xref`
+  * tables (incl. /Prev chains), all object types, stream payloads, and
+  * FlateDecode content streams via the JVM's built-in Inflater.
+  *
+  * Deliberately NOT a full interpreter: PDF 1.5+ cross-reference
+  * streams / object streams, encryption, and non-Flate filters on
+  * CONTENT streams are rejected with a clear error (resource streams —
+  * images etc. — are copied byte-verbatim whatever their filter, no
+  * decode needed). That covers every PDF this engine itself emits and
+  * the classic uncompressed/Flate class of scanner output the reference
+  * tool targets.
+  */
+object PdfParse {
+
+  sealed trait PVal
+  /** Number kept in its raw textual form so re-serialization is exact. */
+  final case class PNum(raw: String) extends PVal {
+    def toDouble: Double = raw.toDouble
+    def toInt: Int = raw.toDouble.toInt
+  }
+  final case class PName(raw: String) extends PVal // without the leading /
+  final case class PLit(inner: String) extends PVal // literal string, escapes kept raw
+  final case class PHex(inner: String) extends PVal
+  final case class PArr(items: Vector[PVal]) extends PVal
+  final case class PDict(entries: Vector[(String, PVal)]) extends PVal {
+    def get(k: String): Option[PVal] = entries.find(_._1 == k).map(_._2)
+  }
+  final case class PRef(num: Int, gen: Int) extends PVal
+  final case class PKw(kw: String) extends PVal // true | false | null
+
+  final case class PObjDef(num: Int, value: PVal, stream: Option[Array[Byte]])
+
+  final case class SrcPage(
+      dict: PDict,
+      mediaBox: Option[(Double, Double, Double, Double)],
+      resources: Option[PVal], // resolved one level: PDict (or whatever /Resources held)
+      rotate: Int,
+      contentObjs: Vector[Int])
+
+  final case class PdfDoc(objects: Map[Int, PObjDef], trailer: PDict) {
+
+    def resolve(v: PVal): PVal = v match {
+      case PRef(n, _) => objects.get(n).map(o => resolve(o.value)).getOrElse(PKw("null"))
+      case x => x
+    }
+
+    /** Leaf pages in tree order with MediaBox/Resources/Rotate
+      * inheritance from /Pages nodes (PDF 1.4 spec §3.6.2). */
+    def pages: Either[String, Vector[SrcPage]] = {
+      val root = trailer.get("Root").map(resolve) match {
+        case Some(d: PDict) => d
+        case _ => return Left("no /Root catalog")
+      }
+      val out = Vector.newBuilder[SrcPage]
+      val seen = mutable.HashSet.empty[Int]
+      def walk(node: PVal, inhMedia: Option[PVal], inhRes: Option[PVal], inhRot: Option[PVal]): Either[String, Unit] = {
+        node match {
+          case PRef(n, _) =>
+            if (!seen.add(n)) return Left("cycle in page tree")
+            walk(resolve(node), inhMedia, inhRes, inhRot)
+          case d: PDict =>
+            val media = d.get("MediaBox").orElse(inhMedia)
+            val res = d.get("Resources").orElse(inhRes)
+            val rot = d.get("Rotate").orElse(inhRot)
+            resolve(d.get("Type").getOrElse(PKw("null"))) match {
+              case PName("Pages") =>
+                resolve(d.get("Kids").getOrElse(PArr(Vector.empty))) match {
+                  case PArr(kids) =>
+                    kids.foreach { k => walk(k, media, res, rot) match {
+                      case l @ Left(_) => return l
+                      case _ =>
+                    } }
+                    Right(())
+                  case _ => Left("/Kids is not an array")
+                }
+              case PName("Page") =>
+                val mb = media.map(resolve).flatMap {
+                  case PArr(Vector(a: PNum, b: PNum, c: PNum, e: PNum)) =>
+                    val (x1, x2) = (math.min(a.toDouble, c.toDouble), math.max(a.toDouble, c.toDouble))
+                    val (y1, y2) = (math.min(b.toDouble, e.toDouble), math.max(b.toDouble, e.toDouble))
+                    Some((x1, y1, x2, y2))
+                  case _ => None
+                }
+                val contents = d.get("Contents").map(resolve) match {
+                  case Some(PArr(items)) => items.collect { case PRef(n, _) => n }
+                  case Some(_) => d.get("Contents") match {
+                    case Some(PRef(n, _)) => Vector(n)
+                    case _ => Vector.empty[Int]
+                  }
+                  case None => Vector.empty[Int]
+                }
+                val rotInt = rot.map(resolve) match {
+                  case Some(n: PNum) => n.toInt
+                  case _ => 0
+                }
+                out += SrcPage(d, mb, res.map(resolve), rotInt, contents)
+                Right(())
+              case _ => Left("page-tree node without /Type /Page(s)")
+            }
+          case _ => Left("page-tree node is not a dictionary")
+        }
+      }
+      root.get("Pages") match {
+        case Some(p) => walk(p, None, None, None).map(_ => out.result())
+        case None => Left("catalog has no /Pages")
+      }
+    }
+
+    /** Decoded bytes of one content-stream object: raw if no /Filter,
+      * inflated if /FlateDecode; anything else is an error. */
+    def decodedStream(objNum: Int): Either[String, Array[Byte]] =
+      objects.get(objNum) match {
+        case Some(PObjDef(_, d: PDict, Some(data))) =>
+          resolve(d.get("Filter").getOrElse(PKw("null"))) match {
+            case PKw("null") => Right(data)
+            case PName("FlateDecode") => inflate(data)
+            case PArr(Vector(PName("FlateDecode"))) => inflate(data)
+            case f => Left(s"unsupported content-stream filter $f")
+          }
+        case Some(_) => Left(s"object $objNum is not a stream")
+        case None => Left(s"missing content stream object $objNum")
+      }
+  }
+
+  def inflate(data: Array[Byte]): Either[String, Array[Byte]] = {
+    val inf = new Inflater()
+    try {
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(data.length * 4)
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && inf.needsInput()) return Left("truncated Flate stream")
+        out.write(buf, 0, n)
+      }
+      Right(out.toByteArray)
+    } catch {
+      case e: java.util.zip.DataFormatException => Left(s"bad Flate data: ${e.getMessage}")
+    } finally inf.end()
+  }
+
+  // ---- lexer/parser over the Latin-1 view (char offset == byte offset) ----
+
+  private final class P(val text: String, val bytes: Array[Byte]) {
+    var pos: Int = 0
+
+    def eof: Boolean = pos >= text.length
+    private def ch: Char = text.charAt(pos)
+    private def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f' || c == 0
+    private def isDelim(c: Char): Boolean =
+      c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
+      c == '{' || c == '}' || c == '/' || c == '%'
+
+    def skipWs(): Unit = {
+      var go = true
+      while (go && !eof) {
+        if (isWs(ch)) pos += 1
+        else if (ch == '%') { while (!eof && ch != '\n' && ch != '\r') pos += 1 }
+        else go = false
+      }
+    }
+
+    def expect(s: String): Either[String, Unit] =
+      if (text.startsWith(s, pos)) { pos += s.length; Right(()) }
+      else Left(s"expected '$s' at $pos, found '${text.slice(pos, pos + 20)}'")
+
+    def parseValue(): Either[String, PVal] = {
+      skipWs()
+      if (eof) return Left("unexpected end of data")
+      ch match {
+        case '<' if pos + 1 < text.length && text.charAt(pos + 1) == '<' =>
+          pos += 2
+          val entries = Vector.newBuilder[(String, PVal)]
+          var done = false
+          while (!done) {
+            skipWs()
+            if (text.startsWith(">>", pos)) { pos += 2; done = true }
+            else if (eof) return Left("unterminated dictionary")
+            else if (ch == '/') {
+              val key = parseNameRaw()
+              parseValue() match {
+                case Right(v) => entries += (key -> v)
+                case l @ Left(_) => return l
+              }
+            } else return Left(s"bad dictionary key at $pos")
+          }
+          Right(PDict(entries.result()))
+        case '<' =>
+          pos += 1
+          val start = pos
+          while (!eof && ch != '>') pos += 1
+          if (eof) Left("unterminated hex string")
+          else { val s = text.substring(start, pos); pos += 1; Right(PHex(s)) }
+        case '[' =>
+          pos += 1
+          val items = Vector.newBuilder[PVal]
+          var done = false
+          while (!done) {
+            skipWs()
+            if (eof) return Left("unterminated array")
+            if (ch == ']') { pos += 1; done = true }
+            else parseValue() match {
+              case Right(v) => items += v
+              case l @ Left(_) => return l
+            }
+          }
+          Right(PArr(items.result()))
+        case '/' => Right(PName(parseNameRaw()))
+        case '(' =>
+          pos += 1
+          val start = pos
+          var depth = 1
+          while (!eof && depth > 0) {
+            ch match {
+              case '\\' => pos += 2
+              case '(' => depth += 1; pos += 1
+              case ')' => depth -= 1; pos += 1
+              case _ => pos += 1
+            }
+          }
+          if (depth > 0) Left("unterminated literal string")
+          else Right(PLit(text.substring(start, pos - 1)))
+        case c if c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9') =>
+          parseNumberOrRef()
+        case c if c.isLetter =>
+          val start = pos
+          while (!eof && ch.isLetter) pos += 1
+          text.substring(start, pos) match {
+            case kw @ ("true" | "false" | "null") => Right(PKw(kw))
+            case other => Left(s"unexpected keyword '$other' at $start")
+          }
+        case other => Left(s"unexpected character '$other' at $pos")
+      }
+    }
+
+    private def parseNameRaw(): String = {
+      pos += 1 // the /
+      val start = pos
+      while (!eof && !isWs(ch) && !isDelim(ch)) pos += 1
+      text.substring(start, pos)
+    }
+
+    private def parseNumberToken(): String = {
+      val start = pos
+      if (!eof && (ch == '+' || ch == '-')) pos += 1
+      while (!eof && (ch == '.' || (ch >= '0' && ch <= '9'))) pos += 1
+      text.substring(start, pos)
+    }
+
+    private def parseNumberOrRef(): Either[String, PVal] = {
+      val save = pos
+      val first = parseNumberToken()
+      if (first.forall(c => c >= '0' && c <= '9') && first.nonEmpty) {
+        // possible "N G R" reference — lookahead
+        val afterFirst = pos
+        skipWs()
+        val genStart = pos
+        val gen = parseNumberToken()
+        if (gen.nonEmpty && gen.forall(c => c >= '0' && c <= '9')) {
+          skipWs()
+          if (!eof && ch == 'R' &&
+              (pos + 1 >= text.length || isWs(text.charAt(pos + 1)) || isDelim(text.charAt(pos + 1)))) {
+            pos += 1
+            return Right(PRef(first.toInt, gen.toInt))
+          }
+        }
+        pos = afterFirst
+        val _ = genStart // (lookahead rolled back)
+      }
+      if (first.isEmpty) { pos = save; Left(s"bad number at $save") }
+      else Right(PNum(first))
+    }
+
+    /** Parse `N G obj <value> [stream ... endstream] endobj` at pos.
+      * `lengthOf` resolves an indirect /Length (second pass). */
+    def parseObjectAt(lengthOf: PRef => Option[Int]): Either[String, PObjDef] = {
+      skipWs()
+      val num = parseNumberToken()
+      if (num.isEmpty) return Left(s"no object number at $pos")
+      skipWs()
+      val gen = parseNumberToken()
+      if (gen.isEmpty) return Left(s"no generation at $pos")
+      skipWs()
+      expect("obj") match { case Left(e) => return Left(e); case _ => }
+      val value = parseValue() match {
+        case Right(v) => v
+        case Left(e) => return Left(e)
+      }
+      skipWs()
+      if (text.startsWith("stream", pos)) {
+        pos += "stream".length
+        if (text.startsWith("\r\n", pos)) pos += 2
+        else if (!eof && (ch == '\n' || ch == '\r')) pos += 1
+        val len = value match {
+          case d: PDict => d.get("Length") match {
+            case Some(n: PNum) => n.toInt
+            case Some(r: PRef) => lengthOf(r).getOrElse(return Left(s"unresolved indirect /Length in obj $num"))
+            case _ => return Left(s"stream without /Length in obj $num")
+          }
+          case _ => return Left(s"stream on non-dict obj $num")
+        }
+        if (pos + len > bytes.length) return Left(s"stream overruns file in obj $num")
+        val data = java.util.Arrays.copyOfRange(bytes, pos, pos + len)
+        pos += len
+        skipWs()
+        expect("endstream") match { case Left(e) => return Left(e); case _ => }
+        Right(PObjDef(num.toInt, value, Some(data)))
+      } else Right(PObjDef(num.toInt, value, None))
+    }
+  }
+
+  /** Parse a whole document via its classic xref table(s). */
+  def parse(pdf: Array[Byte]): Either[String, PdfDoc] = {
+    if (pdf.isEmpty) return Left("empty PDF data")
+    val text = new String(pdf, ISO_8859_1)
+    if (!text.startsWith("%PDF-")) return Left("not a PDF (missing %PDF- header)")
+    val sxAt = text.lastIndexOf("startxref")
+    if (sxAt < 0) return Left("no startxref")
+    val tail = new P(text, pdf); tail.pos = sxAt + "startxref".length
+    tail.skipWs()
+    val firstXref = text.substring(tail.pos, math.min(text.length, tail.pos + 20))
+      .takeWhile(_.isDigit) match {
+        case "" => return Left("bad startxref offset")
+        case d => d.toLong
+      }
+
+    // follow the /Prev chain; NEWEST table wins per object (including a
+    // newer 'f' free entry masking an older in-use one)
+    val offsets = mutable.HashMap.empty[Int, Long] // objNum -> byte offset
+    val decided = mutable.HashSet.empty[Int]
+    var trailer: Option[PDict] = None
+    var xrefAt = firstXref
+    var hops = 0
+    while (xrefAt >= 0 && hops < 64) {
+      hops += 1
+      if (xrefAt >= text.length) return Left("xref offset beyond EOF")
+      val p = new P(text, pdf); p.pos = xrefAt.toInt
+      p.skipWs()
+      p.expect("xref") match {
+        case Left(_) => return Left("cross-reference streams (PDF 1.5+) are not supported")
+        case _ =>
+      }
+      // subsections until 'trailer'
+      var inSections = true
+      while (inSections) {
+        p.skipWs()
+        if (text.startsWith("trailer", p.pos)) inSections = false
+        else {
+          val header = text.substring(p.pos, math.min(text.length, text.indexOf('\n', p.pos).max(p.pos)))
+          val parts = header.trim.split("\\s+")
+          if (parts.length != 2 || !parts.forall(_.forall(_.isDigit)))
+            return Left(s"bad xref subsection header '$header'")
+          val (start, count) = (parts(0).toInt, parts(1).toInt)
+          p.pos = text.indexOf('\n', p.pos) + 1
+          (0 until count).foreach { i =>
+            val entry = text.substring(p.pos, p.pos + 20)
+            val objNum = start + i
+            if (decided.add(objNum) && entry.charAt(17) == 'n')
+              offsets(objNum) = entry.substring(0, 10).toLong
+            p.pos += 20
+          }
+        }
+      }
+      p.pos += "trailer".length
+      val tdict = p.parseValue() match {
+        case Right(d: PDict) => d
+        case _ => return Left("bad trailer dictionary")
+      }
+      if (trailer.isEmpty) trailer = Some(tdict)
+      xrefAt = tdict.get("Prev") match {
+        case Some(n: PNum) => n.toInt.toLong
+        case _ => -1L
+      }
+    }
+
+    // pass 1: objects with direct /Length; pass 2: indirect /Length
+    val objects = mutable.HashMap.empty[Int, PObjDef]
+    val pending = mutable.ArrayBuffer.empty[(Int, Long)]
+    offsets.toSeq.sortBy(_._1).foreach { case (num, off) =>
+      if (off < pdf.length) {
+        val p = new P(text, pdf); p.pos = off.toInt
+        p.parseObjectAt(_ => None) match {
+          case Right(o) => objects(o.num) = o
+          case Left(e) if e.contains("unresolved indirect /Length") => pending += ((num, off))
+          case Left(e) => return Left(s"object $num at $off: $e")
+        }
+      }
+    }
+    pending.foreach { case (num, off) =>
+      val p = new P(text, pdf); p.pos = off.toInt
+      def lookup(r: PRef): Option[Int] = objects.get(r.num).map(_.value).collect { case n: PNum => n.toInt }
+      p.parseObjectAt(lookup) match {
+        case Right(o) => objects(o.num) = o
+        case Left(e) => return Left(s"object $num at $off: $e")
+      }
+    }
+    trailer match {
+      case Some(t) => Right(PdfDoc(objects.toMap, t))
+      case None => Left("no trailer found")
+    }
+  }
+
+  // ---- serialization with object renumbering (for page import) ----
+
+  def serialize(v: PVal, renum: Int => Int): String = v match {
+    case PNum(raw) => raw
+    case PName(raw) => "/" + raw
+    case PLit(inner) => "(" + inner + ")"
+    case PHex(inner) => "<" + inner + ">"
+    case PArr(items) => items.map(serialize(_, renum)).mkString("[", " ", "]")
+    case PDict(entries) =>
+      entries.map { case (k, pv) => s"/$k ${serialize(pv, renum)}" }.mkString("<< ", " ", " >>")
+    case PRef(n, _) => s"${renum(n)} 0 R"
+    case PKw(kw) => kw
+  }
+
+  def collectRefs(v: PVal, into: mutable.HashSet[Int]): Unit = v match {
+    case PRef(n, _) => into += n
+    case PArr(items) => items.foreach(collectRefs(_, into))
+    case PDict(entries) => entries.foreach { case (_, pv) => collectRefs(pv, into) }
+    case _ => ()
+  }
+
+  /** Transitive closure of object references starting from `roots`. */
+  def reachable(doc: PdfDoc, roots: Set[Int]): Set[Int] = {
+    val seen = mutable.HashSet.empty[Int]
+    val queue = mutable.Queue.empty[Int]
+    roots.foreach { r => if (seen.add(r)) queue.enqueue(r) }
+    while (queue.nonEmpty) {
+      val n = queue.dequeue()
+      doc.objects.get(n).foreach { o =>
+        val refs = mutable.HashSet.empty[Int]
+        collectRefs(o.value, refs)
+        refs.foreach { r => if (seen.add(r)) queue.enqueue(r) }
+      }
+    }
+    seen.toSet
+  }
+}

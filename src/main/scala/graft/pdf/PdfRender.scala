@@ -37,11 +37,21 @@ import graft.hocr.Hocr
   */
 object PdfRender {
 
+  /** An imported page background (gofpdi's "template" role): a Form
+    * XObject assembled from a source page's content stream(s) and its
+    * renumbered resources; `copied` source objects ride along in
+    * `render`'s `extra` list. */
+  final case class Tpl(
+      bbox: (Double, Double, Double, Double), // source MediaBox
+      content: Array[Byte],                   // decoded page content
+      resources: String)                      // serialized, refs renumbered
+
   final case class PdfPage(
       width: Double, height: Double,
       image: Option[Array[Byte]],
       words: Vector[PdfOps.PositionedWord],
-      layerName: String)
+      layerName: String,
+      template: Option[Tpl] = None)
 
   final case class PdfResult(pdf: Array[Byte], warnings: Vector[String])
 
@@ -96,10 +106,12 @@ object PdfRender {
   }
 
   /** Assemble the byte stream: header, numbered objects, xref with exact
-    * byte offsets, trailer. */
-  def render(pages: Seq[PdfPage]): PdfResult = {
+    * byte offsets, trailer. `extra` carries objects imported from a
+    * source PDF (modify path) — ids must continue contiguously after the
+    * page objects (see `objectCount`). */
+  def render(pages: Seq[PdfPage], extra: Seq[(Int, Array[Byte])] = Nil): PdfResult = {
     val warnings = Vector.newBuilder[String]
-    final case class Ids(page: Int, content: Int, ocg: Int, image: Option[Int])
+    final case class Ids(page: Int, content: Int, ocg: Int, image: Option[Int], form: Option[Int])
     var next = 5 // 1 Catalog, 2 Pages, 3 Font, 4 ExtGState
     val ids = pages.map { p =>
       val embeddable = p.image.exists(img =>
@@ -108,8 +120,11 @@ object PdfRender {
         if (!embeddable) warnings +=
           s"image underlay skipped (codec ${PdfOps.detectImageType(img).getOrElse("unknown")} not embeddable without decode); text layer emitted"
       }
-      val r = Ids(next, next + 1, next + 2, if (embeddable) Some(next + 3) else None)
-      next += (if (embeddable) 4 else 3)
+      val base = 3 + (if (embeddable) 1 else 0)
+      val r = Ids(next, next + 1, next + 2,
+        if (embeddable) Some(next + 3) else None,
+        if (p.template.isDefined) Some(next + base) else None)
+      next += base + (if (p.template.isDefined) 1 else 0)
       r
     }
 
@@ -126,13 +141,28 @@ object PdfRender {
     put(4, "<< /Type /ExtGState /BM /Normal /CA 0.000 /ca 0.000 >>")
 
     pages.zip(ids).zipWithIndex.foreach { case ((p, id), k) =>
-      val xobj = id.image.map(i => s" /XObject << /Img$k $i 0 R >>").getOrElse("")
+      val xobjEntries =
+        id.image.map(i => s"/Img$k $i 0 R").toSeq ++
+        id.form.map(f => s"/Tpl$k $f 0 R").toSeq
+      val xobj = if (xobjEntries.isEmpty) "" else s" /XObject << ${xobjEntries.mkString(" ")} >>"
       put(id.page,
         s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 ${f2(p.width)} ${f2(p.height)}] " +
         s"/Resources << /Font << /F1 3 0 R >> /ExtGState << /GS0 4 0 R >>$xobj " +
         s"/Properties << /OC$k ${id.ocg} 0 R >> >> /Contents ${id.content} 0 R >>")
 
       val body = new StringBuilder
+      p.template.foreach { t =>
+        // gofpdi's UseImportedTemplate(x=0, y=0, w=pageW, h=auto)
+        // placement math (modify.go:38): scale the source MediaBox to the
+        // page width, aspect-preserving, anchored at the page top-left.
+        val (bx1, by1, bx2, by2) = t.bbox
+        val (bw, bh) = (bx2 - bx1, by2 - by1)
+        val sx = if (bw != 0) p.width / bw else 1.0
+        val hDraw = bh * sx
+        val tx = -bx1 * sx
+        val ty = (p.height - hDraw) - by1 * sx
+        body.append(s"q\n${f2(sx)} 0 0 ${f2(sx)} ${f2(tx)} ${f2(ty)} cm\n/Tpl$k Do\nQ\n")
+      }
       if (id.image.isDefined)
         body.append(s"q\n${f2(p.width)} 0 0 ${f2(p.height)} 0 0 cm\n/Img$k Do\nQ\n")
       body.append(s"/OC /OC$k BDC\nq\n/GS0 gs\nBT\n")
@@ -158,24 +188,43 @@ object PdfRender {
            s"/Length ${img.length} >>\nstream\n").getBytes(ISO_8859_1) ++
           img ++ "\nendstream".getBytes(ISO_8859_1)
       }
+
+      id.form.foreach { formId =>
+        val t = p.template.get
+        val (bx1, by1, bx2, by2) = t.bbox
+        objs(formId) =
+          (s"<< /Type /XObject /Subtype /Form /FormType 1 " +
+           s"/BBox [${f2(bx1)} ${f2(by1)} ${f2(bx2)} ${f2(by2)}] " +
+           s"/Resources ${t.resources} /Length ${t.content.length} >>\nstream\n").getBytes(ISO_8859_1) ++
+          t.content ++ "\nendstream".getBytes(ISO_8859_1)
+      }
     }
+
+    extra.foreach { case (id, body) =>
+      require(id >= next, s"extra object id $id collides with page objects (< $next)")
+      objs(id) = body
+    }
+    val size = ((next - 1) +: extra.map(_._1)).max + 1
+    // the single-section xref declares every id in [1, size) in-use
+    require(objs.keySet == (1 until size).toSet,
+      s"object ids not contiguous: missing ${(1 until size).toSet -- objs.keySet}")
 
     val out = new java.io.ByteArrayOutputStream()
     def write(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
     // binary-content comment line per spec so transfers treat the file as binary
     write("%PDF-1.4\n%âãÏÓ\n")
-    val offsets = new Array[Long](next)
-    (1 until next).foreach { id =>
+    val offsets = new Array[Long](size)
+    objs.keys.toSeq.sorted.foreach { id =>
       offsets(id) = out.size().toLong
       write(s"$id 0 obj\n")
       out.write(objs(id))
       write("\nendobj\n")
     }
     val xrefAt = out.size()
-    write(s"xref\n0 $next\n")
+    write(s"xref\n0 $size\n")
     write("0000000000 65535 f \n")
-    (1 until next).foreach(id => write("%010d 00000 n \n".formatLocal(java.util.Locale.ROOT, offsets(id))))
-    write(s"trailer\n<< /Size $next /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    (1 until size).foreach(id => write("%010d 00000 n \n".formatLocal(java.util.Locale.ROOT, offsets(id))))
+    write(s"trailer\n<< /Size $size /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
     PdfResult(out.toByteArray, warnings.result())
   }
 
@@ -210,12 +259,11 @@ object PdfRender {
     Right(render(pages.result()))
   }
 
-  /** P-8 modifyExistingPDF (modify.go:14-51) — partial by design: the
-    * OCR layer pages are produced exactly as the reference does, but the
-    * original page background is NOT imported (gofpdi's template import
-    * needs a full PDF interpreter; none exists in this environment).
-    * Output: a valid searchable PDF carrying only the positioned OCR
-    * layers, page-aligned with the source. */
+  /** P-8 OCR-layer pages WITHOUT background import — the fallback when
+    * no source PDF bytes are available (e.g. the distributed sink builds
+    * pages straight from media). For the full modifyExistingPDF
+    * semantics (original page background imported under the OCR layer),
+    * see [[modifyExistingPdf]]. */
   def applyOcrPdf(
       hocr: Hocr,
       layerNameBase: String = "OCR Text",
@@ -233,5 +281,101 @@ object PdfRender {
       i += 1
     }
     Right(render(pages.result()))
+  }
+
+  /** P-8 modifyExistingPDF (modify.go:14-51), full semantics: import
+    * each source page as a Form XObject template (content stream(s) +
+    * resources, the gofpdi role), draw it scaled to the hOCR page width
+    * at the top-left (UseImportedTemplate(0, 0, bbox.X2, 0)), then
+    * overlay the invisible OCR layer with the identity transform —
+    * exactly the reference's loop. hOCR page i maps to source page
+    * i + startFromPage (1-based), and the output has one page per hOCR
+    * page (modify.go:33-48).
+    *
+    * Source support = PdfParse's (classic xref, uncompressed or Flate
+    * content streams); resource objects (images, fonts) are copied
+    * byte-verbatim whatever their encoding. */
+  def modifyExistingPdf(
+      inputPdf: Array[Byte],
+      hocr: Hocr,
+      startFromPage: Int = 1,
+      layerNameBase: String = "OCR Text",
+      font: PdfOps.FontConfig = PdfOps.FontConfig()): Either[String, PdfResult] = {
+    import PdfParse._
+    val doc = parse(inputPdf) match {
+      case Right(d) => d
+      case Left(e) => return Left(s"cannot parse source PDF: $e")
+    }
+    val srcPages = doc.pages match {
+      case Right(p) => p
+      case Left(e) => return Left(s"cannot read source page tree: $e")
+    }
+    val warnings = Vector.newBuilder[String]
+    val nPages = hocr.pages.length
+    val extrasBase = 5 + 4 * nPages // per page: page, content, ocg, form
+
+    // resolve + collect everything each used source page needs
+    final case class Prepared(tplBbox: (Double, Double, Double, Double),
+        content: Array[Byte], resources: PVal)
+    val prepared = new Array[Prepared](nPages)
+    val roots = scala.collection.mutable.HashSet.empty[Int]
+    var i = 0
+    while (i < nPages) {
+      val srcIdx = i + startFromPage - 1
+      if (srcIdx < 0 || srcIdx >= srcPages.length)
+        return Left(s"source PDF has ${srcPages.length} pages; page ${srcIdx + 1} requested")
+      val sp = srcPages(srcIdx)
+      val bbox = sp.mediaBox.getOrElse(return Left(s"source page ${srcIdx + 1} has no /MediaBox"))
+      if (sp.rotate % 360 != 0)
+        warnings += s"source page ${srcIdx + 1} /Rotate ${sp.rotate} ignored (rotation not supported)"
+      val content = new java.io.ByteArrayOutputStream()
+      sp.contentObjs.foreach { cn =>
+        doc.decodedStream(cn) match {
+          case Right(b) => content.write(b); content.write('\n')
+          case Left(e) => return Left(s"source page ${srcIdx + 1}: $e")
+        }
+      }
+      val res = sp.resources.getOrElse(PDict(Vector.empty))
+      collectRefs(res, roots)
+      prepared(i) = Prepared(bbox, content.toByteArray, res)
+      i += 1
+    }
+
+    // copy the reachable source objects under new contiguous ids
+    val copyOlds = reachable(doc, roots.toSet).toSeq.sorted
+    val renum: Map[Int, Int] = copyOlds.zipWithIndex
+      .map { case (old, k) => old -> (extrasBase + k) }.toMap
+    def rn(old: Int): Int = renum.getOrElse(old, 0) // 0 0 R = harmless null ref
+    val extra = copyOlds.flatMap { old =>
+      doc.objects.get(old) match {
+        case Some(PObjDef(_, v, stream)) =>
+          val head = serialize(v, rn).getBytes(ISO_8859_1)
+          val body = stream match {
+            case Some(data) =>
+              head ++ "\nstream\n".getBytes(ISO_8859_1) ++ data ++ "\nendstream".getBytes(ISO_8859_1)
+            case None => head
+          }
+          Some(renum(old) -> body)
+        case None =>
+          warnings += s"source object $old referenced but absent; copied as null"
+          Some(renum(old) -> "null".getBytes(ISO_8859_1))
+      }
+    }
+
+    val outPages = Vector.newBuilder[PdfPage]
+    i = 0
+    while (i < nPages) {
+      val page = hocr.pages(i)
+      val drawn = PdfOps.drawPage(page, (x, y) => (x, y), font) // identity (modify.go:40-42)
+      if (drawn.tooManyEncodingErrors)
+        return Left(s"character encoding issues in ${drawn.encodingErrors} of ${drawn.wordCount} words")
+      val prep = prepared(i)
+      outPages += PdfPage(page.bbox.x2, page.bbox.y2, None, drawn.words,
+        PdfOps.layerName(layerNameBase, i + 1),
+        template = Some(Tpl(prep.tplBbox, prep.content, serialize(prep.resources, rn))))
+      i += 1
+    }
+    val r = render(outPages.result(), extra)
+    Right(PdfResult(r.pdf, warnings.result() ++ r.warnings))
   }
 }

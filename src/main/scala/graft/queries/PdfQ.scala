@@ -66,6 +66,68 @@ object PdfQ {
       | 1 AS has_ocr
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Variant page content for the modify overlay, so the imported
+    * background and the new layer are distinguishable in the output. */
+  private def modPage(docId: Long, pageIdx: Int): HPage = {
+    val n = 5 + ((docId + pageIdx) % 4).toInt
+    val words = (0 until n).map { i =>
+      HWord(id = s"w$i", text = s"mod${docId}pg${pageIdx}w$i",
+        bbox = BBox(40.0 + i * 90, 80.0, 120.0 + i * 90, 98.0), confidence = 90.0)
+    }.toVector
+    HPage(
+      id = s"page_${pageIdx + 1}", pageNumber = pageIdx + 1,
+      bbox = BBox(0, 0, 612, 792),
+      lines = Vector(HLine(id = "l1", bbox = BBox(40, 80, 580, 98), words = words)))
+  }
+
+  /** P-8 full-loop check: Spark builds a source PDF ("Scan Text" layer),
+    * parses it back, and modifies it — importing the page background as
+    * Form XObjects under a NEW "OCR Text" layer — then re-detects. The
+    * oracle independently predicts layer/form counts, the first detected
+    * name, the OCR gate, and that both the imported background text and
+    * the overlay text are present. */
+  def qPdfModify(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet").select("doc_id").as[Long]
+      .map { id =>
+        val nPages = (id % 3).toInt + 1
+        val src = PdfRender.applyOcrPdf(
+          Hocr(pages = (0 until nPages).map(p => synthPage(id, p)).toVector),
+          layerNameBase = "Scan Text").fold(e => sys.error(e), _.pdf)
+        val out = PdfRender.modifyExistingPdf(src,
+          Hocr(pages = (0 until nPages).map(p => modPage(id, p)).toVector))
+          .fold(e => sys.error(e), _.pdf)
+        val layers = PdfOps.detectPdfLayers(out).getOrElse(Vector.empty)
+        val hasOcr = PdfOps.checkExistingOcrLayers(out, "OCR Text")
+          .toOption.exists(_.hasOcrLayer)
+        val raw = new String(out, java.nio.charset.StandardCharsets.ISO_8859_1)
+        var nForms = 0
+        var at = raw.indexOf("/Subtype /Form")
+        while (at >= 0) { nForms += 1; at = raw.indexOf("/Subtype /Form", at + 1) }
+        (id, nPages, layers.length, layers.headOption.getOrElse(""),
+          if (hasOcr) 1 else 0, nForms,
+          if (raw.contains(s"(doc${id}pg0w0) Tj")) 1 else 0,
+          if (raw.contains(s"(mod${id}pg0w0) Tj")) 1 else 0)
+      }
+      .toDF("doc_id", "n_pages", "n_layers", "first_layer", "has_ocr",
+        "n_forms", "imported", "overlaid")
+      .orderBy(col("doc_id"))
+  }
+
+  /** 2 layers per page (the copied "Scan Text" OCG + the new "OCR Text"
+    * one); our new OCGs serialize before the copied source objects, so
+    * the first detected name is the new layer's. */
+  val qPdfModifySql: String =
+    """SELECT doc_id,
+      | CAST(doc_id % 3 AS INT) + 1 AS n_pages,
+      | 2 * (CAST(doc_id % 3 AS INT) + 1) AS n_layers,
+      | 'OCR Text (Page 1\' AS first_layer,
+      | 1 AS has_ocr,
+      | CAST(doc_id % 3 AS INT) + 1 AS n_forms,
+      | 1 AS imported,
+      | 1 AS overlaid
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def qPdfAssemble(s: SparkSession, dir: String): DataFrame = {
     val pageTable = s.read.parquet(s"$dir/documents.parquet")
       .selectExpr("doc_id", "explode(sequence(0, CAST(doc_id % 3 AS INT))) AS page_idx")
@@ -79,5 +141,6 @@ object PdfQ {
 
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_pdf_roundtrip" -> ((qPdfRoundtrip _, Some(qPdfRoundtripSql))),
+    "q_pdf_modify" -> ((qPdfModify _, Some(qPdfModifySql))),
     "q_pdf_assemble" -> ((qPdfAssemble _, None)))
 }
