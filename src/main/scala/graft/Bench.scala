@@ -29,6 +29,8 @@ object Bench {
     val diskSpilled = new LongAdder
     val shuffleRead = new LongAdder
     val shuffleWrite = new LongAdder
+    val gcTime = new LongAdder
+    val taskTime = new LongAdder
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
       val m = e.taskMetrics
       if (m != null) {
@@ -36,7 +38,9 @@ object Bench {
         diskSpilled.add(m.diskBytesSpilled)
         shuffleRead.add(m.shuffleReadMetrics.totalBytesRead)
         shuffleWrite.add(m.shuffleWriteMetrics.bytesWritten)
+        gcTime.add(m.jvmGCTime)
       }
+      if (e.taskInfo != null) taskTime.add(e.taskInfo.duration)
     }
   }
 
@@ -150,11 +154,20 @@ object Bench {
     * plan doing this work in one JVM can reach. Reported per pair so the
     * reader can separate (a) host capacity, (b) kernel bandwidth
     * ceiling, (c) plan overhead — only (c) is this engine's doing. */
+  /** 20k DISTINCT items (~60+ MB with rendered hOCR), single pass — the
+    * working set must exceed L3 so the calibration is DRAM-bound like
+    * the real extraction path. The original 1200-item x 8-rep loop was
+    * cache-resident and scaled 3-3.5x from 4 to 16 threads, overstating
+    * the ceiling the streaming job (which never revisits a document)
+    * could reach; the distinct-item version measures the
+    * allocation/bandwidth-limited ratio the job actually competes
+    * against (StageProbe: ~1/3 of 16-thread task time is GC on this
+    * workload — allocation rate, not CPU, is the scaling limiter). */
   private lazy val kernelWork: Array[(String, String, String)] =
-    (0 until 1200).toArray.map { i =>
+    (0 until 20000).toArray.map { i =>
       val h = graft.layout.MediaOcr.hash64(s"k:$i")
       (i % 3) match {
-        case 0 => ("html", s"<html><body><nav><a href='/'>x</a></nav><div><p>some long paragraph of text number $i with enough words to pass the threshold easily and then some.</p></div></body></html>", "")
+        case 0 => ("html", s"<html><body><nav><a href='/'>x</a></nav><div><p>some long paragraph of text number $i with enough words to pass the threshold easily and then some more filler so the densest block wins $h.</p></div></body></html>", "")
         case 1 =>
           val ocr = graft.layout.MediaOcr.classify(f"pdf://k/$i")
           val page = graft.layout.Assembly.createHocrPage(ocr.page, new graft.layout.RuneIndex(ocr.text), 1)
@@ -171,15 +184,11 @@ object Bench {
       new Callable[Long] {
         def call(): Long = {
           var acc = 0L
-          var rep = 0
-          while (rep < 8) {
-            var i = t
-            while (i < kernelWork.length) {
-              val (k, x, m) = kernelWork(i)
-              acc += graft.pipeline.SpanExtract.extractSpanText(k, x, m).length
-              i += threads
-            }
-            rep += 1
+          var i = t
+          while (i < kernelWork.length) {
+            val (k, x, m) = kernelWork(i)
+            acc += graft.pipeline.SpanExtract.extractSpanText(k, x, m).length
+            i += threads
           }
           acc
         }
@@ -201,21 +210,27 @@ object Bench {
     // each with its same-moment burn calibration.
     var nDocs = 0L
     burnSec(4); kernelSec(4) // JIT-warm both calibration loops
+    val gcFracs = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     val pairs = (1 to 3).map { i =>
-      val (s4, _) = newSession(4)
+      val (s4, l4) = newSession(4)
       val corpus = corpusPath(s4, sfDir)
       warm(s4, corpus)
       val b4 = burnSec(4)
       val k4 = kernelSec(4)
+      val (gc40, tt40) = (l4.gcTime.sum(), l4.taskTime.sum())
       val (t4, n) = timedExtract(s4, corpus)
+      val gcf4 = (l4.gcTime.sum() - gc40).toDouble / math.max(1L, l4.taskTime.sum() - tt40)
       nDocs = n
       s4.stop()
-      val (s16x, _) = newSession(16)
+      val (s16x, l16) = newSession(16)
       warm(s16x, corpus)
       val b16 = burnSec(16)
       val k16 = kernelSec(16)
+      val (gc160, tt160) = (l16.gcTime.sum(), l16.taskTime.sum())
       val (t16, _) = timedExtract(s16x, corpus)
+      val gcf16 = (l16.gcTime.sum() - gc160).toDouble / math.max(1L, l16.taskTime.sum() - tt160)
       s16x.stop()
+      gcFracs += ((gcf4, gcf16))
       (t4, t16, b4, b16, k4, k16)
     }
     val effs = pairs.map { case (t4, t16, _, _, _, _) => (nDocs / t16) / (4.0 * (nDocs / t4)) }
@@ -274,6 +289,6 @@ object Bench {
     val qshuf = results.map { case (k, _, w) => "\"" + k + "\":" + w }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(
-      s"""{"metric":"extract_docs_per_sec_4N16","value":${f"$tp32%.2f"},"unit":"docs/sec","queries":$qs,"queries_shuffle_write_bytes":$qshuf,"sf":"$sfDir","total_query_sec":${f"$total%.2f"},"n_docs":$nDocs,"extract_sec_N4":${f"$sec8%.3f"},"extract_sec_4N16":${f"$sec32%.3f"},"throughput_N4":${f"$tp8%.2f"},"throughput_4N16":${f"$tp32%.2f"},"scaling_efficiency":${f"$eff%.3f"},"scaling_pairs":[${pairs.map { case (a, b, _, _, _, _) => f"[$a%.2f,$b%.2f]" }.mkString(",")}],"scaling_efficiencies":[${effs.map(e => f"$e%.3f").mkString(",")}],"burn_sec_pairs":[${pairs.map { case (_, _, b4, b16, _, _) => f"[$b4%.2f,$b16%.2f]" }.mkString(",")}],"cpu_capacity_ratios":[${capRatios.map(c => f"$c%.2f").mkString(",")}],"capacity_normalized_efficiencies":[${normEffs.map(e => f"$e%.3f").mkString(",")}],"kernel_sec_pairs":[${pairs.map { case (_, _, _, _, k4, k16) => f"[$k4%.2f,$k16%.2f]" }.mkString(",")}],"kernel_scaling_ratios":[${kernelRatios.map(k => f"$k%.2f").mkString(",")}],"plan_efficiencies_vs_kernel":[${planEffs.map(e => f"$e%.3f").mkString(",")}],"shuffle_partitions":{"N4":4,"4N16":16},"spill_bytes_mem":$spillMem,"spill_bytes_disk":$spillDisk,"shuffle_read_bytes":$shufRead,"shuffle_write_bytes":$shufWrite}""")
+      s"""{"metric":"extract_docs_per_sec_4N16","value":${f"$tp32%.2f"},"unit":"docs/sec","queries":$qs,"queries_shuffle_write_bytes":$qshuf,"sf":"$sfDir","total_query_sec":${f"$total%.2f"},"n_docs":$nDocs,"extract_sec_N4":${f"$sec8%.3f"},"extract_sec_4N16":${f"$sec32%.3f"},"throughput_N4":${f"$tp8%.2f"},"throughput_4N16":${f"$tp32%.2f"},"scaling_efficiency":${f"$eff%.3f"},"scaling_pairs":[${pairs.map { case (a, b, _, _, _, _) => f"[$a%.2f,$b%.2f]" }.mkString(",")}],"scaling_efficiencies":[${effs.map(e => f"$e%.3f").mkString(",")}],"burn_sec_pairs":[${pairs.map { case (_, _, b4, b16, _, _) => f"[$b4%.2f,$b16%.2f]" }.mkString(",")}],"cpu_capacity_ratios":[${capRatios.map(c => f"$c%.2f").mkString(",")}],"capacity_normalized_efficiencies":[${normEffs.map(e => f"$e%.3f").mkString(",")}],"kernel_sec_pairs":[${pairs.map { case (_, _, _, _, k4, k16) => f"[$k4%.2f,$k16%.2f]" }.mkString(",")}],"kernel_scaling_ratios":[${kernelRatios.map(k => f"$k%.2f").mkString(",")}],"gc_task_fraction_pairs":[${gcFracs.map { case (a, b) => f"[$a%.3f,$b%.3f]" }.mkString(",")}],"plan_efficiencies_vs_kernel":[${planEffs.map(e => f"$e%.3f").mkString(",")}],"shuffle_partitions":{"N4":4,"4N16":16},"spill_bytes_mem":$spillMem,"spill_bytes_disk":$spillDisk,"shuffle_read_bytes":$shufRead,"shuffle_write_bytes":$shufWrite}""")
   }
 }

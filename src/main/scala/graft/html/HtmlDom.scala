@@ -34,6 +34,18 @@ object HtmlDom {
     def isElem(tag: String): Boolean = nodeType == ElementNode && data == tag
   }
 
+  /** Shared empty buffers for leaf (text/comment) nodes — the parser
+    * never appends to a leaf's attrs/children (only element/document
+    * nodes go on the open stack), and every consumer is read-only, so
+    * all leaves can share one empty instance instead of allocating two
+    * 16-slot ArrayBuffers each. Leaves are ~half of all nodes and this
+    * sits on the extraction hot path where allocation rate is the
+    * 16-thread scaling limiter (StageProbe profile). DO NOT mutate. */
+  private val NoAttrs = ArrayBuffer.empty[(String, String)]
+  private val NoChildren = ArrayBuffer.empty[Node]
+  private def leaf(tpe: NodeType, data: String): Node =
+    new Node(tpe, data, NoAttrs, NoChildren)
+
   /** Elements that never have children. */
   private val voidElements = Set(
     "area", "base", "br", "col", "embed", "hr", "img", "input",
@@ -93,7 +105,7 @@ object HtmlDom {
 
     def emitText(start: Int, end: Int): Unit =
       if (end > start)
-        top.children += new Node(TextNode, decodeEntities(input.substring(start, end)))
+        top.children += leaf(TextNode, decodeEntities(input.substring(start, end)))
 
     while (i < n) {
       val lt = input.indexOf('<', i)
@@ -132,14 +144,14 @@ object HtmlDom {
               if (rawTextElements.contains(tag)) {
                 val close = indexOfIgnoreCase(input, "</" + tag, i)
                 val end = if (close < 0) n else close
-                if (end > i) node.children += new Node(TextNode, input.substring(i, end))
+                if (end > i) node.children += leaf(TextNode, input.substring(i, end))
                 val gt = input.indexOf('>', end)
                 i = if (close < 0) n else (if (gt < 0) n else gt + 1)
               } else stack += node
             }
           case _ =>
             // stray '<' — treat as text
-            top.children += new Node(TextNode, "<")
+            top.children += leaf(TextNode, "<")
             i = lt + 1
         }
       }

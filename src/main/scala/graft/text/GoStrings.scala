@@ -33,18 +33,32 @@ object GoStrings {
     if (i == 0 && j == s.length) s else s.substring(i, j)
   }
 
-  /** Go strings.Fields: split around runs of whitespace, no empties. */
+  /** Go strings.Fields: split around runs of whitespace, no empties.
+    * Two-scan (count, then fill an exact-size array): this sits on the
+    * extraction hot path where allocation rate is the 16-thread scaling
+    * limiter (StageProbe profile), so no growable buffer, no copy. */
   def fields(s: String): Array[String] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    var i = 0
     val n = s.length
+    var count = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && isSpace(s.charAt(i))) i += 1
+      if (i < n) {
+        count += 1
+        while (i < n && !isSpace(s.charAt(i))) i += 1
+      }
+    }
+    if (count == 0) return Array.empty
+    val out = new Array[String](count)
+    var k = 0
+    i = 0
     while (i < n) {
       while (i < n && isSpace(s.charAt(i))) i += 1
       val start = i
       while (i < n && !isSpace(s.charAt(i))) i += 1
-      if (i > start) out += s.substring(start, i)
+      if (i > start) { out(k) = s.substring(start, i); k += 1 }
     }
-    out.toArray
+    out
   }
 
   /** Go strings.TrimSuffix. */
