@@ -29,15 +29,28 @@ object MediaOcr {
 
   private val langs = Array("en", "de", "fr", "es")
 
-  /** splitmix64 over the UTF-8 bytes of `s` — stable across JVMs. */
+  /** splitmix64 over the UTF-8 bytes of `s` — stable across JVMs.
+    * ASCII fast path hashes chars directly (for ASCII, char == UTF-8
+    * byte) without materializing a byte[]; media_refs are ASCII, and
+    * this runs once per media span on the extraction hot path. */
   def hash64(s: String): Long = {
+    val n = s.length
+    var ascii = true
+    var i = 0
+    while (ascii && i < n) { if (s.charAt(i) >= 0x80) ascii = false else i += 1 }
     var h = 0x9E3779B97F4A7C15L
-    s.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
-      h ^= (b & 0xFFL)
+    def mix(b: Long): Unit = {
+      h ^= b
       h *= 0xBF58476D1CE4E5B9L
       h ^= (h >>> 27)
       h *= 0x94D049BB133111EBL
       h ^= (h >>> 31)
+    }
+    if (ascii) {
+      i = 0
+      while (i < n) { mix(s.charAt(i).toLong); i += 1 }
+    } else {
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach(b => mix(b & 0xFFL))
     }
     h
   }

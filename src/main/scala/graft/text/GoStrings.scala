@@ -66,10 +66,39 @@ object GoStrings {
     if (s.endsWith(suf)) s.substring(0, s.length - suf.length) else s
 
   /** Go strconv.ParseFloat(s, 64) with the reference's `_ = err` pattern:
-    * unparseable -> 0.0 (pkg/hocr/parse.go:112-115). */
-  def parseFloatOrZero(s: String): Double =
+    * unparseable -> 0.0 (pkg/hocr/parse.go:112-115).
+    *
+    * Fast path: a pure-digit string of <= 15 chars (optionally '-') is a
+    * long < 2^53, whose double conversion is EXACT — bit-identical to
+    * Double.parseDouble — with zero allocation. Nearly every hOCR bbox
+    * coordinate takes it (they are rendered as integers); anything else
+    * (fractions, exponents, signs, junk) falls through to parseDouble,
+    * because a hand-rolled decimal-fraction parse could diverge in the
+    * last ulp (double rounding) and break byte parity. */
+  def parseFloatOrZero(s: String): Double = {
+    val n = s.length
+    if (n > 0 && n <= 15) {
+      var i = 0
+      var neg = false
+      if (s.charAt(0) == '-') { neg = true; i = 1 }
+      if (i < n) {
+        var allDigits = true
+        var j = i
+        while (allDigits && j < n) {
+          val c = s.charAt(j)
+          if (c >= '0' && c <= '9') j += 1 else allDigits = false
+        }
+        if (allDigits) {
+          var v = 0L
+          var k = i
+          while (k < n) { v = v * 10 + (s.charAt(k) - '0'); k += 1 }
+          return if (neg) -v.toDouble else v.toDouble
+        }
+      }
+    }
     try java.lang.Double.parseDouble(s)
     catch { case _: NumberFormatException => 0.0 }
+  }
 
   /** Go strconv.Atoi with `_ = err` -> 0 (pkg/hocr/parse.go:221). */
   def atoiOrZero(s: String): Int =

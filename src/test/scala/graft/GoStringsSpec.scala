@@ -27,6 +27,39 @@ class GoStringsSpec extends AnyFunSuite {
     assert(atoiOrZero("4.2") == 0)
   }
 
+  test("parseFloatOrZero integer fast path is bit-identical to parseDouble") {
+    // exhaustive-ish sweep over the fast-path shapes plus edge forms that
+    // must FALL THROUGH (signs, fractions, exponents, emptiness)
+    val rnd = new scala.util.Random(42)
+    val cases = Seq("0", "-0", "7", "40", "612", "999999999999999", "-999999999999999",
+      "1234567890123456" /* 16 digits: beyond fast path */,
+      "007", "-007", "", "-", "+5", "5.5", "-5.5", "1e3", " 5", "5 ") ++
+      (1 to 2000).map(_ => rnd.nextLong(1000000000000000L).toString) ++
+      (1 to 2000).map(_ => (-rnd.nextLong(1000000000000000L)).toString)
+    cases.foreach { s =>
+      val expect = try java.lang.Double.parseDouble(s) catch { case _: NumberFormatException => 0.0 }
+      val got = parseFloatOrZero(s)
+      assert(java.lang.Double.doubleToRawLongBits(got) == java.lang.Double.doubleToRawLongBits(expect),
+        s"parseFloatOrZero('$s') = $got != $expect")
+    }
+  }
+
+  test("hash64 ASCII fast path == UTF-8 byte path") {
+    def slow(s: String): Long = {
+      var h = 0x9E3779B97F4A7C15L
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+        h ^= (b & 0xFFL)
+        h *= 0xBF58476D1CE4E5B9L
+        h ^= (h >>> 27)
+        h *= 0x94D049BB133111EBL
+        h ^= (h >>> 31)
+      }
+      h
+    }
+    Seq("", "img://page/0/0", "pdf://k/123", "a", "𝔤𝔯𝔞𝔟", "héllo", "mixed𝔤ascii")
+      .foreach(s => assert(graft.layout.MediaOcr.hash64(s) == slow(s), s"hash64('$s')"))
+  }
+
   test("goFloat = Go %v for float64 (no trailing .0, 'g' exponent rules)") {
     assert(goFloat(100.0) == "100")
     assert(goFloat(100.5) == "100.5")
