@@ -367,15 +367,21 @@ object DedupQ {
        |sims AS (SELECT doc_id, CAST($assemble AS BIGINT) AS sh FROM v)""".stripMargin
   }
 
-  /** @param shr  engine spelling of `(x >> n)`  (n a literal int)
+  /** The block/candidate tail over an existing `simsRel(doc_id, sh)`
+    * relation — CTE list WITHOUT the leading WITH so it composes either
+    * with the vote CTEs (oracle, single statement) or over a cached
+    * sims view (Spark, where CTE INLINING would otherwise re-expand the
+    * 60-vote token aggregation into every reference: the naive
+    * single-statement plan contained 32 Generate nodes — the token
+    * explode computed 32 times).
+    * @param shr  engine spelling of `(x >> n)`  (n a literal int)
     * @param xor  engine spelling of `xor(a, b)` */
-  private def simhashNeardupCore(tokClause: String,
+  private def simhashNeardupTail(simsRel: String,
       shr: (String, Int) => String, xor: (String, String) => String): String = {
     val blockRows = (0 until 4).map { b =>
-      s"SELECT doc_id, $b AS blk, (${shr("sh", 15 * b)} & 32767) AS bv, sh FROM sims"
+      s"SELECT doc_id, $b AS blk, (${shr("sh", 15 * b)} & 32767) AS bv, sh FROM $simsRel"
     }.mkString("\n       UNION ALL ")
-    s"""WITH ${simhash60Votes(tokClause)},
-       |blocks AS (
+    s"""blocks AS (
        |       $blockRows),
        |bsz AS (SELECT blk, bv, COUNT(*) AS bn FROM blocks GROUP BY blk, bv),
        |capped AS (SELECT blocks.doc_id, blocks.blk, blocks.bv, blocks.sh
@@ -389,11 +395,22 @@ object DedupQ {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  private def simhashNeardupCore(tokClause: String,
+      shr: (String, Int) => String, xor: (String, String) => String): String =
+    s"""WITH ${simhash60Votes(tokClause)},
+       |${simhashNeardupTail("sims", shr, xor)}""".stripMargin
+
   def qSimhashNeardup(s: SparkSession, dir: String): DataFrame = {
     documents(s, dir).createOrReplaceTempView("documents")
-    s.sql(simhashNeardupCore(
-      "SELECT doc_id, t FROM documents LATERAL VIEW explode(split(trim(text), '\\\\s+')) AS t",
-      (x, n) => s"shiftright($x, $n)", (a, b) => s"($a ^ $b)"))
+    // the expensive part — one pass over the token stream — runs ONCE and
+    // is cached (same policy as the other self-join temporaries); the
+    // tail's blocks/bsz/capped/cand then re-read the 1-row-per-doc cache
+    val sims = s.sql(
+      s"""WITH ${simhash60Votes(
+           "SELECT doc_id, t FROM documents LATERAL VIEW explode(split(trim(text), '\\\\s+')) AS t")}
+         |SELECT doc_id, sh FROM sims""".stripMargin).cache()
+    sims.createOrReplaceTempView("sims60")
+    s.sql(s"WITH ${simhashNeardupTail("sims60", (x, n) => s"shiftright($x, $n)", (a, b) => s"($a ^ $b)")}")
   }
 
   val qSimhashNeardupSql: String = simhashNeardupCore(

@@ -147,10 +147,14 @@ object TextAnalysisQ {
     * across engines in the last ulp): global character-bigram counts
     * over the corpus, then each doc scored by the mean corpus frequency
     * of its own bigrams. Rare-glyph/garbled docs score low — a standard
-    * pipeline quality filter. Plan: the global table is a tiny
-    * aggregate (distinct bigrams), broadcast back against the bigram
-    * stream — one shuffle for the global agg, one for the per-doc agg,
-    * no sort until the final output ORDER BY. */
+    * pipeline quality filter. Plan: the raw char-bigram stream folds
+    * FIRST into a per-(doc, bigram) histogram — one shuffle with full
+    * map-side partial aggregation, whose Exchange is then CONSUMED
+    * TWICE via Catalyst's ReuseExchange (once by the global bigram
+    * counts, once by the per-doc join side), so the explode and the
+    * histogram are computed exactly once; the tiny global table
+    * broadcasts back and the final per-doc agg recombines counts
+    * (sum(cnt), sum(cnt*gc)) instead of re-touching every position. */
   def qBigramFamiliarity(s: SparkSession, dir: String): DataFrame = {
     val bi = documents(s, dir)
       .select(col("doc_id"), lower(regexp_replace(col("text"), "\\s+", " ")).as("t"))
@@ -158,10 +162,15 @@ object TextAnalysisQ {
         explode(sequence(lit(1), greatest(length(col("t")) - 1, lit(0)))).as("i"), col("t"))
       .filter(col("i") <= length(col("t")) - 1)
       .select(col("doc_id"), expr("substr(t, i, 2)").as("b"))
-    val global = bi.groupBy(col("b")).agg(count(lit(1)).as("gc"))
-    bi.join(broadcast(global), Seq("b"))
+    // shared by the global agg AND the join side; cache() (same policy as
+    // DedupQ's self-join temporaries) because Catalyst's ReuseExchange
+    // does not fire across the broadcast boundary here — without it the
+    // explode would run twice
+    val hist = bi.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt")).cache()
+    val global = hist.groupBy(col("b")).agg(sum(col("cnt")).as("gc"))
+    hist.join(broadcast(global), Seq("b"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("gc")).as("sum_gc"))
+      .agg(sum(col("cnt")).as("n_bigrams"), sum(col("cnt") * col("gc")).as("sum_gc"))
       .select(col("doc_id"), col("n_bigrams"),
         round(col("sum_gc").cast("double") / col("n_bigrams"), 4).as("familiarity"))
       .orderBy(col("doc_id"))
