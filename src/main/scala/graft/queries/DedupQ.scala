@@ -400,17 +400,43 @@ object DedupQ {
     s"""WITH ${simhash60Votes(tokClause)},
        |${simhashNeardupTail("sims", shr, xor)}""".stripMargin
 
-  def qSimhashNeardup(s: SparkSession, dir: String): DataFrame = {
+  /** The 60-vote sims aggregation alone — the expensive single pass
+    * over the token stream (also probed standalone by SimhashProbe). */
+  private[graft] def simhash60Sims(s: SparkSession, dir: String): DataFrame = {
     documents(s, dir).createOrReplaceTempView("documents")
-    // the expensive part — one pass over the token stream — runs ONCE and
-    // is cached (same policy as the other self-join temporaries); the
-    // tail's blocks/bsz/capped/cand then re-read the 1-row-per-doc cache
-    val sims = s.sql(
+    s.sql(
       s"""WITH ${simhash60Votes(
            "SELECT doc_id, t FROM documents LATERAL VIEW explode(split(trim(text), '\\\\s+')) AS t")}
-         |SELECT doc_id, sh FROM sims""".stripMargin).cache()
-    sims.createOrReplaceTempView("sims60")
-    s.sql(s"WITH ${simhashNeardupTail("sims60", (x, n) => s"shiftright($x, $n)", (a, b) => s"($a ^ $b)")}")
+         |SELECT doc_id, sh FROM sims""".stripMargin)
+  }
+
+  def qSimhashNeardup(s: SparkSession, dir: String): DataFrame = {
+    // the expensive part — one pass over the token stream — runs ONCE
+    // into a cached 1-row-per-doc relation (same policy as the other
+    // self-join temporaries). The tail is DataFrame ops ON THE CACHED
+    // OBJECT, not SQL over a view: re-stating the tail as SQL left the
+    // analyzer re-expanding the view into every CTE reference without
+    // cache substitution (executed plan: 32 Generate nodes, zero
+    // InMemoryTableScan) — lineage on the DataFrame itself guarantees
+    // the InMemoryRelation is what every branch scans.
+    val sims = simhash60Sims(s, dir).cache()
+    val blocks = (0 until 4).map { b =>
+      sims.select(col("doc_id"), lit(b).as("blk"),
+        shiftright(col("sh"), 15 * b).bitwiseAND(lit(32767L)).as("bv"), col("sh"))
+    }.reduce(_ unionAll _)
+    val bsz = blocks.groupBy(col("blk"), col("bv")).agg(count(lit(1)).as("bn"))
+    val capped = blocks.join(bsz, Seq("blk", "bv"))
+      .filter(col("bn") <= MaxLshBucket)
+      .select(col("doc_id"), col("blk"), col("bv"), col("sh"))
+    val left = capped.select(col("doc_id").as("doc_a"), col("blk"), col("bv"), col("sh").as("sha"))
+    val right = capped.select(col("doc_id").as("doc_b"), col("blk"), col("bv"), col("sh").as("shb"))
+    left.join(right, Seq("blk", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sha"), col("shb")).distinct()
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(bit_count(sha ^ shb) AS INT)").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   val qSimhashNeardupSql: String = simhashNeardupCore(
