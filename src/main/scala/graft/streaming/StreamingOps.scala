@@ -96,6 +96,21 @@ object StreamingOps {
           i.as("order"))).as("span_seq"))
   }
 
+  /** Streaming exact dedup: the incremental form of q_dedup_exact —
+    * content-fingerprint `dropDuplicates` bounded by an event-time
+    * watermark, the standard shape for deduplicating a live ingestion
+    * feed (state for fingerprints older than the watermark is evicted,
+    * so the state store stays bounded; a duplicate arriving later than
+    * the watermark horizon is by contract out of scope — the batch
+    * dedup sweep owns the long tail). Emits the first-seen row per
+    * fingerprint with the fingerprint attached. */
+  def dedupStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("fp", md5(lower(regexp_replace(col("text"), "\\s+", " ")).cast("binary")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("fp")
+
   /** Drive a streaming query over the static events parquet (memory sink,
     * synchronous) and return the sink table. */
   def runWindowedOverDir(spark: SparkSession, sfDir: String, queryName: String): DataFrame = {

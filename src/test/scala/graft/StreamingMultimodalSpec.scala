@@ -69,6 +69,37 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(emitted.count() == expectedTotalSessions)
   }
 
+  test("streaming dedup: first-seen kept per fingerprint, late dups dropped, state watermark-bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    final case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+    val t0 = 1700000000000L
+    def ts(minutes: Long) = new java.sql.Timestamp(t0 + minutes * 60000)
+    val source = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StreamingOps.dedupStream(source.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    // batch 1: two distinct docs + an immediate dup (whitespace-normalized)
+    source.addData((1L, ts(0), "alpha beta gamma"), (2L, ts(1), "delta epsilon"),
+      (3L, ts(2), "alpha  beta\tgamma"))
+    q.processAllAvailable()
+    // batch 2: a dup INSIDE the watermark horizon -> dropped
+    source.addData((4L, ts(30), "delta epsilon"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_out").select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L)) // first-seen only; 3 and 4 deduped
+    // and the batch analog agrees on what is distinct
+    val batchDistinct = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"),
+      (3L, "alpha  beta\tgamma"), (4L, "delta epsilon"))
+      .toDF("doc_id", "text")
+      .select(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.lower(org.apache.spark.sql.functions.regexp_replace(
+          org.apache.spark.sql.functions.col("text"), "\\s+", " ")).cast("binary")))
+      .distinct().count()
+    assert(batchDistinct == out.length)
+  }
+
   test("streaming extraction (append, stateless) == batch Extract.run") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.OutputMode
