@@ -23,6 +23,7 @@ object SparkEntry {
     graft.queries.TextAnalysisQ.all ++
     graft.queries.CorpusQ.all ++
     graft.queries.IngestQ.all ++
+    graft.queries.SampleQ.all ++
     graft.queries.DedupQ.all ++
     graft.queries.SimilarityQ.all ++
     graft.queries.PositionedQ.all ++

@@ -1,0 +1,67 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Deterministic sampling/splitting/mixing — the selection operators a
+  * training-data pipeline runs after curation. All hash-based (md5 of
+  * the doc id), NEVER rand(): reproducible across runs, engines,
+  * cluster sizes, and corpus growth (a doc's sample/split fate never
+  * changes when other docs are added — count-based splits reshuffle
+  * everything). One shared SQL formula string runs through spark.sql
+  * AND DuckDB verbatim, so the oracle checks the exact arithmetic.
+  *
+  * Scale: each query is one narrow projection + (for the mix) one
+  * partial-agg groupBy on `source` — no joins, no windows; the md5
+  * bucket is codegen'd scalar work in the scan stage. */
+object SampleQ {
+
+  /** First 4 hex nibbles of md5(doc_id) as an integer bucket in
+    * [0, 65536) — the shared sampling coordinate. */
+  private val bucketExpr: String = {
+    def nib(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})"
+  }
+
+  private def core(select: String, tail: String = ""): String =
+    s"""WITH h AS (SELECT doc_id, source, md5(CAST(doc_id AS STRING)) AS h FROM documents),
+       |b AS (SELECT doc_id, source, CAST($bucketExpr AS BIGINT) AS bucket FROM h)
+       |$select
+       |$tail""".stripMargin
+
+  /** ~10% deterministic sample: bucket < 6554 (6554/65536). */
+  private val sampleSql: String = core(
+    "SELECT doc_id, bucket FROM b WHERE bucket < 6554",
+    "ORDER BY doc_id")
+
+  /** 90/5/5 train/val/test split, stable under corpus growth. */
+  private val splitSql: String = core(
+    """SELECT doc_id, bucket,
+      | CASE WHEN bucket < 58982 THEN 'train'
+      |      WHEN bucket < 62259 THEN 'val'
+      |      ELSE 'test' END AS split FROM b""",
+    "ORDER BY doc_id")
+
+  /** Source mixing: per-source keep fractions (the data-mixture knob) —
+    * src0 keeps all, src1 half, src2 a quarter, everything else 10%. */
+  private val mixSql: String = core(
+    """SELECT source,
+      | COUNT(*) AS n_docs,
+      | CAST(SUM(CASE WHEN bucket < (CASE source
+      |     WHEN 'src0' THEN 65536 WHEN 'src1' THEN 32768
+      |     WHEN 'src2' THEN 16384 ELSE 6554 END) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      | ROUND(CAST(SUM(CASE WHEN bucket < (CASE source
+      |     WHEN 'src0' THEN 65536 WHEN 'src1' THEN 32768
+      |     WHEN 'src2' THEN 16384 ELSE 6554 END) THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS kept_ratio
+      |FROM b GROUP BY source""",
+    "ORDER BY source")
+
+  private def run(sql: String)(s: SparkSession, dir: String): DataFrame = {
+    s.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    s.sql(sql)
+  }
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_hash_sample" -> ((run(sampleSql) _, Some(sampleSql))),
+    "q_corpus_split" -> ((run(splitSql) _, Some(splitSql))),
+    "q_source_mix" -> ((run(mixSql) _, Some(mixSql))))
+}
