@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.SampleQ
+
+/** Hash-based sampling/split/mix invariants (exact values are pinned by
+  * the DuckDB oracle; these pin the SEMANTIC properties). */
+class SampleQSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("split partitions the corpus, ratios near 90/5/5, stable across reruns") {
+    val q = SampleQ.all("q_corpus_split")._1
+    val rows = q(spark, dir).collect().map(r => r.getLong(0) -> r.getString(2))
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.length == total) // every doc gets exactly one split
+    val frac = rows.groupBy(_._2).view.mapValues(_.length.toDouble / total).toMap
+    assert(frac("train") > 0.8 && frac("train") < 0.97, frac)
+    assert(frac.values.sum == 1.0)
+    // determinism: same assignment on a second run
+    assert(q(spark, dir).collect().map(r => r.getLong(0) -> r.getString(2)).toMap == rows.toMap)
+  }
+
+  test("sample is a subset consistent with the split buckets") {
+    val sample = SampleQ.all("q_hash_sample")._1(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // every sampled bucket < 6554, and sampled docs are a strict subset
+    assert(sample.values.forall(_ < 6554))
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(sample.size > 0 && sample.size < total)
+  }
+
+  test("mix keeps everything from src0 and respects per-source monotone fractions") {
+    val mix = SampleQ.all("q_source_mix")._1(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (n0, k0) = mix("src0")
+    assert(n0 == k0) // src0 keeps 100%
+    mix.foreach { case (_, (n, k)) => assert(k <= n) }
+  }
+}
