@@ -180,7 +180,48 @@ object CorpusQ {
        |  CAST(CASE WHEN reason = 'kept' THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
        |FROM r ORDER BY doc_id""".stripMargin
 
+  /** PII detection + redaction. The synthetic corpus carries no PII, so
+    * the query INJECTS it deterministically first (docs with
+    * doc_id % 7 == 0 get an email, % 11 == 0 a URL — fixture-in-query,
+    * the q_pdf_roundtrip pattern), then counts and redacts. The regexes
+    * use only syntax with identical semantics in Java regex (Spark) and
+    * RE2 (DuckDB): char classes, +, literal dots. Redaction correctness
+    * is pinned by the md5 of the redacted text. */
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+"
+  private val UrlRe = "https?://[a-z0-9./_-]+"
+
+  def qPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val injected = concat(
+      col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" contact user"), col("doc_id"), lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" see https://example.org/doc/"), col("doc_id"))).otherwise(lit("")))
+    documents(s, dir)
+      .select(col("doc_id"), injected.as("t"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(UrlRe), lit(0))).cast("long").as("n_urls"),
+        md5(regexp_replace(regexp_replace(col("t"), EmailRe, "<EMAIL>"), UrlRe, "<URL>")
+          .cast("binary")).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qPiiRedactSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |  text ||
+       |  (CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS STRING) || '@example.com' ELSE '' END) ||
+       |  (CASE WHEN doc_id % 11 = 0 THEN ' see https://example.org/doc/' || CAST(doc_id AS STRING) ELSE '' END) AS t
+       |FROM documents)
+       |SELECT doc_id,
+       |  CAST(length(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(length(regexp_extract_all(t, '$UrlRe')) AS BIGINT) AS n_urls,
+       |  md5(regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'), '$UrlRe', '<URL>', 'g')) AS redacted_md5
+       |FROM t ORDER BY doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_pii_redact" -> ((qPiiRedact _, Some(qPiiRedactSql))),
     "q_repetition_signals" -> ((qRepetitionSignals _, Some(qRepetitionSignalsSql))),
     "q_prefix_dedup" -> ((qPrefixDedup _, Some(qPrefixDedupSql))),
     "q_tfidf_terms" -> ((qTfidfTerms _, Some(qTfidfTermsSql))),

@@ -108,6 +108,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: PDF emit -> parse -> modify round-trip over random hOCR trees") {
+    import graft.pdf.{PdfOps, PdfParse, PdfRender}
+    samples(genHocr, 25).foreach { h =>
+      PdfRender.applyOcrPdf(h, layerNameBase = "Scan Text") match {
+        case Left(e) =>
+          // only the reference's >10%-encoding-errors gate may refuse
+          assert(e.contains("character encoding issues"), e)
+        case Right(src) =>
+          // parse: page count and MediaBox from every emitted page
+          val doc = PdfParse.parse(src.pdf).toOption.get
+          val pages = doc.pages.toOption.get
+          assert(pages.length == h.pages.length)
+          pages.zip(h.pages).foreach { case (p, hp) =>
+            assert(p.mediaBox.exists { case (_, _, x2, y2) =>
+              math.abs(x2 - hp.bbox.x2) < 0.01 && math.abs(y2 - hp.bbox.y2) < 0.01 })
+            assert(p.contentObjs.nonEmpty)
+            assert(doc.decodedStream(p.contentObjs.head).isRight)
+          }
+          // modify: import every page under a new layer; result reparses
+          // with the same page count and carries both layer families
+          PdfRender.modifyExistingPdf(src.pdf, h) match {
+            case Left(e) => assert(e.contains("character encoding issues"), e)
+            case Right(out) =>
+              val re = PdfParse.parse(out.pdf).toOption.get
+              assert(re.pages.toOption.get.length == h.pages.length)
+              val layers = PdfOps.detectPdfLayers(out.pdf).toOption.get
+              assert(layers.exists(_.startsWith("OCR Text")) &&
+                layers.exists(_.startsWith("Scan Text")), layers)
+          }
+      }
+    }
+  }
+
   test("property: trimSpace/fields laws") {
     val genWs = Gen.listOf(Gen.oneOf("a", "b", " ", "\t", "\n", " ", "")).map(_.mkString)
     samples(genWs, 300).foreach { s =>
