@@ -319,8 +319,17 @@ object PdfParse {
     }
   }
 
-  /** Parse a whole document via its classic xref table(s). */
-  def parse(pdf: Array[Byte]): Either[String, PdfDoc] = {
+  /** Parse a whole document via its classic xref table(s). Never throws:
+    * structurally corrupt input (truncated xref entries, offsets past
+    * EOF, bad numbers) comes back as Left, not a runtime exception — the
+    * modify path must degrade into the reference's error channel. */
+  def parse(pdf: Array[Byte]): Either[String, PdfDoc] =
+    try parseUnsafe(pdf)
+    catch {
+      case e: RuntimeException => Left(s"corrupt PDF structure: ${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+
+  private def parseUnsafe(pdf: Array[Byte]): Either[String, PdfDoc] = {
     if (pdf.isEmpty) return Left("empty PDF data")
     val text = new String(pdf, ISO_8859_1)
     if (!text.startsWith("%PDF-")) return Left("not a PDF (missing %PDF- header)")

@@ -133,5 +133,25 @@ class PdfModifySpec extends AnyFunSuite {
     val xs = "%PDF-1.5\n7 0 obj\n<< /Type /XRef >>\nstream\nx\nendstream\nendobj\nstartxref\n9\n%%EOF\n"
     assert(PdfParse.parse(xs.getBytes(ISO_8859_1))
       .left.exists(_.contains("not supported")))
+    // structurally corrupt inputs must come back as Left, never throw:
+    // truncated xref entries, offsets past EOF, garbage offsets
+    // startxref points AT the truncated table: entry parsing must hit the
+    // short row and come back Left (via the corrupt-structure catch)
+    val truncated = "%PDF-1.4\nxref\n0 3\n0000000000 65535 f \n00000\nstartxref\n9\n%%EOF\n"
+      .getBytes(ISO_8859_1)
+    val good = flateSource("x")
+    val goodText = new String(good, ISO_8859_1)
+    val pastEof = goodText.replaceAll("startxref\n\\d+", "startxref\n999999999").getBytes(ISO_8859_1)
+    Seq(
+      truncated,
+      "%PDF-1.4\nstartxref\nnotanumber\n%%EOF".getBytes(ISO_8859_1),
+      pastEof,
+      good.take(40).toArray // cut mid-object
+    ).foreach { bytes =>
+      PdfParse.parse(bytes) match {
+        case Left(_) => // ok
+        case Right(_) => fail("corrupt input parsed successfully")
+      }
+    }
   }
 }
