@@ -220,7 +220,44 @@ object CorpusQ {
        |  md5(regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'), '$UrlRe', '<URL>', 'g')) AS redacted_md5
        |FROM t ORDER BY doc_id""".stripMargin
 
+  /** Exact per-source token-count percentiles by rank arithmetic (the
+    * value at rank ceil(p*n), lower-rank convention) — no approximate
+    * sketch, so the oracle can hash-compare. Ties in the ORDER BY are
+    * harmless: every row in a tie run carries the same n_tok, so the
+    * value AT any rank is well-defined regardless of which row gets it.
+    * Plan: one window shuffle on source; the sort is per-source. At
+    * production scale the same rank arithmetic runs per partition-key
+    * group; a global percentile would use approx_percentile instead
+    * (documented trade: sketches are not oracle-exact). */
+  def qLengthPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val t = documents(s, dir).select(col("source"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+    val w = Window.partitionBy(col("source")).orderBy(col("n_tok"))
+    val n = Window.partitionBy(col("source"))
+    def pick(p: Double) =
+      max(when(col("rn") === ceil(col("n") * p).cast("long"), col("n_tok")))
+    t.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(n))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"),
+        pick(0.50).as("p50"), pick(0.90).as("p90"), pick(0.99).as("p99"))
+      .orderBy(col("source"))
+  }
+
+  val qLengthPercentilesSql: String =
+    """WITH t AS (SELECT source,
+      |  CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok FROM documents),
+      |r AS (SELECT source, n_tok,
+      |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tok) AS rn,
+      |  COUNT(*) OVER (PARTITION BY source) AS n FROM t)
+      |SELECT source, MAX(n) AS n_docs,
+      |  MAX(CASE WHEN rn = CAST(CEIL(n * 0.50) AS BIGINT) THEN n_tok END) AS p50,
+      |  MAX(CASE WHEN rn = CAST(CEIL(n * 0.90) AS BIGINT) THEN n_tok END) AS p90,
+      |  MAX(CASE WHEN rn = CAST(CEIL(n * 0.99) AS BIGINT) THEN n_tok END) AS p99
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_length_percentiles" -> ((qLengthPercentiles _, Some(qLengthPercentilesSql))),
     "q_pii_redact" -> ((qPiiRedact _, Some(qPiiRedactSql))),
     "q_repetition_signals" -> ((qRepetitionSignals _, Some(qRepetitionSignalsSql))),
     "q_prefix_dedup" -> ((qPrefixDedup _, Some(qPrefixDedupSql))),
