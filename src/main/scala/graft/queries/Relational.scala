@@ -330,7 +330,48 @@ object Relational {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  /** Left-anti join — the relational witness for the G-13 d/e
+    * "unassigned fallback" shape (paragraphs contained in NO block ->
+    * page-direct): customers with no high-value order (the unfiltered
+    * anti-join is vacuous on this data — every customer has orders).
+    * At fact scale the anti-join shuffles like the inner join would;
+    * the price filter pushes to the orders scan. */
+  def qAntiJoin(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .join(orders(s, dir).filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .orderBy(col("c_custkey"))
+
+  val qAntiJoinSql: String =
+    """SELECT c_custkey, c_name, c_nationkey
+      |FROM customer ANTI JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+      |  ON c_custkey = o_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Relation-level set ops (EXCEPT/INTERSECT): event types that occur
+    * for low-value events but never for high-value ones, and the types
+    * common to both (inputs are distinct, so ALL == set semantics). */
+  def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val lo = events(s, dir).filter(col("value") < 10).select(col("event_type")).distinct()
+    val hi = events(s, dir).filter(col("value") >= 10).select(col("event_type")).distinct()
+    lo.exceptAll(hi).select(col("event_type"), org.apache.spark.sql.functions.lit("only_low").as("bucket"))
+      .unionAll(lo.intersectAll(hi)
+        .select(col("event_type"), org.apache.spark.sql.functions.lit("both").as("bucket")))
+      .orderBy(col("bucket"), col("event_type"))
+  }
+
+  val qSetOpsSql: String =
+    """WITH lo AS (SELECT DISTINCT event_type FROM events WHERE value < 10),
+      |hi AS (SELECT DISTINCT event_type FROM events WHERE value >= 10)
+      |SELECT event_type, 'only_low' AS bucket FROM (SELECT event_type FROM lo EXCEPT SELECT event_type FROM hi)
+      |UNION ALL
+      |SELECT event_type, 'both' AS bucket FROM (SELECT event_type FROM lo INTERSECT SELECT event_type FROM hi)
+      |ORDER BY bucket, event_type""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_anti_join" -> ((qAntiJoin _, Some(qAntiJoinSql))),
+    "q_set_ops" -> ((qSetOps _, Some(qSetOpsSql))),
     "q_rollup_revenue" -> ((qRollupRevenue _, Some(qRollupRevenueSql))),
     "q_brand_stats" -> ((qBrandStats _, Some(qBrandStatsSql))),
     "q_asof_join" -> ((qAsofJoin _, Some(qAsofJoinSql))),
