@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorExprs.{hyperplaneBucket, qdot}
+
 /** Similarity search over the embeddings table (Array[Float], 64-dim).
   *
   * Exactness strategy (int-quantized cosine, the int8-quantization idiom
@@ -20,26 +22,27 @@ object SimilarityQ {
   def embeddings(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
-  private def decVec(c: Column): Column =
-    transform(c, (x: Column) => round(x.cast("double") * 1000).cast("long"))
-
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x: Column, y: Column) => x * y),
-      lit(0L), (acc: Column, x: Column) => acc + x)
+  /** All dot products and signatures below run through the native codegen
+    * expressions (graft.functions.VectorExprs) — value-pinned to the
+    * original transform/zip_with/aggregate formulation by VectorExprSpec.
+    * Plans carry the raw 4-byte-float arrays plus a precomputed per-ROW
+    * self-norm, so each candidate PAIR costs one fused codegen dot
+    * instead of three interpreted higher-order-function chains. */
 
   /** Brute-force cosine top-10 per query vector (vec_id < 5). This is the
     * correctness baseline; the LSH-bucketed variant below is the scale
     * path. Query side is tiny -> broadcast; candidates stream. */
   def qAnnCosine(s: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(s, dir).select(col("vec_id"), decVec(col("embedding")).as("v"))
+    val e = embeddings(s, dir).select(col("vec_id"), col("embedding").as("v"),
+      qdot(col("embedding"), col("embedding")).as("nrm"))
     val q = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
     val joined = e.filter(col("vec_id") >= 5).as("c")
       .join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cid"),
-        dot(col("qv"), col("v")).cast("double").as("dp"),
-        dot(col("qv"), col("qv")).cast("double").as("qq"),
-        dot(col("v"), col("v")).cast("double").as("cc"))
+        qdot(col("qv"), col("v")).cast("double").as("dp"),
+        col("qnrm").cast("double").as("qq"),
+        col("nrm").cast("double").as("cc"))
       .select(col("qid"), col("cid"), (col("dp") / (sqrt(col("qq")) * sqrt(col("cc")))).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     joined.withColumn("rank", row_number().over(w))
@@ -83,16 +86,11 @@ object SimilarityQ {
     }
   }
 
-  /** Signature bucket as a NARROW per-row expression: no posexplode to
-    * 64 rows, no re-grouping shuffle, no md5 at execution — zip_with
-    * against the literal sign row, integer dot, sign test per plane. */
-  private def bucketCol(v: Column): Column =
-    (0 until 8).map { h =>
-      val dotH = aggregate(
-        zip_with(typedLit(hyperplaneSigns(h).toSeq), v, (sgn: Column, x: Column) => sgn * x),
-        lit(0L), (acc: Column, t: Column) => acc + t)
-      when(dotH > 0, lit(1 << h)).otherwise(lit(0))
-    }.reduce(_ + _)
+  /** Signature bucket as a NARROW per-row codegen expression: no
+    * posexplode to 64 rows, no re-grouping shuffle, no md5 at execution —
+    * one generated loop over the raw float vector against the literal
+    * sign table ([[org.apache.spark.sql.graft.HyperplaneBucket]]). */
+  private def bucketCol(v: Column): Column = hyperplaneBucket(v, hyperplaneSigns)
 
   /** Scale path: random-hyperplane LSH bucketing. Vectors meet only
     * within a bucket (equi-join on the signature), never all-pairs.
@@ -104,7 +102,7 @@ object SimilarityQ {
       // those vecs never reach sigs — match that, or they'd land in
       // bucket 0 here (empty aggregate => dot 0 on every plane)
       .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
-      .select(bucketCol(decVec(col("embedding"))).as("bucket"), col("vec_id"))
+      .select(bucketCol(col("embedding")).as("bucket"), col("vec_id"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
       .orderBy(col("bucket"))
@@ -166,27 +164,29 @@ object SimilarityQ {
     * scale: O(pairs-within-surviving-buckets), shuffle on the bucket key.
     *
     * Spark plan (vs the oracle's CTE spelling, which this matches value-
-    * for-value): signatures are the narrow [[bucketCol]] expression —
-    * no 64-row posexplode, no md5 per row — and the signature relation
-    * is CACHED so the self-join reads it twice instead of recomputing
-    * the lineage twice; the exact cosine runs on the carried quantized
-    * arrays (zip_with dot), not a by-dimension join. */
+    * for-value): signatures are the narrow codegen [[bucketCol]]
+    * expression — no 64-row posexplode, no md5 per row — and the
+    * signature relation is CACHED so the self-join reads it twice instead
+    * of recomputing the lineage twice; the exact cosine runs on the
+    * carried raw float arrays (one fused codegen dot per pair, self-norms
+    * precomputed per row), not a by-dimension join. */
   def qEmbedNeardup(s: SparkSession, dir: String): DataFrame = {
     val sigs = embeddings(s, dir)
       .filter(col("embedding").isNotNull && size(col("embedding")) > 0) // match UNNEST semantics
-      .select(col("vec_id"), decVec(col("embedding")).as("v"))
-      .withColumn("bucket", bucketCol(col("v")))
+      .select(col("vec_id"), col("embedding").as("v"),
+        qdot(col("embedding"), col("embedding")).as("nrm"),
+        bucketCol(col("embedding")).as("bucket"))
       .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("bucket"))))
       .filter(col("bn") <= MaxEmbedBucket)
-      .select(col("vec_id"), col("bucket"), col("v"))
+      .select(col("vec_id"), col("bucket"), col("v"), col("nrm"))
       .cache()
     val a = sigs.as("a")
     val b = sigs.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        dot(col("a.v"), col("b.v")).cast("double").as("dp"),
-        dot(col("a.v"), col("a.v")).cast("double").as("qq"),
-        dot(col("b.v"), col("b.v")).cast("double").as("cc"))
+        qdot(col("a.v"), col("b.v")).cast("double").as("dp"),
+        col("a.nrm").cast("double").as("qq"),
+        col("b.nrm").cast("double").as("cc"))
       .select(col("vec_a"), col("vec_b"),
         (col("dp") / (sqrt(col("qq")) * sqrt(col("cc")))).as("sim"))
       .filter(col("sim") >= 0.25)
@@ -208,14 +208,15 @@ object SimilarityQ {
   def qIvfAssign(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)
       .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
-      .select(col("vec_id"), decVec(col("embedding")).as("v"))
+      .select(col("vec_id"), col("embedding").as("v"),
+        qdot(col("embedding"), col("embedding")).as("nrm"))
     val cents = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
     val joined = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"),
-        (dot(col("v"), col("cv")).cast("double") /
-          (sqrt(dot(col("v"), col("v")).cast("double")) *
-           sqrt(dot(col("cv"), col("cv")).cast("double")))).as("sim"))
+        (qdot(col("v"), col("cv")).cast("double") /
+          (sqrt(col("nrm").cast("double")) *
+           sqrt(col("cnrm").cast("double")))).as("sim"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
     joined.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -247,17 +248,18 @@ object SimilarityQ {
     val assign = qIvfAssign(s, dir).select(col("vec_id"), col("centroid")).cache()
     val e = embeddings(s, dir)
       .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
-      .select(col("vec_id"), decVec(col("embedding")).as("v"))
+      .select(col("vec_id"), col("embedding").as("v"),
+        qdot(col("embedding"), col("embedding")).as("nrm"))
     val queries = e.filter(col("vec_id") < 5)
       .join(assign, Seq("vec_id"))
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("centroid"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"), col("centroid"))
     val cands = e.filter(col("vec_id") >= 5).join(assign, Seq("vec_id"))
-      .select(col("vec_id").as("cand_id"), col("v").as("cv"), col("centroid"))
+      .select(col("vec_id").as("cand_id"), col("v").as("cv"), col("nrm").as("cnrm"), col("centroid"))
     val scored = cands.join(broadcast(queries), Seq("centroid"))
       .select(col("qid"), col("cand_id"),
-        (dot(col("qv"), col("cv")).cast("double") /
-          (sqrt(dot(col("qv"), col("qv")).cast("double")) *
-           sqrt(dot(col("cv"), col("cv")).cast("double")))).as("sim"))
+        (qdot(col("qv"), col("cv")).cast("double") /
+          (sqrt(col("qnrm").cast("double")) *
+           sqrt(col("cnrm").cast("double")))).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cand_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)

@@ -1,0 +1,20 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between the public `Column` API and Catalyst `Expression`s.
+  *
+  * Spark 4's `Column` wraps a `ColumnNode` (Connect-compatible layer), not
+  * an `Expression`; the conversion helpers live in
+  * `org.apache.spark.sql.classic.ExpressionUtils` and are `private[sql]`.
+  * This one-object shim sits inside the `org.apache.spark.sql` package so
+  * graft's native codegen expressions (graft.functions) can be used as
+  * ordinary Columns. This is the standard extension-library technique —
+  * zero Spark internals are modified.
+  */
+object ColumnBridge {
+  def of(e: Expression): Column = ExpressionUtils.column(e)
+  def expr(c: Column): Expression = ExpressionUtils.expression(c)
+}
