@@ -22,6 +22,7 @@ object SparkEntry {
     graft.queries.Relational.all ++
     graft.queries.TextAnalysisQ.all ++
     graft.queries.CorpusQ.all ++
+    graft.queries.TrainPrepQ.all ++
     graft.queries.IngestQ.all ++
     graft.queries.SampleQ.all ++
     graft.queries.DedupQ.all ++

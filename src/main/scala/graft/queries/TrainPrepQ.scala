@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-set preparation operators — the steps a pipeline runs AFTER
+  * curation, immediately before tokenization/sharding:
+  *
+  *   - benchmark decontamination (n-gram overlap against a held-out
+  *     eval set — the standard 8-to-13-gram test-set-leak check);
+  *   - sequence packing (concat-and-chunk document packing into fixed
+  *     token-budget training sequences);
+  *   - hashed-linear quality scoring (the fasttext-style "model-based
+  *     quality filter" shape: a linear scorer over hashed token
+  *     features, here with a deterministic md5-derived weight table so
+  *     both engines compute bit-identical integer scores).
+  *
+  * All exact-integer arithmetic (no transcendental functions, no
+  * order-dependent float sums) so every query is DuckDB-hash-comparable.
+  *
+  * Scale notes (100 TB framing):
+  *   - decontamination: the benchmark n-gram set is tiny relative to the
+  *     corpus (an eval suite, not a second corpus) — distinct fps
+  *     broadcast to the corpus-shingle stream; the per-doc hit count
+  *     aggregates with map-side partial combine. The corpus side streams
+  *     one (doc, position) row per shingle through the broadcast probe —
+  *     never a shuffle of the shingle stream itself;
+  *   - packing: the running token total is per-SOURCE (window over the
+  *     source partition) — the production shape packs within a shard so
+  *     no global single-partition sort exists. A corpus-global pack
+  *     would serialize; sharded packing is both the scalable and the
+  *     realistic layout (shards feed data-parallel loaders);
+  *   - linear quality: explode -> md5 -> weight -> re-aggregate, all
+  *     codegen'd builtins with partial aggregation; the weight table is
+  *     a pure expression (no join at all).
+  */
+object TrainPrepQ {
+
+  def documents(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  // ---------------------------------------------------------------- //
+  // q_decontaminate                                                   //
+  // ---------------------------------------------------------------- //
+
+  /** 8-token sentinel phrase. The synthetic corpus has no natural
+    * verbatim 8-gram overlap, so (fixture-in-query, the q_pii_redact
+    * pattern) the query plants it deterministically: every BENCHMARK doc
+    * (doc_id % 97 == 0) and every doc with doc_id % 13 == 0 gets the
+    * phrase appended — the latter are the "contaminated" training docs
+    * the check must flag. Natural overlaps, if any, count identically in
+    * both engines. */
+  private val Sentinel = "the quick brown fox jumps over the lazy"
+
+  /** Benchmark decontamination: flag training documents that share any
+    * 8-token shingle with the benchmark set (doc_id % 97 == 0; those
+    * docs model the held-out eval suite and are excluded from the
+    * output). Output: per training doc, total shingles, contaminated
+    * shingle positions, and the drop flag. */
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val injected = concat(col("text"),
+      when(col("doc_id") % 97 === 0 || col("doc_id") % 13 === 0,
+        lit(" " + Sentinel)).otherwise(lit("")))
+    val toks = documents(s, dir)
+      .select(col("doc_id"), split(trim(injected), "\\s+").as("toks"))
+    // explode POSITIONS, md5 OUTSIDE any lambda (codegen'd scan-stage
+    // work); size >= 8 guard because Spark's sequence(1, n) DESCENDS
+    // when n < 1
+    val shingles = toks.filter(size(col("toks")) >= 8)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("toks")) - 7)).as("i"), col("toks"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("toks"), col("i"), lit(8))).cast("binary")).as("fp"))
+    val benchFps = shingles.filter(col("doc_id") % 97 === 0).select(col("fp")).distinct()
+    val hits = shingles.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(benchFps), Seq("fp"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    toks.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"),
+        greatest(size(col("toks")) - 7, lit(0)).cast("long").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_contaminated"),
+        when(coalesce(col("n_hits"), lit(0L)) > 0, 1L).otherwise(0L).as("drop_flag"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDecontaminateSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |  regexp_split_to_array(trim(text ||
+       |    (CASE WHEN doc_id % 97 = 0 OR doc_id % 13 = 0 THEN ' $Sentinel' ELSE '' END)), '\\s+') AS toks
+       |  FROM documents),
+       |sh AS (SELECT doc_id,
+       |         md5(array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+7], ' ')) AS fp
+       |       FROM t, UNNEST(generate_series(1, length(toks) - 7)) AS u(i)
+       |       WHERE length(toks) >= 8),
+       |bench AS (SELECT DISTINCT fp FROM sh WHERE doc_id % 97 = 0),
+       |hits AS (SELECT doc_id, COUNT(*) AS n_hits
+       |         FROM sh JOIN bench USING (fp) WHERE doc_id % 97 != 0 GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  CAST(GREATEST(length(toks) - 7, 0) AS BIGINT) AS n_shingles,
+       |  CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_contaminated,
+       |  CAST(CASE WHEN COALESCE(n_hits, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS drop_flag
+       |FROM t LEFT JOIN hits USING (doc_id)
+       |WHERE t.doc_id % 97 != 0 ORDER BY t.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // q_seq_pack                                                        //
+  // ---------------------------------------------------------------- //
+
+  /** Tokens per training sequence — a small power of two (a production
+    * run uses 4096/8192) so even the sf0.01 corpus (~1.4k tokens per
+    * source shard) packs several sequences per source and the oracle
+    * check is non-vacuous. */
+  val SeqLen = 256
+
+  /** Concat-and-chunk sequence packing: documents are laid end-to-end in
+    * doc_id order WITHIN EACH SOURCE (the shard), and each doc is
+    * stamped with the training sequence its first token lands in plus
+    * the offset inside that sequence. Pure window arithmetic — exactly
+    * the metadata a pretokenizer needs to build packed samples. */
+  def qSeqPack(s: SparkSession, dir: String): DataFrame = {
+    val t = documents(s, dir).select(col("doc_id"), col("source"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    t.withColumn("cum_end", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        expr(s"(cum_end - n_tok) div $SeqLen").as("seq_id"),
+        ((col("cum_end") - col("n_tok")) % SeqLen).as("seq_off"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qSeqPackSql: String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |  CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |c AS (SELECT doc_id, source, n_tok,
+       |        SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum_end
+       |      FROM t)
+       |SELECT doc_id, source, n_tok,
+       |  CAST((cum_end - n_tok) // $SeqLen AS BIGINT) AS seq_id,
+       |  CAST((cum_end - n_tok) % $SeqLen AS BIGINT) AS seq_off
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // q_linear_quality                                                  //
+  // ---------------------------------------------------------------- //
+
+  /** Hashed-linear quality scorer: each token hashes (md5, first two hex
+    * nibbles) into one of 256 feature buckets whose deterministic weight
+    * is `bucket % 21 - 10` (integers in [-10, 10]); a document's score
+    * is the integer sum of its token weights and the keep flag is
+    * `score >= 0`. The same md5-nibble rule the sampling/LSH oracles
+    * use, so both engines build the identical weight table. */
+  def qLinearQuality(s: SparkSession, dir: String): DataFrame = {
+    val nib1 = expr("instr('0123456789abcdef', substr(h, 1, 1)) - 1")
+    val nib2 = expr("instr('0123456789abcdef', substr(h, 2, 1)) - 1")
+    documents(s, dir)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+      .withColumn("h", md5(col("term").cast("binary")))
+      .withColumn("wt", (nib1 * 16 + nib2) % 21 - 10)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("wt")).cast("long").as("score"))
+      .select(col("doc_id"), col("n_tokens"), col("score"),
+        when(col("score") >= 0, 1L).otherwise(0L).as("keep_flag"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qLinearQualitySql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, u.term FROM (
+      |    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents) d,
+      |    UNNEST(d.toks) AS u(term)),
+      |wt AS (SELECT doc_id,
+      |         ((instr('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 16
+      |          + (instr('0123456789abcdef', substr(md5(term), 2, 1)) - 1)) % 21 - 10 AS wt
+      |       FROM tok)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(wt) AS BIGINT) AS score,
+      |  CAST(CASE WHEN CAST(SUM(wt) AS BIGINT) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
+      |FROM wt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_decontaminate" -> ((qDecontaminate _, Some(qDecontaminateSql))),
+    "q_seq_pack" -> ((qSeqPack _, Some(qSeqPackSql))),
+    "q_linear_quality" -> ((qLinearQuality _, Some(qLinearQualitySql))))
+}

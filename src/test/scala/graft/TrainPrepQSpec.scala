@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+import java.security.MessageDigest
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.TrainPrepQ
+
+/** Training-prep queries pinned against independent plain-Scala
+  * recomputation on a handcrafted corpus (the driver's DuckDB oracle is
+  * the cross-engine check; this pins the semantics in-repo). */
+class TrainPrepQSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("trainprepq").toString
+    val docs = Seq(
+      // doc 0: BENCHMARK (0 % 97 == 0): 9 tokens + sentinel appended
+      (0L, "w1 w2 w3 w4 w5 w6 w7 w8 w9", "en", "srcA", 10L),
+      // doc 1: copies doc 0's first 8 tokens -> naturally contaminated
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 xx yy", "en", "srcA", 10L),
+      // doc 2: too short for any shingle
+      (2L, "p q r", "en", "srcA", 5L),
+      // doc 5: 9 clean tokens, no overlap
+      (5L, "c1 c2 c3 c4 c5 c6 c7 c8 c9", "en", "srcB", 10L),
+      // doc 13: 13 % 13 == 0 -> sentinel injected -> contaminated
+      (13L, "aa bb cc", "en", "srcB", 5L),
+      // doc 97: the second benchmark doc
+      (97L, "z1 z2 z3 z4 z5 z6 z7 z8", "en", "srcB", 10L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("decontaminate: benchmark docs excluded; copied 8-gram and injected sentinel flagged") {
+    val rows = TrainPrepQ.qDecontaminate(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(!rows.contains(0L) && !rows.contains(97L)) // benchmark docs excluded
+    // doc 1: 10 tokens -> 3 shingles; only [w1..w8] is a benchmark shingle
+    assert(rows(1L) == ((3L, 1L, 1L)))
+    // doc 2: 3 tokens -> 0 shingles, clean
+    assert(rows(2L) == ((0L, 0L, 0L)))
+    // doc 5: 9 tokens -> 2 shingles, clean
+    assert(rows(5L) == ((2L, 0L, 0L)))
+    // doc 13: 3 + 8 sentinel tokens -> 4 shingles; the pure-sentinel
+    // window matches the benchmark docs' own injected tail
+    assert(rows(13L) == ((4L, 1L, 1L)))
+  }
+
+  test("seq_pack: per-source running pack, correct bin and offset at the boundary") {
+    // srcA in doc_id order: doc 0 (9 tok), doc 1 (10 tok), doc 2 (3 tok)
+    // srcB: doc 5 (9 tok), doc 13 (3 tok), doc 97 (8 tok)
+    val rows = TrainPrepQ.qSeqPack(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows(0L) == (("srcA", 9L, 0L, 0L)))
+    assert(rows(1L) == (("srcA", 10L, 0L, 9L)))
+    assert(rows(2L) == (("srcA", 3L, 0L, 19L)))
+    // srcB restarts at offset 0 — packing is per shard
+    assert(rows(5L) == (("srcB", 9L, 0L, 0L)))
+    assert(rows(13L) == (("srcB", 3L, 0L, 9L)))
+    assert(rows(97L) == (("srcB", 8L, 0L, 12L)))
+  }
+
+  test("seq_pack: documents overflow into later sequences past the token budget") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("trainprepq2").toString
+    // 3 docs of 100, 200, 30 tokens; SeqLen 256 -> starts 0, 100, 300
+    val docs = Seq(
+      (0L, Seq.fill(100)("t").mkString(" "), "en", "s", 1L),
+      (1L, Seq.fill(200)("t").mkString(" "), "en", "s", 1L),
+      (2L, Seq.fill(30)("t").mkString(" "), "en", "s", 1L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = TrainPrepQ.qSeqPack(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(rows(0L) == ((0L, 0L)))
+    assert(rows(1L) == ((0L, 100L)))
+    assert(rows(2L) == ((300L / TrainPrepQ.SeqLen, 300L % TrainPrepQ.SeqLen)))
+  }
+
+  test("linear quality: scores equal the independent md5-bucket recomputation") {
+    val hex = "0123456789abcdef"
+    def weight(tok: String): Long = {
+      val h = MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"${b & 0xFF}%02x").mkString
+      val bucket = hex.indexOf(h(0)) * 16 + hex.indexOf(h(1))
+      (bucket % 21).toLong - 10L
+    }
+    val expected = Map(
+      0L -> "w1 w2 w3 w4 w5 w6 w7 w8 w9", 1L -> "w1 w2 w3 w4 w5 w6 w7 w8 xx yy",
+      2L -> "p q r", 5L -> "c1 c2 c3 c4 c5 c6 c7 c8 c9",
+      13L -> "aa bb cc", 97L -> "z1 z2 z3 z4 z5 z6 z7 z8"
+    ).map { case (id, text) =>
+      val toks = text.trim.split("\\s+").toSeq
+      id -> ((toks.size.toLong, toks.map(weight).sum))
+    }
+    val rows = TrainPrepQ.qLinearQuality(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    expected.foreach { case (id, (n, score)) =>
+      assert(rows(id)._1 == n, s"doc $id n_tokens")
+      assert(rows(id)._2 == score, s"doc $id score")
+      assert(rows(id)._3 == (if (score >= 0) 1L else 0L), s"doc $id keep")
+    }
+    // the handcrafted corpus must exercise both keep outcomes
+    assert(rows.values.map(_._3).toSet == Set(0L, 1L))
+  }
+}
