@@ -17,4 +17,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def of(e: Expression): Column = ExpressionUtils.column(e)
   def expr(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Registers a native-expression SQL function on a LIVE session (the
+    * `spark.sql.extensions` hook only applies at SparkContext build
+    * time; a library handed an existing session needs the registry
+    * directly — same mechanism, session-scoped). */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
 }
