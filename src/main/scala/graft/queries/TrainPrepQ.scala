@@ -53,17 +53,23 @@ object TrainPrepQ {
     * both engines. */
   private val Sentinel = "the quick brown fox jumps over the lazy"
 
+  /** The sentinel-injected text column (see [[Sentinel]]) — shared by
+    * q_decontaminate and q_curate_pipeline. */
+  private def injectedText = concat(col("text"),
+    when(col("doc_id") % 97 === 0 || col("doc_id") % 13 === 0,
+      lit(" " + Sentinel)).otherwise(lit("")))
+
+  private val injectedTextSql =
+    s"text || (CASE WHEN doc_id % 97 = 0 OR doc_id % 13 = 0 THEN ' $Sentinel' ELSE '' END)"
+
   /** Benchmark decontamination: flag training documents that share any
     * 8-token shingle with the benchmark set (doc_id % 97 == 0; those
     * docs model the held-out eval suite and are excluded from the
     * output). Output: per training doc, total shingles, contaminated
     * shingle positions, and the drop flag. */
   def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
-    val injected = concat(col("text"),
-      when(col("doc_id") % 97 === 0 || col("doc_id") % 13 === 0,
-        lit(" " + Sentinel)).otherwise(lit("")))
     val toks = documents(s, dir)
-      .select(col("doc_id"), split(trim(injected), "\\s+").as("toks"))
+      .select(col("doc_id"), split(trim(injectedText), "\\s+").as("toks"))
     // explode POSITIONS, md5 OUTSIDE any lambda (codegen'd scan-stage
     // work); size >= 8 guard because Spark's sequence(1, n) DESCENDS
     // when n < 1
@@ -181,7 +187,110 @@ object TrainPrepQ {
       |  CAST(CASE WHEN CAST(SUM(wt) AS BIGINT) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
       |FROM wt GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- //
+  // q_curate_pipeline                                                 //
+  // ---------------------------------------------------------------- //
+
+  /** The COMPOSED curation pipeline — every document flows through the
+    * full selection DAG in one query: benchmark exclusion -> boilerplate-
+    * prefix dedup -> n-gram decontamination -> language gate -> length
+    * gate, and the survivors are sequence-packed per source. Reject
+    * reasons use fixed priority (benchmark > dup_prefix > contaminated >
+    * lang_unknown > too_short); rejected docs carry seq_id/seq_off -1.
+    *
+    * This is the "switch your whole pipeline to this engine" evidence:
+    * the individual operators (q_prefix_dedup, q_decontaminate,
+    * q_langid, q_seq_pack) compose in one DataFrame DAG whose every row
+    * the DuckDB oracle recomputes independently. Plan: the shingle
+    * stream feeds the broadcast benchmark probe exactly as in
+    * q_decontaminate (never shuffled, deliberately not cached — at
+    * corpus scale rescanning beats materializing the shingle stream);
+    * the pack offsets come from a reason-conditional running sum in the
+    * same per-source window q_seq_pack uses, so kept docs pack densely
+    * without a second join. */
+  def qCuratePipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir).withColumn("text", injectedText)
+    val scored = TextAnalysisQ.withLangScores(docs)
+      .select(col("doc_id"), col("source"),
+        split(trim(col("text")), "\\s+").as("toks"),
+        TextAnalysisQ.predLangCol.as("pred_lang"))
+      .select(col("doc_id"), col("source"), col("pred_lang"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", slice(col("toks"), 1, 8)).cast("binary")).as("prefix_fp"))
+    val toks = docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+    val shingles = toks.filter(size(col("toks")) >= 8)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("toks")) - 7)).as("i"), col("toks"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("toks"), col("i"), lit(8))).cast("binary")).as("fp"))
+    val benchFps = shingles.filter(col("doc_id") % 97 === 0).select(col("fp")).distinct()
+    val hits = shingles.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(benchFps), Seq("fp"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    val reason = when(col("doc_id") % 97 === 0, "benchmark")
+      .when(col("doc_id") =!= col("rep"), "dup_prefix")
+      .when(col("n_hits") > 0, "contaminated")
+      .when(col("pred_lang") === "unknown", "lang_unknown")
+      .when(col("n_tokens") < 20, "too_short")
+      .otherwise("kept")
+    val wPack = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    scored
+      .withColumn("rep", min(col("doc_id")).over(Window.partitionBy(col("prefix_fp"))))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("reason", reason)
+      .withColumn("kept_n", when(col("reason") === "kept", col("n_tokens")).otherwise(lit(0L)))
+      .withColumn("cum_end", sum(col("kept_n")).over(wPack))
+      .select(col("doc_id"), col("reason"),
+        when(col("reason") === "kept", 1L).otherwise(0L).as("keep_flag"),
+        when(col("reason") === "kept", expr(s"(cum_end - kept_n) div $SeqLen"))
+          .otherwise(lit(-1L)).as("seq_id"),
+        when(col("reason") === "kept", (col("cum_end") - col("kept_n")) % SeqLen)
+          .otherwise(lit(-1L)).as("seq_off"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qCuratePipelineSql: String =
+    s"""WITH d AS (SELECT doc_id, source, $injectedTextSql AS text FROM documents),
+       |sc AS (SELECT doc_id, source, text, ${TextAnalysisQ.langScoreSqlCols} FROM d),
+       |w AS (SELECT doc_id, source,
+       |        regexp_split_to_array(trim(text), '\\s+') AS toks,
+       |        ${TextAnalysisQ.predLangCaseSql} AS pred_lang
+       |      FROM sc),
+       |base AS (SELECT doc_id, source, pred_lang,
+       |        CAST(length(toks) AS BIGINT) AS n_tokens,
+       |        md5(array_to_string(toks[1:8], ' ')) AS prefix_fp FROM w),
+       |sh AS (SELECT doc_id,
+       |         md5(array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+7], ' ')) AS fp
+       |       FROM w, UNNEST(generate_series(1, length(toks) - 7)) AS u(i)
+       |       WHERE length(toks) >= 8),
+       |bench AS (SELECT DISTINCT fp FROM sh WHERE doc_id % 97 = 0),
+       |hits AS (SELECT doc_id, COUNT(*) AS n_hits
+       |         FROM sh JOIN bench USING (fp) WHERE doc_id % 97 != 0 GROUP BY doc_id),
+       |m AS (SELECT base.*, COALESCE(n_hits, 0) AS nh,
+       |        MIN(doc_id) OVER (PARTITION BY prefix_fp) AS rep
+       |      FROM base LEFT JOIN hits USING (doc_id)),
+       |r AS (SELECT doc_id, source, n_tokens,
+       |        CASE WHEN doc_id % 97 = 0 THEN 'benchmark'
+       |             WHEN doc_id != rep THEN 'dup_prefix'
+       |             WHEN nh > 0 THEN 'contaminated'
+       |             WHEN pred_lang = 'unknown' THEN 'lang_unknown'
+       |             WHEN n_tokens < 20 THEN 'too_short'
+       |             ELSE 'kept' END AS reason
+       |      FROM m),
+       |p AS (SELECT doc_id, reason,
+       |        CASE WHEN reason = 'kept' THEN n_tokens ELSE 0 END AS kept_n,
+       |        SUM(CASE WHEN reason = 'kept' THEN n_tokens ELSE 0 END)
+       |          OVER (PARTITION BY source ORDER BY doc_id) AS cum_end
+       |      FROM r)
+       |SELECT doc_id, reason,
+       |  CAST(CASE WHEN reason = 'kept' THEN 1 ELSE 0 END AS BIGINT) AS keep_flag,
+       |  CAST(CASE WHEN reason = 'kept' THEN (cum_end - kept_n) // $SeqLen ELSE -1 END AS BIGINT) AS seq_id,
+       |  CAST(CASE WHEN reason = 'kept' THEN (cum_end - kept_n) % $SeqLen ELSE -1 END AS BIGINT) AS seq_off
+       |FROM p ORDER BY doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_curate_pipeline" -> ((qCuratePipeline _, Some(qCuratePipelineSql))),
     "q_decontaminate" -> ((qDecontaminate _, Some(qDecontaminateSql))),
     "q_seq_pack" -> ((qSeqPack _, Some(qSeqPackSql))),
     "q_linear_quality" -> ((qLinearQuality _, Some(qLinearQualitySql))))

@@ -87,6 +87,39 @@ class TrainPrepQSpec extends AnyFunSuite {
     assert(rows(2L) == ((300L / TrainPrepQ.SeqLen, 300L % TrainPrepQ.SeqLen)))
   }
 
+  test("curate pipeline: reason priority and dense packing over rejects") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("trainprepq3").toString
+    val base8 = "the cat and the dog is on the" // shared 8-token prefix
+    val doc10 = base8 + " mat with a hat and a bat plus more filler words here now ok yes"
+    val doc11 = base8 + " completely different tail follows here with words that reach twenty tokens"
+    val doc12 = "a dog and the cat is in the barn with the corn and the horn plus words to pass twenty"
+    val docs = Seq(
+      (10L, doc10, "en", "srcX", 1L),
+      (11L, doc11, "en", "srcX", 1L), // dup_prefix beats everything but benchmark
+      (12L, doc12, "en", "srcX", 1L),
+      (13L, doc12 + " extra", "en", "srcX", 1L), // 13 % 13 == 0 -> sentinel -> contaminated...
+      (97L, "z1 z2 z3 z4 z5 z6 z7 z8 z9", "en", "srcX", 1L)) // benchmark
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = TrainPrepQ.qCuratePipeline(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val n10 = doc10.trim.split("\\s+").length.toLong
+    val n12 = doc12.trim.split("\\s+").length.toLong
+    assert(rows(10L) == (("kept", 1L, 0L, 0L)))
+    assert(rows(11L)._1 == "dup_prefix" && rows(11L)._4 == -1L)
+    // doc 12 packs DENSELY after doc 10 — the rejected doc 11 takes no space
+    assert(rows(12L) == (("kept", 1L, 0L, n10)))
+    // ...but doc 13 shares doc 12's 8-token prefix: dup_prefix OUTRANKS
+    // contaminated, pinning the priority order
+    assert(rows(13L)._1 == "dup_prefix")
+    assert(rows(97L) == (("benchmark", 0L, -1L, -1L)))
+    assert(!rows.contains(14L))
+    // pack continues monotonically within the source for kept docs only
+    assert(rows.values.filter(_._1 == "kept").map(_._4).toSeq.sorted == Seq(0L, n10))
+    assert(n10 + n12 < TrainPrepQ.SeqLen) // both in sequence 0 by construction
+  }
+
   test("linear quality: scores equal the independent md5-bucket recomputation") {
     val hex = "0123456789abcdef"
     def weight(tok: String): Long = {
