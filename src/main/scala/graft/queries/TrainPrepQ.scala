@@ -67,17 +67,25 @@ object TrainPrepQ {
     * docs model the held-out eval suite and are excluded from the
     * output). Output: per training doc, total shingles, contaminated
     * shingle positions, and the drop flag. */
-  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
-    val toks = documents(s, dir)
-      .select(col("doc_id"), split(trim(injectedText), "\\s+").as("toks"))
-    // explode POSITIONS, md5 OUTSIDE any lambda (codegen'd scan-stage
-    // work); size >= 8 guard because Spark's sequence(1, n) DESCENDS
-    // when n < 1
-    val shingles = toks.filter(size(col("toks")) >= 8)
+  /** One (doc_id, fp) row per 8-token shingle of the given
+    * `(doc_id, text, ...)` relation. Positions explode and md5 runs
+    * OUTSIDE any lambda (codegen'd scan-stage work); the size >= 8 guard
+    * exists because Spark's sequence(1, n) DESCENDS when n < 1. Shared
+    * by q_decontaminate, q_curate_pipeline and the streaming
+    * decontamination join (StreamingOps) — batch and stream cannot
+    * drift. */
+  def shingleFps(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 8)
       .select(col("doc_id"),
         explode(sequence(lit(1), size(col("toks")) - 7)).as("i"), col("toks"))
       .select(col("doc_id"),
         md5(concat_ws(" ", slice(col("toks"), col("i"), lit(8))).cast("binary")).as("fp"))
+
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val toks = documents(s, dir)
+      .select(col("doc_id"), split(trim(injectedText), "\\s+").as("toks"))
+    val shingles = shingleFps(documents(s, dir).withColumn("text", injectedText))
     val benchFps = shingles.filter(col("doc_id") % 97 === 0).select(col("fp")).distinct()
     val hits = shingles.filter(col("doc_id") % 97 =!= 0)
       .join(broadcast(benchFps), Seq("fp"))
@@ -217,12 +225,7 @@ object TrainPrepQ {
       .select(col("doc_id"), col("source"), col("pred_lang"),
         size(col("toks")).cast("long").as("n_tokens"),
         md5(concat_ws(" ", slice(col("toks"), 1, 8)).cast("binary")).as("prefix_fp"))
-    val toks = docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
-    val shingles = toks.filter(size(col("toks")) >= 8)
-      .select(col("doc_id"),
-        explode(sequence(lit(1), size(col("toks")) - 7)).as("i"), col("toks"))
-      .select(col("doc_id"),
-        md5(concat_ws(" ", slice(col("toks"), col("i"), lit(8))).cast("binary")).as("fp"))
+    val shingles = shingleFps(docs)
     val benchFps = shingles.filter(col("doc_id") % 97 === 0).select(col("fp")).distinct()
     val hits = shingles.filter(col("doc_id") % 97 =!= 0)
       .join(broadcast(benchFps), Seq("fp"))

@@ -111,6 +111,21 @@ object StreamingOps {
       .withWatermark("ts", "1 hour")
       .dropDuplicates("fp")
 
+  /** Streaming decontamination: a STREAM-STATIC broadcast join. Each
+    * arriving document's 8-token shingle fingerprints (the exact batch
+    * shingle operator — TrainPrepQ.shingleFps, shared so batch and
+    * stream cannot drift) probe the static benchmark-fp table; matches
+    * are emitted as a (doc_id, fp) contamination-hit stream. Stateless
+    * append: stream-static inner joins keep no state store and need no
+    * watermark — the benchmark set is reference data (an eval suite,
+    * small by definition), broadcast to every micro-batch. Downstream
+    * consumers aggregate or alert on the hit stream; the per-doc summary
+    * form stays the batch q_decontaminate sweep. */
+  def decontaminateStream(docs: DataFrame, benchFps: DataFrame): DataFrame =
+    graft.queries.TrainPrepQ.shingleFps(docs)
+      .join(broadcast(benchFps.select(col("fp"))), Seq("fp"))
+      .select(col("doc_id"), col("fp"))
+
   /** Drive a streaming query over the static events parquet (memory sink,
     * synchronous) and return the sink table. */
   def runWindowedOverDir(spark: SparkSession, sfDir: String, queryName: String): DataFrame = {
