@@ -57,7 +57,11 @@ object SparkEntry {
       }),
       // multimodal featurizer (binary columns, stubbed decode)
       "q_media_features" -> ((s: SparkSession, dir: String) =>
-        graft.multimodal.Multimodal.qMediaFeatures(s, dir)))
+        graft.multimodal.Multimodal.qMediaFeatures(s, dir)),
+      // perceptual-hash image near-dup (real BMP decode -> aHash ->
+      // pigeonhole-blocked join; rows-only, same decision as media_features)
+      "q_image_neardup" -> ((s: SparkSession, dir: String) =>
+        graft.multimodal.Multimodal.qImageNeardup(s, dir)))
 
   def oracleSql: Map[String, String] =
     battery.collect { case (k, (_, Some(sql))) => k -> sql }

@@ -258,4 +258,112 @@ object Multimodal {
         round(col("mean_luma"), 4).as("luma_r"), col("n_frames"), col("decoded"))
       .orderBy(col("media_id"))
   }
+
+  /** 64-bit average-hash (aHash) of a 24-bit BMP: pixel lumas pool into
+    * an 8x8 grid of cell means, bit (8*cy + cx) is set iff the cell mean
+    * exceeds the global mean. The standard perceptual fingerprint for
+    * image near-dup — robust to small pixel perturbations, cheap enough
+    * to run in the decode pass. None for non-BMP payloads. */
+  def ahash64(payload: Array[Byte]): Option[Long] = {
+    if (payload.length < 54 || payload(0) != 'B' || payload(1) != 'M') return None
+    val buf = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val pixOff = buf.getInt(10)
+    val w = buf.getInt(18)
+    val h = buf.getInt(22)
+    if (buf.getShort(28) != 24 || buf.getInt(30) != 0 || w <= 0 || h <= 0) return None
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    if (pixOff.toLong + rowBytes.toLong * h > payload.length) return None
+    val cellSum = Array.ofDim[Double](8, 8)
+    val cellCnt = Array.ofDim[Long](8, 8)
+    var total = 0.0
+    var y = 0
+    while (y < h) {
+      val cy = y * 8 / h
+      val row = pixOff + y * rowBytes
+      var x = 0
+      while (x < w) {
+        val b = payload(row + x * 3) & 0xFF
+        val g = payload(row + x * 3 + 1) & 0xFF
+        val r = payload(row + x * 3 + 2) & 0xFF
+        val luma = 0.114 * b + 0.587 * g + 0.299 * r
+        val cx = x * 8 / w
+        cellSum(cy)(cx) += luma
+        cellCnt(cy)(cx) += 1
+        total += luma
+        x += 1
+      }
+      y += 1
+    }
+    val mean = total / (w.toLong * h)
+    var bits = 0L
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        if (cellCnt(cy)(cx) > 0 && cellSum(cy)(cx) / cellCnt(cy)(cx) > mean)
+          bits |= 1L << (cy * 8 + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    Some(bits)
+  }
+
+  /** Hamming threshold for aHash near-dup pairs. With 4 16-bit blocks,
+    * any pair within the threshold shares at least one exact block
+    * (pigeonhole), so the blocked equi-join below loses nothing. */
+  val MaxHamming = 3
+
+  /** Image near-dup at scale: aHash in the decode pass, then the SimHash
+    * pigeonhole pattern — 4 x 16-bit blocks generate candidates via an
+    * equi-join (never all-pairs), exact `bit_count(a XOR b)` verifies.
+    * Input rows: (media_id, payload); non-BMP payloads drop out. */
+  def imageNearDup(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    val hashes = media.flatMap(r => ahash64(r.payload).map(h => (r.media_id, h)))
+      .toDF("media_id", "ahash")
+    val blocks = hashes.select(col("media_id"), col("ahash"),
+        explode(expr("sequence(0, 3)")).as("blk"))
+      .withColumn("blk_val", expr("(ahash >> (blk * 16)) & 65535"))
+    val a = blocks.as("a")
+    val b = blocks.as("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.blk_val") === col("b.blk_val")
+        && col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+      .distinct() // a pair may share several blocks
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= MaxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Deterministic pixel perturbation: flips `k` pixel bytes of a BMP
+    * payload (past the header) — the near-dup generator for tests and
+    * the rows-only driver query. */
+  def perturbBmp(bmp: Array[Byte], seed: Long, k: Int): Array[Byte] = {
+    val out = bmp.clone()
+    val pixOff = java.nio.ByteBuffer.wrap(bmp).order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(10)
+    var i = 0
+    while (i < k) {
+      val pos = pixOff + (MediaOcr.hash64(s"pert:$seed:$i") % (bmp.length - pixOff)).toInt.abs
+      out(pos) = (~out(pos)).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Driver query (rows-only — BMP decode is not SQL-expressible, same
+    * decision as q_media_features): corpus = the synthetic media table
+    * plus a perturbed variant of every 10th image; the blocked aHash
+    * join must recover exactly those planted pairs (plus any natural
+    * collisions, which random pixels make vanishingly unlikely). */
+  def qImageNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = genTable(spark, 200)
+    val variants = base.filter(r => r.kind == "image" && r.media_id % 10 == 0)
+      .map(r => r.copy(media_id = r.media_id + 100000,
+        payload = perturbBmp(r.payload, r.media_id, 3)))
+    imageNearDup(base.unionByName(variants))
+  }
 }

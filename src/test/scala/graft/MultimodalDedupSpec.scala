@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+
+/** Perceptual-hash image near-dup: aHash semantics and the pigeonhole-
+  * blocked join pinned against driver-side brute force. */
+class MultimodalDedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("ahash: stable under small perturbation, far for distinct images, None for non-BMP") {
+    val img = Multimodal.genBmp(7L, 32, 24)
+    val h = Multimodal.ahash64(img).get
+    // 3 flipped pixel bytes barely move 8x8 cell means
+    val hPert = Multimodal.ahash64(Multimodal.perturbBmp(img, 7L, 3)).get
+    assert(java.lang.Long.bitCount(h ^ hPert) <= Multimodal.MaxHamming)
+    // an unrelated image is far beyond the threshold
+    val hOther = Multimodal.ahash64(Multimodal.genBmp(8L, 32, 24)).get
+    assert(java.lang.Long.bitCount(h ^ hOther) > Multimodal.MaxHamming)
+    assert(Multimodal.ahash64(Multimodal.genWav(1L, 16000, 64)).isEmpty)
+    assert(Multimodal.ahash64(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("blocked join == brute force over all hash pairs (completeness of pigeonhole)") {
+    import spark.implicits._
+    val base = Multimodal.genTable(spark, 90)
+    val variants = base.filter(r => r.kind == "image" && r.media_id % 10 == 0)
+      .map(r => r.copy(media_id = r.media_id + 100000,
+        payload = Multimodal.perturbBmp(r.payload, r.media_id, 3)))
+    val all = base.unionByName(variants)
+    val got = Multimodal.imageNearDup(all).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force on the driver over the same hashes
+    val hashes = all.collect().flatMap(r => Multimodal.ahash64(r.payload).map(r.media_id -> _))
+    val brute = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= Multimodal.MaxHamming
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got == brute)
+    assert(got.nonEmpty && got.forall { case (a, b, _) => b == a + 100000 })
+  }
+}
