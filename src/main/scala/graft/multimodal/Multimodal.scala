@@ -309,6 +309,64 @@ object Multimodal {
     Some(bits)
   }
 
+  /** Average-pool resize of a 24-bit BMP to (ow x oh), emitted as a REAL
+    * BMP payload — the media "resize" transform (fixed-size model inputs,
+    * thumbnailing before feature extraction). Each output pixel is the
+    * per-channel mean of its source block; None for non-BMP payloads.
+    * Runs wherever the decoders run (mapPartitions batch pass). */
+  def resizeBmp(payload: Array[Byte], ow: Int, oh: Int): Option[Array[Byte]] = {
+    if (payload.length < 54 || payload(0) != 'B' || payload(1) != 'M') return None
+    val buf = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val pixOff = buf.getInt(10)
+    val w = buf.getInt(18)
+    val h = buf.getInt(22)
+    if (buf.getShort(28) != 24 || buf.getInt(30) != 0 || w <= 0 || h <= 0 ||
+      ow <= 0 || oh <= 0) return None
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    if (pixOff.toLong + rowBytes.toLong * h > payload.length) return None
+    val sums = Array.ofDim[Double](oh, ow, 3)
+    val cnts = Array.ofDim[Long](oh, ow)
+    var y = 0
+    while (y < h) {
+      val cy = math.min(oh - 1, y * oh / h)
+      val row = pixOff + y * rowBytes
+      var x = 0
+      while (x < w) {
+        val cx = math.min(ow - 1, x * ow / w)
+        val s = sums(cy)(cx)
+        s(0) += payload(row + x * 3) & 0xFF
+        s(1) += payload(row + x * 3 + 1) & 0xFF
+        s(2) += payload(row + x * 3 + 2) & 0xFF
+        cnts(cy)(cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val outRowBytes = (ow * 3 + 3) / 4 * 4
+    val out = java.nio.ByteBuffer.allocate(54 + outRowBytes * oh)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(54 + outRowBytes * oh)
+      .putInt(0).putInt(54)
+    out.putInt(40).putInt(ow).putInt(oh).putShort(1).putShort(24)
+      .putInt(0).putInt(outRowBytes * oh).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    val arr = out.array()
+    var cy = 0
+    while (cy < oh) {
+      val row = 54 + cy * outRowBytes
+      var cx = 0
+      while (cx < ow) {
+        val n = math.max(1L, cnts(cy)(cx)).toDouble
+        val s = sums(cy)(cx)
+        arr(row + cx * 3) = math.round(s(0) / n).toByte
+        arr(row + cx * 3 + 1) = math.round(s(1) / n).toByte
+        arr(row + cx * 3 + 2) = math.round(s(2) / n).toByte
+        cx += 1
+      }
+      cy += 1
+    }
+    Some(arr)
+  }
+
   /** Hamming threshold for aHash near-dup pairs. With 4 16-bit blocks,
     * any pair within the threshold shares at least one exact block
     * (pigeonhole), so the blocked equi-join below loses nothing. */

@@ -29,6 +29,24 @@ class MultimodalDedupSpec extends AnyFunSuite {
     assert(Multimodal.ahash64(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("resizeBmp: real BMP out, target dims, mean luma preserved, distributed-safe") {
+    val img = Multimodal.genBmp(21L, 32, 24)
+    val (_, _, luma0, _) = Multimodal.decodeBmp(img).get
+    val small = Multimodal.resizeBmp(img, 8, 8).get
+    val (w, h, luma1, _) = Multimodal.decodeBmp(small).get
+    assert(w == 8 && h == 8)
+    // average pooling preserves the mean up to rounding + uneven blocks
+    assert(math.abs(luma0 - luma1) < 0.02f, s"$luma0 vs $luma1")
+    // resize of the resize still decodes (idempotent pipeline step)
+    assert(Multimodal.decodeBmp(Multimodal.resizeBmp(small, 4, 4).get).get._1 == 4)
+    assert(Multimodal.resizeBmp(Multimodal.genWav(1L, 16000, 64), 8, 8).isEmpty)
+    // ahash of a downsampled image stays near the original's (the hash
+    // IS an 8x8 pooling, so pre-resizing must not destroy it)
+    val h0 = Multimodal.ahash64(img).get
+    val h1 = Multimodal.ahash64(small).get
+    assert(java.lang.Long.bitCount(h0 ^ h1) <= 8)
+  }
+
   test("blocked join == brute force over all hash pairs (completeness of pigeonhole)") {
     import spark.implicits._
     val base = Multimodal.genTable(spark, 90)
