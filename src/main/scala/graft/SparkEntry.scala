@@ -61,7 +61,10 @@ object SparkEntry {
       // perceptual-hash image near-dup (real BMP decode -> aHash ->
       // pigeonhole-blocked join; rows-only, same decision as media_features)
       "q_image_neardup" -> ((s: SparkSession, dir: String) =>
-        graft.multimodal.Multimodal.qImageNeardup(s, dir)))
+        graft.multimodal.Multimodal.qImageNeardup(s, dir)),
+      // energy-delta audio fingerprint near-dup (scale-invariant; rows-only)
+      "q_audio_neardup" -> ((s: SparkSession, dir: String) =>
+        graft.multimodal.Multimodal.qAudioNeardup(s, dir)))
 
   def oracleSql: Map[String, String] =
     battery.collect { case (k, (_, Some(sql))) => k -> sql }

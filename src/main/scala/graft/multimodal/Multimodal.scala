@@ -154,9 +154,9 @@ object Multimodal {
     Some((w, h, (lumaSum / n / 255.0).toFloat, hist))
   }
 
-  /** REAL PCM WAV decode: returns (sampleRate, nSamples, RMS 0-1, 16-bin
-    * amplitude histogram), or None if not 16-bit mono/stereo PCM. */
-  def decodeWav(payload: Array[Byte]): Option[(Int, Int, Float, Array[Float])] = {
+  /** RIFF chunk walk shared by decodeWav and audioFingerprint: returns
+    * (sampleRate, dataOff, dataLen) for 16-bit PCM, else None. */
+  private def parseWavChunks(payload: Array[Byte]): Option[(Int, Int, Int)] = {
     if (payload.length < 44) return None
     def tag(off: Int) = new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
     if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
@@ -181,7 +181,18 @@ object Multimodal {
       }
       off += 8 + len + (len & 1)
     }
-    if (!fmtOk || bits != 16 || dataOff < 0 || dataOff + dataLen > payload.length) return None
+    if (!fmtOk || bits != 16 || dataOff < 0 || dataOff + dataLen > payload.length) None
+    else Some((sampleRate, dataOff, dataLen))
+  }
+
+  /** REAL PCM WAV decode: returns (sampleRate, nSamples, RMS 0-1, 16-bin
+    * amplitude histogram), or None if not 16-bit mono/stereo PCM. */
+  def decodeWav(payload: Array[Byte]): Option[(Int, Int, Float, Array[Float])] = {
+    val (sampleRate, dataOff, dataLen) = parseWavChunks(payload) match {
+      case Some(t) => t
+      case None => return None
+    }
+    val buf = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val n = dataLen / 2
     if (n == 0) return None
     val hist = new Array[Float](16)
@@ -367,19 +378,66 @@ object Multimodal {
     Some(arr)
   }
 
+  /** 63-bit energy-delta audio fingerprint of 16-bit PCM WAV: samples
+    * split into 64 equal windows, bit k set iff window k's mean energy
+    * exceeds window k+1's. All-integer comparisons (sum-of-squares cross-
+    * multiplied by counts — exact, no float drift), and AMPLITUDE-SCALE
+    * INVARIANT by construction: scaling every sample scales all window
+    * energies equally, preserving every delta sign. None for non-PCM or
+    * fewer than 64 samples. */
+  def audioFingerprint(payload: Array[Byte]): Option[Long] = {
+    val (_, dataOff, dataLen) = parseWavChunks(payload) match {
+      case Some(t) => t
+      case None => return None
+    }
+    val buf = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val n = dataLen / 2
+    if (n < 64) return None
+    val sumSq = new Array[Long](64)
+    val cnt = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      val w = (i.toLong * 64 / n).toInt
+      val s = buf.getShort(dataOff + i * 2).toLong
+      sumSq(w) += s * s
+      cnt(w) += 1
+      i += 1
+    }
+    var bits = 0L
+    var k = 0
+    while (k < 63) {
+      // mean_k > mean_{k+1}  <=>  sumSq_k * cnt_{k+1} > sumSq_{k+1} * cnt_k
+      if (sumSq(k) * cnt(k + 1) > sumSq(k + 1) * cnt(k)) bits |= 1L << k
+      k += 1
+    }
+    Some(bits)
+  }
+
+  /** Deterministic amplitude rescale of a PCM WAV (num/den per sample,
+    * integer truncation) — the near-dup generator: a re-encoded or
+    * volume-normalized copy of the same recording. */
+  def rescaleWav(payload: Array[Byte], num: Int, den: Int): Array[Byte] = {
+    val out = payload.clone()
+    parseWavChunks(payload).foreach { case (_, dataOff, dataLen) =>
+      val buf = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < dataLen / 2) {
+        buf.putShort(dataOff + i * 2, (buf.getShort(dataOff + i * 2) * num / den).toShort)
+        i += 1
+      }
+    }
+    out
+  }
+
   /** Hamming threshold for aHash near-dup pairs. With 4 16-bit blocks,
     * any pair within the threshold shares at least one exact block
     * (pigeonhole), so the blocked equi-join below loses nothing. */
   val MaxHamming = 3
 
-  /** Image near-dup at scale: aHash in the decode pass, then the SimHash
-    * pigeonhole pattern — 4 x 16-bit blocks generate candidates via an
-    * equi-join (never all-pairs), exact `bit_count(a XOR b)` verifies.
-    * Input rows: (media_id, payload); non-BMP payloads drop out. */
-  def imageNearDup(media: Dataset[MediaRow]): DataFrame = {
-    import media.sparkSession.implicits._
-    val hashes = media.flatMap(r => ahash64(r.payload).map(h => (r.media_id, h)))
-      .toDF("media_id", "ahash")
+  /** The SimHash pigeonhole pattern over any (media_id, ahash) relation:
+    * 4 x 16-bit blocks generate candidates via an equi-join (never
+    * all-pairs), exact `bit_count(a XOR b)` verifies within MaxHamming. */
+  private def blockedHammingPairs(hashes: DataFrame): DataFrame = {
     val blocks = hashes.select(col("media_id"), col("ahash"),
         explode(expr("sequence(0, 3)")).as("blk"))
       .withColumn("blk_val", expr("(ahash >> (blk * 16)) & 65535"))
@@ -394,6 +452,25 @@ object Multimodal {
       .filter(col("hamming") <= MaxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Image near-dup at scale: aHash in the decode pass, then the blocked
+    * pigeonhole join. Input rows: (media_id, payload); non-BMP payloads
+    * drop out. */
+  def imageNearDup(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    blockedHammingPairs(
+      media.flatMap(r => ahash64(r.payload).map(h => (r.media_id, h)))
+        .toDF("media_id", "ahash"))
+  }
+
+  /** Audio near-dup at scale: the energy-delta fingerprint (amplitude-
+    * scale invariant) through the same blocked pigeonhole join. */
+  def audioNearDup(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    blockedHammingPairs(
+      media.flatMap(r => audioFingerprint(r.payload).map(h => (r.media_id, h)))
+        .toDF("media_id", "ahash"))
   }
 
   /** Deterministic pixel perturbation: flips `k` pixel bytes of a BMP
@@ -423,5 +500,17 @@ object Multimodal {
       .map(r => r.copy(media_id = r.media_id + 100000,
         payload = perturbBmp(r.payload, r.media_id, 3)))
     imageNearDup(base.unionByName(variants))
+  }
+
+  /** Driver query (rows-only, same decision): volume-rescaled (9/10)
+    * copies of every 15th audio must pair with their originals — the
+    * re-encoded/normalized-duplicate detection a media corpus needs. */
+  def qAudioNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = genTable(spark, 200)
+    val variants = base.filter(r => r.kind == "audio" && r.media_id % 15 == 1)
+      .map(r => r.copy(media_id = r.media_id + 100000,
+        payload = rescaleWav(r.payload, 9, 10)))
+    audioNearDup(base.unionByName(variants))
   }
 }

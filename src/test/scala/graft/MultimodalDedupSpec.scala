@@ -47,6 +47,38 @@ class MultimodalDedupSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(h0 ^ h1) <= 8)
   }
 
+  test("audio fingerprint: amplitude-scale invariant, far for distinct audio, None otherwise") {
+    val wav = Multimodal.genWav(5L, 16000, 900)
+    val h = Multimodal.audioFingerprint(wav).get
+    // volume rescale (9/10, integer truncation) must not move the hash
+    // beyond the near-dup threshold — energy-delta signs are scale-free
+    val hScaled = Multimodal.audioFingerprint(Multimodal.rescaleWav(wav, 9, 10)).get
+    assert(java.lang.Long.bitCount(h ^ hScaled) <= Multimodal.MaxHamming)
+    // a different recording is far away
+    val hOther = Multimodal.audioFingerprint(Multimodal.genWav(6L, 16000, 900)).get
+    assert(java.lang.Long.bitCount(h ^ hOther) > Multimodal.MaxHamming)
+    assert(Multimodal.audioFingerprint(Multimodal.genBmp(1L, 16, 12)).isEmpty)
+    assert(Multimodal.audioFingerprint(Multimodal.genWav(7L, 16000, 32)).isEmpty) // < 64 samples
+  }
+
+  test("audio blocked join == brute force (completeness over fingerprints)") {
+    import spark.implicits._
+    val base = Multimodal.genTable(spark, 90)
+    val variants = base.filter(r => r.kind == "audio" && r.media_id % 15 == 1)
+      .map(r => r.copy(media_id = r.media_id + 100000,
+        payload = Multimodal.rescaleWav(r.payload, 9, 10)))
+    val all = base.unionByName(variants)
+    val got = Multimodal.audioNearDup(all).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hashes = all.collect().flatMap(r => Multimodal.audioFingerprint(r.payload).map(r.media_id -> _))
+    val brute = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= Multimodal.MaxHamming
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got == brute)
+    assert(got.nonEmpty && got.forall { case (a, b, _) => b == a + 100000 })
+  }
+
   test("blocked join == brute force over all hash pairs (completeness of pigeonhole)") {
     import spark.implicits._
     val base = Multimodal.genTable(spark, 90)
