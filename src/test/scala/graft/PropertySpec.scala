@@ -151,4 +151,21 @@ class PropertySpec extends AnyFunSuite {
       assert(f.mkString("") == s.filterNot(GoStrings.isSpace))
     }
   }
+
+  test("property: VectorExprs.quantize == BigDecimal HALF_UP of x*1000 (Spark Round law)") {
+    // the exact semantics Spark's Round(DoubleType) implements — the
+    // claim VectorExprs' Scaladoc makes, proven over generated floats
+    // incl. .5 ties (k/16), negatives, tiny and large magnitudes
+    def spec(x: Float): Long =
+      java.math.BigDecimal.valueOf(x.toDouble * 1000.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    val gen: Gen[Float] = Gen.oneOf(
+      Gen.chooseNum(-32, 32).map(_ / 16.0f),          // exact .5 ties
+      Gen.chooseNum(-1000000, 1000000).map(_ / 1e6f), // embedding range
+      Gen.chooseNum(-2000, 2000).map(_ / 1e9f),       // quantizes to 0
+      Gen.chooseNum(-100000, 100000).map(_.toFloat))  // large magnitudes
+    samples(gen, 2000).foreach { x =>
+      assert(graft.functions.VectorExprs.quantize(x) == spec(x), s"x=$x")
+    }
+  }
 }
