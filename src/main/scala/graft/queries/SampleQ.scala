@@ -55,6 +55,19 @@ object SampleQ {
       |FROM b GROUP BY source""",
     "ORDER BY source")
 
+  /** Stratified fixed-quota sample: exactly min(10, |stratum|) docs PER
+    * SOURCE, chosen by md5-bucket rank — the balanced-mixture sampler
+    * (equal per-source representation regardless of stratum size).
+    * Deliberately rank-based: it trades q_hash_sample's growth-
+    * stability for exact per-stratum counts; both selection modes exist
+    * because pipelines need both. Plan: one window shuffle on source. */
+  private val stratifiedSql: String = core(
+    """, r AS (SELECT doc_id, source, bucket,
+      |   ROW_NUMBER() OVER (PARTITION BY source ORDER BY bucket, doc_id) AS rk FROM b)
+      |SELECT doc_id, source, bucket, CAST(rk AS BIGINT) AS rk
+      |FROM r WHERE rk <= 10""",
+    "ORDER BY source, rk")
+
   private def run(sql: String)(s: SparkSession, dir: String): DataFrame = {
     s.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
     s.sql(sql)
@@ -63,5 +76,6 @@ object SampleQ {
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_hash_sample" -> ((run(sampleSql) _, Some(sampleSql))),
     "q_corpus_split" -> ((run(splitSql) _, Some(splitSql))),
+    "q_stratified_sample" -> ((run(stratifiedSql) _, Some(stratifiedSql))),
     "q_source_mix" -> ((run(mixSql) _, Some(mixSql))))
 }

@@ -292,7 +292,48 @@ object TrainPrepQ {
        |  CAST(CASE WHEN reason = 'kept' THEN (cum_end - kept_n) % $SeqLen ELSE -1 END AS BIGINT) AS seq_off
        |FROM p ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- //
+  // q_domain_stats                                                    //
+  // ---------------------------------------------------------------- //
+
+  /** URL/domain analysis — the per-host profile a web-corpus pipeline
+    * keeps (crawl budgeting, domain blocklists, source attribution).
+    * The synthetic corpus carries no URLs, so they are injected
+    * deterministically first (q_pii_redact's fixture-in-query pattern;
+    * two host families so the output has real shape). Host extraction
+    * uses only regex syntax with identical Java-regex/RE2 semantics. */
+  private val HostRe = "https?://([a-z0-9.-]+)/"
+
+  def qDomainStats(s: SparkSession, dir: String): DataFrame = {
+    val injected = concat(col("text"),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" see https://example.org/doc/"), col("doc_id"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" via https://cdn"), col("doc_id") % 3, lit(".mirror-net.example/p/"), col("doc_id")))
+        .otherwise(lit("")))
+    documents(s, dir)
+      .select(col("doc_id"), explode(regexp_extract_all(injected, lit(HostRe), lit(1))).as("host"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("host"))
+  }
+
+  val qDomainStatsSql: String =
+    """WITH t AS (SELECT doc_id,
+      |  text ||
+      |  (CASE WHEN doc_id % 11 = 0 THEN ' see https://example.org/doc/' || CAST(doc_id AS STRING) ELSE '' END) ||
+      |  (CASE WHEN doc_id % 5 = 0 THEN ' via https://cdn' || CAST(doc_id % 3 AS STRING) || '.mirror-net.example/p/' || CAST(doc_id AS STRING) ELSE '' END) AS t
+      |FROM documents),
+      |u AS (SELECT doc_id, UNNEST(regexp_extract_all(t, 'https?://([a-z0-9.-]+)/', 1)) AS host FROM t)
+      |SELECT host, COUNT(*) AS n_urls,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  MIN(doc_id) AS first_doc
+      |FROM u GROUP BY host ORDER BY host""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_domain_stats" -> ((qDomainStats _, Some(qDomainStatsSql))),
     "q_curate_pipeline" -> ((qCuratePipeline _, Some(qCuratePipelineSql))),
     "q_decontaminate" -> ((qDecontaminate _, Some(qDecontaminateSql))),
     "q_seq_pack" -> ((qSeqPack _, Some(qSeqPackSql))),

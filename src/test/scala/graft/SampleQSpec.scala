@@ -46,4 +46,20 @@ class SampleQSpec extends AnyFunSuite {
     assert(n0 == k0) // src0 keeps 100%
     mix.foreach { case (_, (n, k)) => assert(k <= n) }
   }
+
+  test("stratified sample: exactly min(10, stratum) per source, rank follows bucket order") {
+    val df = graft.queries.SampleQ.all("q_stratified_sample")._1(spark, dir)
+    val rows = df.collect()
+    val bySource = rows.groupBy(_.getString(1))
+    assert(bySource.values.forall(_.length <= 10))
+    bySource.values.foreach { g =>
+      // ranks are 1..k and bucket is non-decreasing along the rank
+      val sorted = g.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq == (1L to g.length).toSeq)
+      val buckets = sorted.map(_.getLong(2)).toSeq
+      assert(buckets == buckets.sorted)
+    }
+    // full sources contribute exactly 10
+    assert(bySource.values.count(_.length == 10) > 0)
+  }
 }
