@@ -293,6 +293,76 @@ object TrainPrepQ {
        |FROM p ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- //
+  // q_boilerplate_ngrams                                              //
+  // ---------------------------------------------------------------- //
+
+  /** Boilerplate n-gram mining: 8-token shingles occurring in 3+
+    * DISTINCT documents — the cross-document repeated-substring report
+    * that feeds template/footer strip lists (the aggregate view of what
+    * q_prefix_dedup catches only at position 0). The sentinel injection
+    * (shared with q_decontaminate) guarantees a non-vacuous hit set on
+    * the synthetic corpus; any natural repetition counts identically in
+    * both engines. Plan: one partial-agg groupBy over (fp, doc) then
+    * (fp) — the shuffle carries distinct (fp, doc) pairs, never the
+    * shingle stream. */
+  def qBoilerplateNgrams(s: SparkSession, dir: String): DataFrame =
+    shingleFps(documents(s, dir).withColumn("text", injectedText))
+      .groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 3)
+      .orderBy(col("fp"))
+
+  val qBoilerplateNgramsSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |  regexp_split_to_array(trim($injectedTextSql), '\\s+') AS toks FROM documents),
+       |sh AS (SELECT doc_id,
+       |         md5(array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+7], ' ')) AS fp
+       |       FROM t, UNNEST(generate_series(1, length(toks) - 7)) AS u(i)
+       |       WHERE length(toks) >= 8)
+       |SELECT fp, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  COUNT(*) AS n_occurrences, MIN(doc_id) AS first_doc
+       |FROM sh GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 3 ORDER BY fp""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // q_vocab_stats                                                     //
+  // ---------------------------------------------------------------- //
+
+  /** Corpus vocabulary profile: distinct-token count, hapax count
+    * (tokens occurring exactly once — the Zipf tail a tokenizer trainer
+    * watches), total tokens, and the maximum token frequency. One
+    * partial-agg groupBy(term) then a single global fold. The synthetic
+    * corpus reuses a ~31-word vocabulary, so every 50th doc gets one
+    * doc-unique token injected (fixture-in-query) — the hapax column
+    * measures something real. */
+  def qVocabStats(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .withColumn("text", concat(col("text"),
+        when(col("doc_id") % 50 === 0,
+          concat(lit(" rareword"), col("doc_id"))).otherwise(lit(""))))
+      .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("vocab_size"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).cast("long").as("n_hapax"),
+        sum(col("c")).cast("long").as("n_tokens"),
+        max(col("c")).as("max_freq"))
+
+  val qVocabStatsSql: String =
+    """WITH tok AS (
+      |  SELECT u.term FROM (
+      |    SELECT regexp_split_to_array(trim(text ||
+      |      (CASE WHEN doc_id % 50 = 0 THEN ' rareword' || CAST(doc_id AS STRING) ELSE '' END)), '\s+') AS toks
+      |    FROM documents) d,
+      |    UNNEST(d.toks) AS u(term)),
+      |tc AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term)
+      |SELECT COUNT(*) AS vocab_size,
+      |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  MAX(c) AS max_freq
+      |FROM tc""".stripMargin
+
+  // ---------------------------------------------------------------- //
   // q_domain_stats                                                    //
   // ---------------------------------------------------------------- //
 
@@ -333,6 +403,8 @@ object TrainPrepQ {
       |FROM u GROUP BY host ORDER BY host""".stripMargin
 
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_boilerplate_ngrams" -> ((qBoilerplateNgrams _, Some(qBoilerplateNgramsSql))),
+    "q_vocab_stats" -> ((qVocabStats _, Some(qVocabStatsSql))),
     "q_domain_stats" -> ((qDomainStats _, Some(qDomainStatsSql))),
     "q_curate_pipeline" -> ((qCuratePipeline _, Some(qCuratePipelineSql))),
     "q_decontaminate" -> ((qDecontaminate _, Some(qDecontaminateSql))),
