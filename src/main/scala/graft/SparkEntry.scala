@@ -64,7 +64,14 @@ object SparkEntry {
         graft.multimodal.Multimodal.qImageNeardup(s, dir)),
       // energy-delta audio fingerprint near-dup (scale-invariant; rows-only)
       "q_audio_neardup" -> ((s: SparkSession, dir: String) =>
-        graft.multimodal.Multimodal.qAudioNeardup(s, dir)))
+        graft.multimodal.Multimodal.qAudioNeardup(s, dir)),
+      // the capstone composition: interleaved-doc EXTRACTION feeding the
+      // CURATION layer — extract spans, stitch per-doc text, then exact-
+      // dup fingerprint + length gate over the EXTRACTED text (rows-only:
+      // the extraction half is not SQL-expressible; curation invariants
+      // pinned by ExtractCurateSpec)
+      "q_extract_curate" -> ((s: SparkSession, dir: String) =>
+        Extract.extractCurate(CorpusGen.fromDocuments(s, dir))))
 
   def oracleSql: Map[String, String] =
     battery.collect { case (k, (_, Some(sql))) => k -> sql }

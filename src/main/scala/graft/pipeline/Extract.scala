@@ -173,4 +173,26 @@ object Extract {
 
     smallOut.unionAll(bigOut)
   }
+
+  /** The extract->curate capstone composition: run the full interleaved
+    * extraction, stitch each doc's span texts into one string, then the
+    * curation layer over the EXTRACTED text — exact-dup fingerprint
+    * (min-doc representative) and a length gate, fixed reason priority.
+    * Rows-only at the driver (the extraction half is not
+    * SQL-expressible); invariants pinned by ExtractCurateSpec,
+    * including a planted extracted-text duplicate. */
+  def extractCurate(corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    run(corpus)
+      .select(col("doc_id"),
+        concat_ws(" ", expr("transform(span_seq, sp -> sp.text)")).as("text"))
+      .withColumn("fp", md5(lower(regexp_replace(col("text"), "\\s+", " ")).cast("binary")))
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")).cast("long"))
+      .withColumn("rep", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .select(col("doc_id"), col("fp"), col("n_tokens"),
+        when(col("doc_id") =!= col("rep"), "dup_extracted")
+          .when(col("n_tokens") < 20, "too_short")
+          .otherwise("kept").as("reason"))
+      .orderBy(col("doc_id"))
+  }
 }
