@@ -31,6 +31,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // ParallelGC beats default G1 on this allocation-heavy single-JVM
+  // workload (BASELINE.md A/B: 34->27 s wall on the 16-thread extract;
+  // G1's concurrent threads compete with task threads for the same
+  // burst-limited cores, Parallel's stop-the-world does not)
+  "-XX:+UseParallelGC",
 ) ++ sys.env.get("GRAFT_GC_LOG").map(f => s"-Xlog:gc:$f").toSeq ++
   sys.env.get("GRAFT_JVM_EXTRA").toSeq.flatMap(_.split(" ").toSeq) ++ Seq(
 )

@@ -60,29 +60,11 @@ object Bench {
   }
 
   /** Materialize the synthetic corpus once per sf dir (measured runs then
-    * time extraction, not corpus synthesis). */
-  private def corpusPath(spark: SparkSession, sfDir: String): String = {
-    val sfName = Paths.get(sfDir).getFileName.toString
-    // _v2: generator-version suffix — busts stale caches whose SCHEMA
-    // still matches when the synthesis semantics change (e.g. the
-    // non-BMP vocab word); bump on any CorpusGen/MediaOcr output change
-    val path = s"/tmp/graft_corpus_${sfName}_v2"
-    // rebuild when absent OR stale (pre-part_idx schema): the timed corpus
-    // uses the PRE-SPLIT layout — bounded part rows so mega-doc scans
-    // parallelize (the single-row layout's one unsplittable scan unit was
-    // the last skew residue) — with n_spans as the pushdown split key.
-    val usable = Files.exists(Paths.get(path, "_SUCCESS")) &&
-      (try {
-        val cols = spark.read.parquet(path).columns
-        cols.contains("n_spans") && cols.contains("part_idx")
-      } catch { case _: Exception => false })
-    if (!usable) {
-      CorpusGen.preSplit(CorpusGen.fromDocuments(spark, sfDir))
-        .repartition(32)
-        .write.mode("overwrite").parquet(path)
-    }
-    path
-  }
+    * time extraction, not corpus synthesis). The PRE-SPLIT layout —
+    * bounded part rows so mega-doc scans parallelize — with n_spans as
+    * the pushdown split key; shared with q_extract_presplit. */
+  private def corpusPath(spark: SparkSession, sfDir: String): String =
+    CorpusGen.materializedPreSplit(spark, sfDir)
 
   /** Replication factor for the timed run (doc_ids remapped to keep
     * stitch groups distinct): makes the measured region long enough
@@ -288,7 +270,17 @@ object Bench {
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val qshuf = results.map { case (k, _, w) => "\"" + k + "\":" + w }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Two lines, detail FIRST and a compact headline LAST: the driver
+    // captures only the final ~2,000 chars of stdout, and rounds 1-2 both
+    // lost the headline fields because the single line carried two
+    // 62-query maps and overflowed that capture (BENCH_r02 `parsed: null`,
+    // tail starts mid-line). The headline line below stays well under
+    // 1,500 chars even with sbt's trailing `[success]` line, so it always
+    // fits the capture whole; the per-query maps ride the detail line
+    // (still on stdout for humans/ledger, loss-tolerant).
     println(
-      s"""{"metric":"extract_docs_per_sec_4N16","value":${f"$tp32%.2f"},"unit":"docs/sec","queries":$qs,"queries_shuffle_write_bytes":$qshuf,"sf":"$sfDir","total_query_sec":${f"$total%.2f"},"n_docs":$nDocs,"extract_sec_N4":${f"$sec8%.3f"},"extract_sec_4N16":${f"$sec32%.3f"},"throughput_N4":${f"$tp8%.2f"},"throughput_4N16":${f"$tp32%.2f"},"scaling_efficiency":${f"$eff%.3f"},"scaling_pairs":[${pairs.map { case (a, b, _, _, _, _) => f"[$a%.2f,$b%.2f]" }.mkString(",")}],"scaling_efficiencies":[${effs.map(e => f"$e%.3f").mkString(",")}],"burn_sec_pairs":[${pairs.map { case (_, _, b4, b16, _, _) => f"[$b4%.2f,$b16%.2f]" }.mkString(",")}],"cpu_capacity_ratios":[${capRatios.map(c => f"$c%.2f").mkString(",")}],"capacity_normalized_efficiencies":[${normEffs.map(e => f"$e%.3f").mkString(",")}],"kernel_sec_pairs":[${pairs.map { case (_, _, _, _, k4, k16) => f"[$k4%.2f,$k16%.2f]" }.mkString(",")}],"kernel_scaling_ratios":[${kernelRatios.map(k => f"$k%.2f").mkString(",")}],"gc_task_fraction_pairs":[${gcFracs.map { case (a, b) => f"[$a%.3f,$b%.3f]" }.mkString(",")}],"plan_efficiencies_vs_kernel":[${planEffs.map(e => f"$e%.3f").mkString(",")}],"shuffle_partitions":{"N4":4,"4N16":16},"spill_bytes_mem":$spillMem,"spill_bytes_disk":$spillDisk,"shuffle_read_bytes":$shufRead,"shuffle_write_bytes":$shufWrite}""")
+      s"""{"detail":"per_query","queries":$qs,"queries_shuffle_write_bytes":$qshuf,"scaling_pairs":[${pairs.map { case (a, b, _, _, _, _) => f"[$a%.2f,$b%.2f]" }.mkString(",")}],"scaling_efficiencies":[${effs.map(e => f"$e%.3f").mkString(",")}],"burn_sec_pairs":[${pairs.map { case (_, _, b4, b16, _, _) => f"[$b4%.2f,$b16%.2f]" }.mkString(",")}],"kernel_sec_pairs":[${pairs.map { case (_, _, _, _, k4, k16) => f"[$k4%.2f,$k16%.2f]" }.mkString(",")}],"gc_task_fraction_pairs":[${gcFracs.map { case (a, b) => f"[$a%.3f,$b%.3f]" }.mkString(",")}]}""")
+    println(
+      s"""{"metric":"extract_docs_per_sec_4N16","value":${f"$tp32%.2f"},"unit":"docs/sec","sf":"$sfDir","n_docs":$nDocs,"n_queries":${results.size},"total_query_sec":${f"$total%.2f"},"extract_sec_N4":${f"$sec8%.3f"},"extract_sec_4N16":${f"$sec32%.3f"},"throughput_N4":${f"$tp8%.2f"},"throughput_4N16":${f"$tp32%.2f"},"scaling_efficiency":${f"$eff%.3f"},"cpu_capacity_ratios":[${capRatios.map(c => f"$c%.2f").mkString(",")}],"capacity_normalized_efficiencies":[${normEffs.map(e => f"$e%.3f").mkString(",")}],"kernel_scaling_ratios":[${kernelRatios.map(k => f"$k%.2f").mkString(",")}],"plan_efficiencies_vs_kernel":[${planEffs.map(e => f"$e%.3f").mkString(",")}],"shuffle_partitions":{"N4":4,"4N16":16},"spill_bytes_mem":$spillMem,"spill_bytes_disk":$spillDisk,"shuffle_read_bytes":$shufRead,"shuffle_write_bytes":$shufWrite}""")
   }
 }

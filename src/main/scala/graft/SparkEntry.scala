@@ -32,13 +32,24 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     battery.map { case (k, (fn, _)) => k -> fn } ++ Map(
-      // non-SQL-expressible flagship (DOM/hOCR/classifier work): the
-      // driver records the rows-only check; correctness is pinned by the
-      // golden + distributed-equivalence suites in src/test. The output is
-      // FLATTENED to scalar columns (one row per span) — the driver's
-      // pandas canonicalization cannot sort/hash an array<struct> column
+      // flagship with an INDEPENDENT partial-prediction oracle (round-2
+      // verdict #2): runs the full extraction job, projects the
+      // structural columns (span counts, kinds, media_refs, non-empty
+      // text) that DuckDB re-derives from the documents table alone via
+      // the splitmix64 recurrence — see FlagshipQ's scaladoc. Text
+      // VALUES stay pinned by goldens + the rows-only q_extract_text.
+      "q_extract_flagship" -> (graft.queries.FlagshipQ.qFlagship _),
+      // the same job + oracle over the PRE-SPLIT materialized layout
+      // (the bench path): battery measures extraction, not synthesis,
+      // and the part_idx order reconstruction gets its own oracle row
+      "q_extract_presplit" -> (graft.queries.FlagshipQ.qFlagshipPreSplit _),
+      // full flattened span text (one row per span): not SQL-expressible
+      // (DOM/hOCR/classifier work), driver records the rows-only check;
+      // values pinned by the golden + distributed-equivalence suites.
+      // Flattened to scalar columns — the driver's pandas
+      // canonicalization cannot sort/hash an array<struct> column
       // (CORRECTNESS_r01 `unhashable type: numpy.ndarray`).
-      "q_extract_flagship" -> ((s: SparkSession, dir: String) => {
+      "q_extract_text" -> ((s: SparkSession, dir: String) => {
         import org.apache.spark.sql.functions._
         Extract.run(CorpusGen.fromDocuments(s, dir))
           .select(col("doc_id"), posexplode(col("span_seq")).as(Seq("pos", "sp")))
@@ -74,5 +85,7 @@ object SparkEntry {
         Extract.extractCurate(CorpusGen.fromDocuments(s, dir))))
 
   def oracleSql: Map[String, String] =
-    battery.collect { case (k, (_, Some(sql))) => k -> sql }
+    battery.collect { case (k, (_, Some(sql))) => k -> sql } ++ Map(
+      "q_extract_flagship" -> graft.queries.FlagshipQ.oracle,
+      "q_extract_presplit" -> graft.queries.FlagshipQ.oracle)
 }

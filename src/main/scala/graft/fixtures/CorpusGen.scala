@@ -98,6 +98,29 @@ object CorpusGen {
     * into it) parallelizes by itself. Extract.run accepts this layout
     * directly and reconstructs global span order from
     * part_idx * PartSize + local position. */
+  /** Materialize the pre-split corpus for a scale dir once under /tmp,
+    * returning its path (idempotent; rebuilds when absent or from an
+    * older generator version). Shared by Bench (the timed layout) and
+    * q_extract_presplit (the battery/correctness entry over the same
+    * layout). `_v2` is the generator-version suffix — busts stale caches
+    * whose SCHEMA still matches when synthesis semantics change; bump on
+    * any CorpusGen/MediaOcr output change. */
+  def materializedPreSplit(spark: SparkSession, sfDir: String): String = {
+    val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val path = s"/tmp/graft_corpus_${sfName}_v2"
+    val usable = java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")) &&
+      (try {
+        val cols = spark.read.parquet(path).columns
+        cols.contains("n_spans") && cols.contains("part_idx")
+      } catch { case _: Exception => false })
+    if (!usable) {
+      preSplit(fromDocuments(spark, sfDir))
+        .repartition(32)
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
   def preSplit(corpus: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     // the chunk size is a layout CONTRACT, not a knob: Extract.runPreSplit
