@@ -66,7 +66,9 @@ object SparkEntry {
             "concat('img://page/', doc_id, '/', page_idx) AS media_ref")
         graft.pipeline.PagesPipeline.run(df)
       }),
-      // multimodal featurizer (binary columns, stubbed decode)
+      // multimodal featurizer (binary columns; real decode for BMP/WAV
+      // and, via the JDK's ImageIO, JPEG/PNG/GIF/TIFF — only MP3/video
+      // remain stubbed, those codecs genuinely are absent)
       "q_media_features" -> ((s: SparkSession, dir: String) =>
         graft.multimodal.Multimodal.qMediaFeatures(s, dir)),
       // perceptual-hash image near-dup (real BMP decode -> aHash ->

@@ -8,11 +8,16 @@ import graft.layout.MediaOcr
 /** Multimodal columns for a training-data pipeline: image/audio/video as
   * opaque BINARY columns with typed metadata.
   *
-  * Decode status (round 2): REAL decoders for the uncompressed formats a
-  * JVM can parse without codec libraries — 24-bit BMP (pixel luma +
-  * histogram) and 16-bit PCM WAV (sample rate, duration, RMS). Codec
-  * formats (JPEG/PNG/MP3/video) remain STUBBED with a deterministic
-  * byte-level fake (this container ships no codecs); the `decoded`
+  * Decode status (round 3): REAL decoders for
+  *   - 24-bit BMP and 16-bit PCM WAV — hand-parsed (header + raw
+  *     samples, no codec needed), deterministic across JVMs;
+  *   - JPEG / PNG / GIF / TIFF — via the JDK's own javax.imageio
+  *     readers, which this sandbox's JDK 17 ships (round-2 verdict:
+  *     the earlier "no codecs in this container" claim was wrong for
+  *     images); same luma/histogram/aHash feature path as BMP.
+  * Only genuinely absent codecs stay STUBBED with a deterministic
+  * byte-level fake: compressed AUDIO (MP3/AAC — javax.sound ships no
+  * MP3 SPI) and VIDEO containers. The `decoded`
   * output column says which path a row took. The Spark-side plumbing is
   * identical either way: schema, per-partition batch shape
   * (mapPartitions over iterators, the Scala analogue of mapInPandas),
@@ -82,9 +87,11 @@ object Multimodal {
     buf.array()
   }
 
-  /** Deterministic synthetic media table (no external data): VALID BMP
-    * images and PCM WAV audio (really decodable); video payloads are
-    * opaque codec-format stand-ins (splitmix bytes). */
+  /** Deterministic synthetic media table (no external data): VALID
+    * images — BMP, and PNG/JPEG re-encodes of the same deterministic
+    * pixels through the JDK's ImageIO writers (image id mod 9: 0 BMP,
+    * 3 PNG, 6 JPEG) — and PCM WAV audio; video payloads are opaque
+    * codec-format stand-ins (splitmix bytes). */
   def genTable(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n.toLong).map { id =>
@@ -96,7 +103,13 @@ object Multimodal {
       val w = 16 + (id % 8).toInt * 4
       val h = 12 + (id % 5).toInt * 4
       val bytes = kind match {
-        case "image" => genBmp(id, w, h)
+        case "image" =>
+          val bmp = genBmp(id, w, h)
+          (id % 9) match {
+            case 3L => encodeImage(bmpToImage(bmp).get, "png")
+            case 6L => encodeImage(bmpToImage(bmp).get, "jpg")
+            case _  => bmp
+          }
         case "audio" => genWav(id, 16000, 256 + (MediaOcr.hash64(s"len:$id") & 0x3FF).toInt)
         case _ =>
           val len = 256 + (MediaOcr.hash64(s"len:$id") & 0x3FF).toInt
@@ -172,6 +185,10 @@ object Multimodal {
     while (off + 8 <= payload.length && (dataOff < 0 || !fmtOk)) {
       val id = tag(off)
       val len = buf.getInt(off + 4)
+      // a corrupt/hostile chunk length (negative, or large enough that
+      // 8 + len + pad wraps) would make `off` non-advancing — an
+      // infinite loop pinning an executor task. Bail instead.
+      if (len < 0 || len > payload.length) return None
       if (id == "fmt ") {
         fmtOk = buf.getShort(off + 8) == 1 // PCM
         sampleRate = buf.getInt(off + 12)
@@ -181,8 +198,118 @@ object Multimodal {
       }
       off += 8 + len + (len & 1)
     }
-    if (!fmtOk || bits != 16 || dataOff < 0 || dataOff + dataLen > payload.length) None
+    if (!fmtOk || bits != 16 || dataOff < 0 || dataLen < 0 ||
+      dataOff.toLong + dataLen > payload.length) None
     else Some((sampleRate, dataOff, dataLen))
+  }
+
+  // ---- codec images via the JDK's own javax.imageio readers ----
+
+  /** Magic sniff for the formats ImageIO ships readers for (JPEG, PNG,
+    * GIF, TIFF) — cheap gate so random video bytes never pay an
+    * ImageIO.read attempt. BMP intentionally excluded: the hand-rolled
+    * decoder above stays the BMP path (deterministic, allocation-light,
+    * and it predates this one). */
+  def imageIoType(p: Array[Byte]): Option[String] = {
+    if (p.length < 8) return None
+    if ((p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8 && (p(2) & 0xFF) == 0xFF) Some("jpeg")
+    else if ((p(0) & 0xFF) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') Some("png")
+    else if (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') Some("gif")
+    else if ((p(0) == 'I' && p(1) == 'I' && p(2) == 42 && p(3) == 0) ||
+      (p(0) == 'M' && p(1) == 'M' && p(2) == 0 && p(3) == 42)) Some("tiff")
+    else None
+  }
+
+  /** Decode a codec image with ImageIO; None when the payload is not a
+    * JPEG/PNG/GIF/TIFF or the reader rejects it. */
+  def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    imageIoType(payload).flatMap { _ =>
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case _: Exception => None }
+    }
+
+  /** (width, height, mean luma 0-1, 16-bin luma histogram) of a decoded
+    * BufferedImage — the exact statistic decodeBmp computes, over
+    * ImageIO-decoded pixels. */
+  def imageStats(img: java.awt.image.BufferedImage): (Int, Int, Float, Array[Float]) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val hist = new Array[Float](16)
+    var lumaSum = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = 0.114 * (rgb & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+          0.299 * ((rgb >> 16) & 0xFF) // BT.601, same as decodeBmp
+        lumaSum += luma
+        hist(math.min(15, (luma / 16).toInt)) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w * h).toFloat
+    var j = 0
+    while (j < 16) { hist(j) /= n; j += 1 }
+    (w, h, (lumaSum / n / 255.0).toFloat, hist)
+  }
+
+  /** Encode a BufferedImage with an ImageIO writer — the fixture
+    * generator for JPEG/PNG variants (a JPEG re-encode of an image is
+    * the canonical near-duplicate a media corpus must catch). */
+  def encodeImage(img: java.awt.image.BufferedImage, format: String,
+      quality: Float = -1f): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    // JPEG writers reject alpha; render onto RGB first
+    val rgb = new java.awt.image.BufferedImage(img.getWidth, img.getHeight,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = rgb.createGraphics()
+    g.drawImage(img, 0, 0, null)
+    g.dispose()
+    if (quality >= 0f) {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName(format).next()
+      val params = writer.getDefaultWriteParam
+      if (params.canWriteCompressed) {
+        params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        params.setCompressionQuality(quality)
+      }
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(rgb, null, null), params)
+      writer.dispose()
+      ios.close()
+    } else {
+      javax.imageio.ImageIO.write(rgb, format, out)
+    }
+    out.toByteArray
+  }
+
+  /** Our 24-bit BMP bytes -> BufferedImage (for re-encoding fixtures). */
+  def bmpToImage(bmp: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    if (bmp.length < 54 || bmp(0) != 'B' || bmp(1) != 'M') return None
+    val buf = java.nio.ByteBuffer.wrap(bmp).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val pixOff = buf.getInt(10)
+    val w = buf.getInt(18)
+    val h = buf.getInt(22)
+    if (buf.getShort(28) != 24 || buf.getInt(30) != 0 || w <= 0 || h <= 0) return None
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    if (pixOff.toLong + rowBytes.toLong * h > bmp.length) return None
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val row = pixOff + y * rowBytes
+      var x = 0
+      while (x < w) {
+        val b = bmp(row + x * 3) & 0xFF
+        val g = bmp(row + x * 3 + 1) & 0xFF
+        val r = bmp(row + x * 3 + 2) & 0xFF
+        img.setRGB(x, h - 1 - y, (r << 16) | (g << 8) | b) // BMP rows are bottom-up
+        x += 1
+      }
+      y += 1
+    }
+    Some(img)
   }
 
   /** REAL PCM WAV decode: returns (sampleRate, nSamples, RMS 0-1, 16-bin
@@ -241,7 +368,12 @@ object Multimodal {
             case Some((sr, n, rms, hist)) =>
               MediaFeatures(row.media_id, row.kind, row.payload.length, hist,
                 rms, math.max(1, n / math.max(1, sr)), decoded = 1) // "frames" = whole seconds
-            case None =>
+            case None => decodeImage(row.payload) match {
+              case Some(img) =>
+                val (_, _, luma, hist) = imageStats(img)
+                MediaFeatures(row.media_id, row.kind, row.payload.length, hist,
+                  luma, 1, decoded = 1)
+              case None =>
               val hist = new Array[Float](16)
               var i = 0
               while (i < row.payload.length) {
@@ -254,6 +386,7 @@ object Multimodal {
               MediaFeatures(row.media_id, row.kind, row.payload.length, hist,
                 decodeStubLuma(row.payload), frameCount(row.kind, row.payload),
                 decoded = 0)
+            }
           }
         }
       }
@@ -289,7 +422,10 @@ object Multimodal {
     var total = 0.0
     var y = 0
     while (y < h) {
-      val cy = y * 8 / h
+      // BMP rows are stored bottom-up; grid rows are defined in VISUAL
+      // space so the same image hashed from a BMP and from a JPEG/PNG
+      // re-encode (ImageIO path, visual order) lands identical bits
+      val cy = (h - 1 - y) * 8 / h
       val row = pixOff + y * rowBytes
       var x = 0
       while (x < w) {
@@ -319,6 +455,51 @@ object Multimodal {
     }
     Some(bits)
   }
+
+  /** aHash of an ImageIO-decoded image — identical cell/threshold
+    * semantics to the BMP path (visual row order), so a JPEG/PNG
+    * re-encode of a BMP hashes within a few bits of the original. */
+  def ahashImage(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val cellSum = Array.ofDim[Double](8, 8)
+    val cellCnt = Array.ofDim[Long](8, 8)
+    var total = 0.0
+    var y = 0
+    while (y < h) {
+      val cy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = 0.114 * (rgb & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+          0.299 * ((rgb >> 16) & 0xFF)
+        val cx = x * 8 / w
+        cellSum(cy)(cx) += luma
+        cellCnt(cy)(cx) += 1
+        total += luma
+        x += 1
+      }
+      y += 1
+    }
+    val mean = total / (w.toLong * h)
+    var bits = 0L
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        if (cellCnt(cy)(cx) > 0 && cellSum(cy)(cx) / cellCnt(cy)(cx) > mean)
+          bits |= 1L << (cy * 8 + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    bits
+  }
+
+  /** aHash of ANY decodable image payload: the hand-rolled BMP path, or
+    * ImageIO for JPEG/PNG/GIF/TIFF. None when neither decodes. */
+  def ahashAny(payload: Array[Byte]): Option[Long] =
+    ahash64(payload).orElse(decodeImage(payload).map(ahashImage))
 
   /** Average-pool resize of a 24-bit BMP to (ow x oh), emitted as a REAL
     * BMP payload — the media "resize" transform (fixed-size model inputs,
@@ -406,8 +587,18 @@ object Multimodal {
     var bits = 0L
     var k = 0
     while (k < 63) {
-      // mean_k > mean_{k+1}  <=>  sumSq_k * cnt_{k+1} > sumSq_{k+1} * cnt_k
-      if (sumSq(k) * cnt(k + 1) > sumSq(k + 1) * cnt(k)) bits |= 1L << k
+      // mean_k > mean_{k+1}  <=>  sumSq_k * cnt_{k+1} > sumSq_{k+1} * cnt_k.
+      // The cross products are compared as FULL 128-bit values
+      // (multiplyHigh + unsigned low half): sumSq is bounded by
+      // cnt * 2^30, so a plain Long product overflows once a window
+      // holds > ~92k samples (~6 min at 16 kHz) and would silently
+      // corrupt fingerprint bits on long recordings.
+      val hi1 = Math.multiplyHigh(sumSq(k), cnt(k + 1))
+      val hi2 = Math.multiplyHigh(sumSq(k + 1), cnt(k))
+      val cmp =
+        if (hi1 != hi2) java.lang.Long.compare(hi1, hi2)
+        else java.lang.Long.compareUnsigned(sumSq(k) * cnt(k + 1), sumSq(k + 1) * cnt(k))
+      if (cmp > 0) bits |= 1L << k
       k += 1
     }
     Some(bits)
@@ -454,13 +645,14 @@ object Multimodal {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Image near-dup at scale: aHash in the decode pass, then the blocked
-    * pigeonhole join. Input rows: (media_id, payload); non-BMP payloads
-    * drop out. */
+  /** Image near-dup at scale: aHash in the decode pass (BMP hand-rolled
+    * or ImageIO for JPEG/PNG/GIF/TIFF), then the blocked pigeonhole
+    * join. Input rows: (media_id, payload); undecodable payloads drop
+    * out. */
   def imageNearDup(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
     blockedHammingPairs(
-      media.flatMap(r => ahash64(r.payload).map(h => (r.media_id, h)))
+      media.flatMap(r => ahashAny(r.payload).map(h => (r.media_id, h)))
         .toDF("media_id", "ahash"))
   }
 
@@ -488,18 +680,30 @@ object Multimodal {
     out
   }
 
-  /** Driver query (rows-only — BMP decode is not SQL-expressible, same
+  /** Driver query (rows-only — image decode is not SQL-expressible, same
     * decision as q_media_features): corpus = the synthetic media table
-    * plus a perturbed variant of every 10th image; the blocked aHash
-    * join must recover exactly those planted pairs (plus any natural
-    * collisions, which random pixels make vanishingly unlikely). */
+    * plus, for every 10th image, a container-appropriate near-duplicate —
+    * pixel perturbation for BMP originals, a JPEG re-encode (decode ->
+    * DCT requantize -> encode, quality 0.9) for PNG/JPEG originals —
+    * plus a cross-container JPEG re-encode of every 20th BMP. The
+    * blocked aHash join must recover exactly those planted pairs (plus
+    * any natural collisions, which random pixels make vanishingly
+    * unlikely). */
   def qImageNeardup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = genTable(spark, 200)
     val variants = base.filter(r => r.kind == "image" && r.media_id % 10 == 0)
-      .map(r => r.copy(media_id = r.media_id + 100000,
-        payload = perturbBmp(r.payload, r.media_id, 3)))
-    imageNearDup(base.unionByName(variants))
+      .map { r =>
+        val near =
+          if (r.payload(0) == 'B' && r.payload(1) == 'M') perturbBmp(r.payload, r.media_id, 3)
+          else encodeImage(decodeImage(r.payload).get, "jpg", quality = 0.9f)
+        r.copy(media_id = r.media_id + 100000, payload = near)
+      }
+    val crossCodec = base.filter(r =>
+        r.kind == "image" && r.media_id % 20 == 0 && r.payload(0) == 'B')
+      .map(r => r.copy(media_id = r.media_id + 200000,
+        payload = encodeImage(bmpToImage(r.payload).get, "jpg", quality = 0.9f)))
+    imageNearDup(base.unionByName(variants).unionByName(crossCodec))
   }
 
   /** Driver query (rows-only, same decision): volume-rescaled (9/10)

@@ -82,19 +82,60 @@ class MultimodalDedupSpec extends AnyFunSuite {
   test("blocked join == brute force over all hash pairs (completeness of pigeonhole)") {
     import spark.implicits._
     val base = Multimodal.genTable(spark, 90)
+    // container-appropriate near-dups, like qImageNeardup: pixel
+    // perturbation for BMPs, a JPEG re-encode for PNG/JPEG originals
     val variants = base.filter(r => r.kind == "image" && r.media_id % 10 == 0)
-      .map(r => r.copy(media_id = r.media_id + 100000,
-        payload = Multimodal.perturbBmp(r.payload, r.media_id, 3)))
+      .map { r =>
+        val near =
+          if (r.payload(0) == 'B' && r.payload(1) == 'M')
+            Multimodal.perturbBmp(r.payload, r.media_id, 3)
+          else Multimodal.encodeImage(Multimodal.decodeImage(r.payload).get, "jpg", 0.9f)
+        r.copy(media_id = r.media_id + 100000, payload = near)
+      }
     val all = base.unionByName(variants)
     val got = Multimodal.imageNearDup(all).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    // brute force on the driver over the same hashes
-    val hashes = all.collect().flatMap(r => Multimodal.ahash64(r.payload).map(r.media_id -> _))
+    // brute force on the driver over the same hashes (ahashAny = the
+    // distributed job's hash: BMP hand-rolled or ImageIO)
+    val hashes = all.collect().flatMap(r => Multimodal.ahashAny(r.payload).map(r.media_id -> _))
     val brute = (for {
       (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
       d = java.lang.Long.bitCount(ha ^ hb) if d <= Multimodal.MaxHamming
     } yield (ia, ib, d.toLong)).toSet
     assert(got == brute)
     assert(got.nonEmpty && got.forall { case (a, b, _) => b == a + 100000 })
+    // every planted pair type is recovered: the PNG and JPEG originals
+    // (ids 30, 60) pair with their re-encodes, not just the BMP ones
+    assert(got.exists(_._1 == 30L) && got.exists(_._1 == 60L))
+  }
+
+  test("imageio: png re-encode is pixel-lossless (stats + exact ahash bits)") {
+    val bmp = Multimodal.genBmp(11L, 32, 24)
+    val png = Multimodal.encodeImage(Multimodal.bmpToImage(bmp).get, "png")
+    assert(Multimodal.imageIoType(png).contains("png"))
+    val img = Multimodal.decodeImage(png).get
+    val (w, h, luma, hist) = Multimodal.imageStats(img)
+    val (w0, h0, luma0, hist0) = Multimodal.decodeBmp(bmp).get
+    assert(w == w0 && h == h0)
+    assert(math.abs(luma - luma0) < 1e-6f)
+    assert(hist.zip(hist0).forall { case (a, b) => math.abs(a - b) < 1e-6f })
+    // identical pixels => identical aHash bits across the two decode paths
+    assert(Multimodal.ahashImage(img) == Multimodal.ahash64(bmp).get)
+    // and ahashAny dispatches both containers
+    assert(Multimodal.ahashAny(png).get == Multimodal.ahashAny(bmp).get)
+  }
+
+  test("imageio: jpeg re-encode stays within the near-dup threshold") {
+    for (id <- Seq(0L, 3L, 12L, 30L, 60L, 84L)) {
+      val bmp = Multimodal.genBmp(id, 16 + (id % 8).toInt * 4, 12 + (id % 5).toInt * 4)
+      val jpg = Multimodal.encodeImage(Multimodal.bmpToImage(bmp).get, "jpg", 0.9f)
+      assert(Multimodal.imageIoType(jpg).contains("jpeg"))
+      val d = java.lang.Long.bitCount(
+        Multimodal.ahash64(bmp).get ^ Multimodal.ahashAny(jpg).get)
+      assert(d <= Multimodal.MaxHamming, s"id=$id hamming=$d")
+    }
+    // undecodable bytes fall through to None, not an exception
+    assert(Multimodal.decodeImage(Array.fill[Byte](64)(0x55)).isEmpty)
+    assert(Multimodal.ahashAny(Multimodal.genWav(1L, 16000, 64)).isEmpty)
   }
 }
