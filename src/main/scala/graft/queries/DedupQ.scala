@@ -100,13 +100,25 @@ object DedupQ {
       }: _*)).as(Seq("band", "bh")))
   }
 
+  /** The band relation cached once per (session, sf dir): FIVE queries
+    * consume it (qMinhashLsh directly and via qDedupCluster /
+    * qNeardupVerified, plus qLshBucketProfile), and without the memo each
+    * re-executed the full shingle -> minhash lineage — ~4 s of the
+    * round-2 battery went to qLshBucketProfile recomputing it alone
+    * (verdict "What's wrong" #3). 4 narrow rows per doc: cheap to keep,
+    * expensive to recompute. */
+  private val bandsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def cachedBands(s: SparkSession, dir: String): DataFrame =
+    bandsMemo.getOrElseUpdate((s, dir), lshBands(s, dir).cache())
+
   /** MinHash (16 perms via md5 keyed by j) + LSH (4 bands x 4 rows):
     * candidate near-duplicate pairs. The banding is the scale path: docs
     * only ever meet through equal (band, band_hash) buckets — a shuffle
     * on the bucket key, never an all-pairs product — and oversized
     * buckets are excluded (MaxLshBucket). */
   def qMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val bands = lshBands(s, dir)
+    val bands = cachedBands(s, dir)
     // window (not groupBy+join): the band relation is already narrow
     // (4 rows/doc of hashes), one shuffle on the bucket key that the
     // self-join below then reuses.
@@ -157,7 +169,7 @@ object DedupQ {
   /** The skew guard's drop report (no silent caps): every LSH bucket with
     * its size and whether the candidate stage excludes it. */
   def qLshBucketProfile(s: SparkSession, dir: String): DataFrame =
-    lshBands(s, dir)
+    cachedBands(s, dir)
       .groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
       .withColumn("dropped",
@@ -179,6 +191,10 @@ object DedupQ {
     * the previous unpersisted). The oracle computes the same components
     * via a recursive transitive closure — fine at oracle scale, exactly
     * the quadratic thing the Spark side avoids. */
+  /** Propagation iterations of the most recent qDedupCluster run —
+    * diagnostic only (the jobs-per-iteration spec reads it). */
+  @volatile var lastClusterIterations: Int = 0
+
   def qDedupCluster(s: SparkSession, dir: String): DataFrame = {
     val pairs = qMinhashLsh(s, dir)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -191,21 +207,28 @@ object DedupQ {
     // truncates the logical plan: without it each iteration's plan
     // embeds all previous ones and Catalyst re-analysis grows
     // quadratically with the component diameter.
+    //
+    // ONE job per iteration (round-2 verdict #7): the changed flag rides
+    // the update relation itself (nlabel < label — no separate
+    // join-back against the previous labels), the checkpoint is LAZY,
+    // and the convergence count() is the action that materializes it.
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
     var changed = 1L
+    var iters = 0
     while (changed > 0) {
       val msgs = edges.join(labels, col("src") === col("id"))
         .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
       val updated = labels.join(msgs, col("id") === col("dst"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint()
-      changed = updated.as("u")
-        .join(labels.select(col("id").as("oid"), col("label").as("old")), col("id") === col("oid"))
-        .filter(col("label") =!= col("old")).count()
-      labels = updated
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          (col("nlabel").isNotNull && col("nlabel") < col("label")).as("chg"))
+        .localCheckpoint(eager = false)
+      changed = updated.filter(col("chg")).count()
+      labels = updated.select(col("id"), col("label"))
+      iters += 1
     }
+    lastClusterIterations = iters
     val w = Window.partitionBy(col("label"))
     labels
       .withColumn("cluster_size", count(lit(1)).over(w))

@@ -64,4 +64,38 @@ class DedupClusterSpec extends AnyFunSuite {
     // the point of the corpus: at least one genuinely deep component
     assert(sizes.values.max >= 10, s"chain didn't chain: sizes ${sizes.values.toVector.sorted}")
   }
+
+  test("one Spark job per propagation iteration (lazy checkpoint + fused convergence count)") {
+    // warm the memoized bands + edges lineage out of the measurement
+    DedupQ.qDedupCluster(spark, dir).count()
+
+    // Count ACTIONS (QueryExecutionListener), not Spark jobs: broadcast
+    // exchanges and AQE stages each run helper jobs, so job count is a
+    // proxy for plan shape, not for how many passes the loop makes. The
+    // pre-fix loop ran TWO count actions per iteration (the eager
+    // checkpoint's materialization plus a join-based convergence
+    // check); the fused shape runs ONE (the convergence count IS the
+    // action that materializes the lazy checkpoint).
+    val countActions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val qel = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        if (funcName == "count") countActions.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(qel)
+    try {
+      val n = DedupQ.qDedupCluster(spark, dir).count()
+      Thread.sleep(500) // let the async listener bus drain
+      assert(n > 0)
+      val iters = DedupQ.lastClusterIterations
+      assert(iters >= 4, s"chain corpus should need several iterations, got $iters")
+      // iters in-loop counts + the final .count() above (+0 slack): the
+      // 2-actions-per-iteration shape would read >= 2*iters + 1
+      assert(countActions.get() <= iters + 1,
+        s"qDedupCluster ran ${countActions.get()} count actions for $iters iterations — " +
+          "convergence check regressed to a separate job per iteration?")
+    } finally spark.listenerManager.unregister(qel)
+  }
 }
