@@ -40,9 +40,26 @@ object HtmlDom {
     * all leaves can share one empty instance instead of allocating two
     * 16-slot ArrayBuffers each. Leaves are ~half of all nodes and this
     * sits on the extraction hot path where allocation rate is the
-    * 16-thread scaling limiter (StageProbe profile). DO NOT mutate. */
-  private val NoAttrs = ArrayBuffer.empty[(String, String)]
-  private val NoChildren = ArrayBuffer.empty[Node]
+    * 16-thread scaling limiter (StageProbe profile).
+    *
+    * The invariant is enforced STRUCTURALLY, not by comment: the shared
+    * instances throw on every mutating call, so a future code path that
+    * appends to a leaf fails fast on first use instead of silently
+    * aliasing state across every document on every thread. */
+  private final class FrozenBuffer[A] extends ArrayBuffer[A](0) {
+    private def die: Nothing = throw new UnsupportedOperationException(
+      "shared leaf-node buffer is immutable (HtmlDom.FrozenBuffer)")
+    override def addOne(e: A): this.type = die
+    override def prepend(e: A): this.type = die
+    override def insert(i: Int, e: A): Unit = die
+    override def insertAll(i: Int, es: scala.collection.IterableOnce[A]): Unit = die
+    override def update(i: Int, e: A): Unit = die
+    override def remove(i: Int): A = die
+    override def remove(i: Int, n: Int): Unit = die
+    override def clear(): Unit = die
+  }
+  private val NoAttrs: ArrayBuffer[(String, String)] = new FrozenBuffer[(String, String)]
+  private val NoChildren: ArrayBuffer[Node] = new FrozenBuffer[Node]
   private def leaf(tpe: NodeType, data: String): Node =
     new Node(tpe, data, NoAttrs, NoChildren)
 

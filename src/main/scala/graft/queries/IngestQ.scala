@@ -23,11 +23,20 @@ object IngestQ {
     case _ => Array(0x47, 0x49, 0x46).map(_.toByte) // GIF
   }
 
-  /** Write the deterministic fixture tree (idempotent): docs with
+  /** Write the deterministic fixture tree: docs with
     * doc_id % 50 == 0 get (doc_id % 3) + 1 page files of
     * 64 + doc_id % 10 bytes each. Page files are zero-padded so the
-    * lexicographic order the source must reproduce is the page order. */
+    * lexicographic order the source must reproduce is the page order.
+    * The root is DELETED first: an append-only tree would keep stale
+    * docN directories from a previous testdata generation and the scan
+    * would return rows the oracle does not predict. */
   private def writeFixture(s: SparkSession, dir: String, root: String): Unit = {
+    val rootPath = Paths.get(root)
+    if (Files.exists(rootPath)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(rootPath).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
     val docs = s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id")).filter(col("doc_id") % 50 === 0)
       .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().sorted

@@ -97,19 +97,23 @@ object StreamingOps {
   }
 
   /** Streaming exact dedup: the incremental form of q_dedup_exact —
-    * content-fingerprint `dropDuplicates` bounded by an event-time
-    * watermark, the standard shape for deduplicating a live ingestion
-    * feed (state for fingerprints older than the watermark is evicted,
-    * so the state store stays bounded; a duplicate arriving later than
-    * the watermark horizon is by contract out of scope — the batch
-    * dedup sweep owns the long tail). Emits the first-seen row per
-    * fingerprint with the fingerprint attached. */
+    * content-fingerprint dedup bounded by an event-time watermark, the
+    * standard shape for deduplicating a live ingestion feed.
+    * `dropDuplicatesWithinWatermark` (not plain `dropDuplicates`): when
+    * the watermark column is not part of the dedup key, plain
+    * dropDuplicates keeps every fingerprint forever — the state store
+    * grows unboundedly on a live feed. The WithinWatermark variant
+    * evicts a fingerprint's state once the watermark passes its event
+    * time + delay, so state stays bounded; a duplicate arriving later
+    * than that horizon is re-emitted by contract — the batch dedup
+    * sweep owns the long tail. Emits the first-seen row per fingerprint
+    * with the fingerprint attached. */
   def dedupStream(docs: DataFrame): DataFrame =
     docs
       .withColumn("ts", col("ts").cast("timestamp"))
       .withColumn("fp", md5(lower(regexp_replace(col("text"), "\\s+", " ")).cast("binary")))
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("fp")
+      .dropDuplicatesWithinWatermark("fp")
 
   /** Streaming decontamination: a STREAM-STATIC broadcast join. Each
     * arriving document's 8-token shingle fingerprints (the exact batch

@@ -86,10 +86,19 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     // batch 2: a dup INSIDE the watermark horizon -> dropped
     source.addData((4L, ts(30), "delta epsilon"))
     q.processAllAvailable()
+    // batch 3: advance the watermark far past every stored fingerprint's
+    // horizon (1h delay) so their state is EVICTED...
+    source.addData((5L, ts(600), "watermark pusher"))
+    q.processAllAvailable()
+    // ...then batch 4: the same content again, after eviction -> kept
+    // again (bounded state means the horizon, not forever, is the
+    // dedup contract; re-emission proves eviction actually happened)
+    source.addData((6L, ts(610), "delta epsilon"))
+    q.processAllAvailable()
     q.stop()
     val out = spark.table("dedup_out").select("doc_id").as[Long].collect().sorted
-    assert(out.toSeq == Seq(1L, 2L)) // first-seen only; 3 and 4 deduped
-    // and the batch analog agrees on what is distinct
+    assert(out.toSeq == Seq(1L, 2L, 5L, 6L)) // 3 and 4 deduped; 6 re-kept after eviction
+    // and the batch analog agrees on what is distinct within the horizon
     val batchDistinct = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"),
       (3L, "alpha  beta\tgamma"), (4L, "delta epsilon"))
       .toDF("doc_id", "text")
@@ -97,7 +106,7 @@ class StreamingMultimodalSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.lower(org.apache.spark.sql.functions.regexp_replace(
           org.apache.spark.sql.functions.col("text"), "\\s+", " ")).cast("binary")))
       .distinct().count()
-    assert(batchDistinct == out.length)
+    assert(batchDistinct == out.count(_ <= 4L))
   }
 
   test("streaming extraction (append, stateless) == batch Extract.run") {
