@@ -5,19 +5,25 @@ import java.util.zip.Inflater
 
 import scala.collection.mutable
 
-/** Minimal PDF object-model parser — enough of the public PDF 1.4 spec
-  * to IMPORT pages from an existing PDF (the gofpdi role in the
+/** Minimal PDF object-model parser — enough of the public PDF spec to
+  * IMPORT pages from an existing PDF (the gofpdi role in the
   * reference's modifyExistingPDF, modify.go:14-51): classic `xref`
-  * tables (incl. /Prev chains), all object types, stream payloads, and
-  * FlateDecode content streams via the JVM's built-in Inflater.
+  * tables (incl. /Prev chains), PDF 1.5 cross-reference STREAMS
+  * (/Type /XRef, FlateDecode + PNG predictors, /Index subsections,
+  * hybrid /XRefStm), all object types, stream payloads, and FlateDecode
+  * content streams via the JVM's built-in Inflater.
   *
-  * Deliberately NOT a full interpreter: PDF 1.5+ cross-reference
-  * streams / object streams, encryption, and non-Flate filters on
+  * Deliberately NOT a full interpreter: OBJECT streams (/Type /ObjStm —
+  * compressed-object containers), encryption, and non-Flate filters on
   * CONTENT streams are rejected with a clear error (resource streams —
   * images etc. — are copied byte-verbatim whatever their filter, no
-  * decode needed). That covers every PDF this engine itself emits and
-  * the classic uncompressed/Flate class of scanner output the reference
-  * tool targets.
+  * decode needed). Type-2 xref entries are tolerated structurally: the
+  * parse fails with a clear error only when the document's catalog
+  * itself lives in an object stream (a fully-compressed PDF), otherwise
+  * such objects are simply absent, consistent with the tolerant
+  * resolve-to-null model. That covers every PDF this engine itself
+  * emits plus the classic and xref-stream classes of scanner output
+  * the reference tool targets.
   */
 object PdfParse {
 
@@ -347,6 +353,7 @@ object PdfParse {
     // newer 'f' free entry masking an older in-use one)
     val offsets = mutable.HashMap.empty[Int, Long] // objNum -> byte offset
     val decided = mutable.HashSet.empty[Int]
+    val objStreamObjs = mutable.HashSet.empty[Int] // type-2 xref entries
     var trailer: Option[PDict] = None
     var xrefAt = firstXref
     var hops = 0
@@ -355,41 +362,69 @@ object PdfParse {
       if (xrefAt >= text.length) return Left("xref offset beyond EOF")
       val p = new P(text, pdf); p.pos = xrefAt.toInt
       p.skipWs()
-      p.expect("xref") match {
-        case Left(_) => return Left("cross-reference streams (PDF 1.5+) are not supported")
-        case _ =>
-      }
-      // subsections until 'trailer'
-      var inSections = true
-      while (inSections) {
-        p.skipWs()
-        if (text.startsWith("trailer", p.pos)) inSections = false
-        else {
-          val header = text.substring(p.pos, math.min(text.length, text.indexOf('\n', p.pos).max(p.pos)))
-          val parts = header.trim.split("\\s+")
-          if (parts.length != 2 || !parts.forall(_.forall(_.isDigit)))
-            return Left(s"bad xref subsection header '$header'")
-          val (start, count) = (parts(0).toInt, parts(1).toInt)
-          p.pos = text.indexOf('\n', p.pos) + 1
-          (0 until count).foreach { i =>
-            val entry = text.substring(p.pos, p.pos + 20)
-            val objNum = start + i
-            if (decided.add(objNum) && entry.charAt(17) == 'n')
-              offsets(objNum) = entry.substring(0, 10).toLong
-            p.pos += 20
+      if (text.startsWith("xref", p.pos)) {
+        p.pos += "xref".length
+        // subsections until 'trailer'
+        var inSections = true
+        while (inSections) {
+          p.skipWs()
+          if (text.startsWith("trailer", p.pos)) inSections = false
+          else {
+            val header = text.substring(p.pos, math.min(text.length, text.indexOf('\n', p.pos).max(p.pos)))
+            val parts = header.trim.split("\\s+")
+            if (parts.length != 2 || !parts.forall(_.forall(_.isDigit)))
+              return Left(s"bad xref subsection header '$header'")
+            val (start, count) = (parts(0).toInt, parts(1).toInt)
+            p.pos = text.indexOf('\n', p.pos) + 1
+            (0 until count).foreach { i =>
+              val entry = text.substring(p.pos, p.pos + 20)
+              val objNum = start + i
+              if (decided.add(objNum) && entry.charAt(17) == 'n')
+                offsets(objNum) = entry.substring(0, 10).toLong
+              p.pos += 20
+            }
           }
         }
+        p.pos += "trailer".length
+        val tdict = p.parseValue() match {
+          case Right(d: PDict) => d
+          case _ => return Left("bad trailer dictionary")
+        }
+        if (trailer.isEmpty) trailer = Some(tdict)
+        // hybrid-reference file: the classic trailer points at an xref
+        // STREAM whose entries fill the gaps (newer-wins order: current
+        // table first, then its XRefStm, then /Prev — PDF spec §7.5.8.4)
+        tdict.get("XRefStm") match {
+          case Some(n: PNum) =>
+            readXrefStream(text, pdf, n.toInt.toLong, offsets, decided, objStreamObjs) match {
+              case Left(e) => return Left(e)
+              case Right(_) => () // hybrid: classic trailer's /Prev governs the chain
+            }
+          case _ => ()
+        }
+        xrefAt = tdict.get("Prev") match {
+          case Some(n: PNum) => n.toInt.toLong
+          case _ => -1L
+        }
+      } else {
+        // PDF 1.5+: startxref points at a cross-reference STREAM object
+        readXrefStream(text, pdf, xrefAt, offsets, decided, objStreamObjs) match {
+          case Left(e) => return Left(e)
+          case Right(xdict) =>
+            if (trailer.isEmpty) trailer = Some(xdict) // the xref stream dict IS the trailer
+            xrefAt = xdict.get("Prev") match {
+              case Some(n: PNum) => n.toInt.toLong
+              case _ => -1L
+            }
+        }
       }
-      p.pos += "trailer".length
-      val tdict = p.parseValue() match {
-        case Right(d: PDict) => d
-        case _ => return Left("bad trailer dictionary")
-      }
-      if (trailer.isEmpty) trailer = Some(tdict)
-      xrefAt = tdict.get("Prev") match {
-        case Some(n: PNum) => n.toInt.toLong
-        case _ => -1L
-      }
+    }
+    // a fully-compressed PDF keeps its catalog inside an object stream —
+    // that (and only that) makes the document unreadable for us
+    trailer.flatMap(_.get("Root")).foreach {
+      case PRef(n, _) if objStreamObjs.contains(n) =>
+        return Left("object streams (/Type /ObjStm) are not supported: the document catalog is compressed")
+      case _ => ()
     }
 
     // pass 1: objects with direct /Length; pass 2: indirect /Length
@@ -417,6 +452,149 @@ object PdfParse {
       case Some(t) => Right(PdfDoc(objects.toMap, t))
       case None => Left("no trailer found")
     }
+  }
+
+  // ---- PDF 1.5 cross-reference streams ----
+
+  private def readBE(d: Array[Byte], pos: Int, w: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < w) { v = (v << 8) | (d(pos + i) & 0xFFL); i += 1 }
+    v
+  }
+
+  /** Undo a PNG row predictor (colors=1, 8 bits/component — the xref-
+    * stream case; /Predictor 12 "PNG Up" is what real writers emit).
+    * Each encoded row = 1 filter-tag byte + `columns` data bytes. */
+  private[pdf] def unpredict(data: Array[Byte], predictor: Int, columns: Int): Either[String, Array[Byte]] = {
+    if (predictor <= 1) return Right(data)
+    if (predictor < 10) return Left(s"unsupported /Predictor $predictor (only PNG predictors)")
+    val rowLen = columns + 1
+    if (columns <= 0 || data.length % rowLen != 0)
+      return Left(s"xref predictor: data length ${data.length} not a multiple of row size $rowLen")
+    val nRows = data.length / rowLen
+    val out = new Array[Byte](nRows * columns)
+    var prev = new Array[Byte](columns) // zero row above the first
+    var r = 0
+    while (r < nRows) {
+      val tag = data(r * rowLen) & 0xFF
+      val row = java.util.Arrays.copyOfRange(data, r * rowLen + 1, (r + 1) * rowLen)
+      var i = 0
+      tag match {
+        case 0 => () // None
+        case 1 => // Sub
+          i = 1
+          while (i < columns) { row(i) = (row(i) + row(i - 1)).toByte; i += 1 }
+        case 2 => // Up
+          while (i < columns) { row(i) = (row(i) + prev(i)).toByte; i += 1 }
+        case 3 => // Average
+          while (i < columns) {
+            val left = if (i > 0) row(i - 1) & 0xFF else 0
+            row(i) = (row(i) + ((left + (prev(i) & 0xFF)) >> 1)).toByte
+            i += 1
+          }
+        case 4 => // Paeth
+          while (i < columns) {
+            val a = if (i > 0) row(i - 1) & 0xFF else 0
+            val b = prev(i) & 0xFF
+            val c = if (i > 0) prev(i - 1) & 0xFF else 0
+            val pp = a + b - c
+            val (pa, pb, pc) = (math.abs(pp - a), math.abs(pp - b), math.abs(pp - c))
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            row(i) = (row(i) + pred).toByte
+            i += 1
+          }
+        case t => return Left(s"xref predictor: unknown PNG filter tag $t")
+      }
+      System.arraycopy(row, 0, out, r * columns, columns)
+      prev = row
+      r += 1
+    }
+    Right(out)
+  }
+
+  /** Read one /Type /XRef stream at `off`, merging its entries into
+    * (offsets, decided, objStreamObjs) under newest-wins masking.
+    * Returns the stream dictionary (it doubles as the trailer). */
+  private def readXrefStream(text: String, pdf: Array[Byte], off: Long,
+      offsets: mutable.HashMap[Int, Long], decided: mutable.HashSet[Int],
+      objStreamObjs: mutable.HashSet[Int]): Either[String, PDict] = {
+    if (off < 0 || off >= text.length) return Left("xref-stream offset beyond EOF")
+    val p = new P(text, pdf); p.pos = off.toInt
+    // xref-stream dict entries must be direct per spec, so no /Length pass 2
+    val obj = p.parseObjectAt(_ => None) match {
+      case Right(o) => o
+      case Left(e) => return Left(s"bad cross-reference data at offset $off: $e")
+    }
+    val dict = obj.value match {
+      case d: PDict if d.get("Type").contains(PName("XRef")) => d
+      case _ => return Left(
+        "startxref points at neither a classic xref table nor a /Type /XRef stream")
+    }
+    val raw = obj.stream match {
+      case Some(d) => d
+      case None => return Left("xref stream object carries no stream data")
+    }
+    val inflated = dict.get("Filter") match {
+      case None => raw
+      case Some(PName("FlateDecode")) | Some(PArr(Vector(PName("FlateDecode")))) =>
+        inflate(raw) match {
+          case Right(d) => d
+          case Left(e) => return Left(s"xref stream: $e")
+        }
+      case Some(f) => return Left(s"xref stream: unsupported filter ${serialize(f, identity)}")
+    }
+    val wArr = dict.get("W") match {
+      case Some(PArr(items)) =>
+        val ws = items.collect { case n: PNum => n.toInt }
+        if (ws.length != items.length || ws.length < 3) return Left("xref stream: bad /W")
+        ws
+      case _ => return Left("xref stream: missing /W")
+    }
+    val rowLen = wArr.take(3).sum
+    if (rowLen <= 0 || rowLen > 32) return Left(s"xref stream: implausible /W $wArr")
+    val data = dict.get("DecodeParms") match {
+      case Some(d: PDict) =>
+        val pred = d.get("Predictor") match { case Some(n: PNum) => n.toInt; case _ => 1 }
+        val cols = d.get("Columns") match { case Some(n: PNum) => n.toInt; case _ => rowLen }
+        unpredict(inflated, pred, cols) match {
+          case Right(u) => u
+          case Left(e) => return Left(e)
+        }
+      case None => inflated
+      case Some(other) => return Left(s"xref stream: unsupported /DecodeParms ${serialize(other, identity)}")
+    }
+    val size = dict.get("Size") match {
+      case Some(n: PNum) => n.toInt
+      case _ => return Left("xref stream: missing /Size")
+    }
+    val index: Vector[(Int, Int)] = dict.get("Index") match {
+      case Some(PArr(items)) =>
+        val nums = items.collect { case n: PNum => n.toInt }
+        if (nums.length != items.length || nums.length % 2 != 0)
+          return Left("xref stream: bad /Index")
+        nums.grouped(2).map(g => (g(0), g(1))).toVector
+      case None => Vector((0, size))
+      case Some(_) => return Left("xref stream: bad /Index")
+    }
+    var pos = 0
+    index.foreach { case (start, count) =>
+      var i = 0
+      while (i < count) {
+        if (pos + rowLen > data.length) return Left("xref stream: entry data truncated")
+        val typ = if (wArr(0) == 0) 1L else readBE(data, pos, wArr(0))
+        val f2 = readBE(data, pos + wArr(0), wArr(1))
+        val objNum = start + i
+        if (decided.add(objNum)) typ match {
+          case 1L => offsets(objNum) = f2
+          case 2L => objStreamObjs += objNum // lives in /Type /ObjStm f2
+          case _ => () // type 0: free
+        }
+        pos += rowLen
+        i += 1
+      }
+    }
+    Right(dict)
   }
 
   // ---- serialization with object renumbering (for page import) ----

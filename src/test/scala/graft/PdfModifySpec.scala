@@ -123,16 +123,100 @@ class PdfModifySpec extends AnyFunSuite {
     assert(s.contains("1.53 0 0 1.53"))
   }
 
-  test("error paths: empty input, missing page, xref-stream PDFs") {
+  /** A PDF 1.5-style source: same objects as flateSource but indexed by
+    * a cross-reference STREAM (/Type /XRef, W [1 2 1]), optionally
+    * Flate-compressed with the PNG Up predictor — the encoding real
+    * writers emit. */
+  private def xrefStreamSource(word: String, flatePredictor: Boolean): Array[Byte] = {
+    val content = s"BT /F9 12 Tf ($word) Tj ET"
+    val objs = Vector(
+      "<< /Type /Catalog /Pages 2 0 R >>".getBytes(ISO_8859_1),
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 400 300] >>".getBytes(ISO_8859_1),
+      "<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources << >> >>".getBytes(ISO_8859_1),
+      (s"<< /Length ${content.length} >>\nstream\n$content\nendstream").getBytes(ISO_8859_1))
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    w("%PDF-1.5\n")
+    val offsets = objs.zipWithIndex.map { case (body, i) =>
+      val off = out.size()
+      w(s"${i + 1} 0 obj\n"); out.write(body); w("\nendobj\n")
+      off
+    }
+    val xrefAt = out.size()
+    // entries for objects 0..5: free, four type-1, the xref stream itself
+    val rows: Seq[Array[Byte]] =
+      Array[Byte](0, 0, 0, -1) +: // obj 0: type 0 (free); f2/f3 arbitrary
+        (offsets.map(_.toLong) :+ xrefAt.toLong).map { off =>
+          Array[Byte](1, ((off >> 8) & 0xFF).toByte, (off & 0xFF).toByte, 0)
+        }
+    val entryBytes: Array[Byte] =
+      if (!flatePredictor) rows.flatten.toArray
+      else {
+        // PNG Up predictor (tag 2): row[i] - prevRow[i], then Flate
+        val cols = 4
+        var prev = new Array[Byte](cols)
+        val enc = new java.io.ByteArrayOutputStream()
+        rows.foreach { r =>
+          enc.write(2)
+          (0 until cols).foreach(i => enc.write((r(i) - prev(i)).toByte))
+          prev = r
+        }
+        val deflater = new java.util.zip.Deflater()
+        deflater.setInput(enc.toByteArray); deflater.finish()
+        val buf = new Array[Byte](1024)
+        val n = deflater.deflate(buf); deflater.end()
+        java.util.Arrays.copyOf(buf, n)
+      }
+    val parms =
+      if (flatePredictor) " /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >>"
+      else ""
+    w(s"5 0 obj\n<< /Type /XRef /Size 6 /W [1 2 1] /Root 1 0 R" +
+      s" /Length ${entryBytes.length}$parms >>\nstream\n")
+    out.write(entryBytes)
+    w(s"\nendstream\nendobj\nstartxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
+  test("PDF 1.5 xref streams parse and import (raw and Flate+Predictor-12)") {
+    for (pred <- Seq(false, true)) {
+      val src = xrefStreamSource("xrefword", pred)
+      val doc = PdfParse.parse(src).toOption.getOrElse(
+        fail(s"xref-stream parse failed (pred=$pred): ${PdfParse.parse(src).left.toOption.get}"))
+      val pages = doc.pages.toOption.get
+      assert(pages.length == 1)
+      assert(pages.head.mediaBox.contains((0.0, 0.0, 400.0, 300.0)))
+      val out = PdfRender.modifyExistingPdf(src,
+        Hocr(pages = Vector(page(Seq("newocr"), 1)))).toOption.get
+      val s = raw(out.pdf)
+      assert(s.contains("(xrefword) Tj") && s.contains("(newocr) Tj"))
+    }
+  }
+
+  test("error paths: empty input, missing page, object-stream PDFs") {
     val hocr = Hocr(pages = Vector(page(Seq("w"), 1)))
     assert(PdfRender.modifyExistingPdf(Array.emptyByteArray, hocr).isLeft)
     val src = flateSource("x")
     assert(PdfRender.modifyExistingPdf(src, hocr, startFromPage = 2)
       .left.exists(_.contains("1 pages")))
-    // startxref pointing at an object (the PDF 1.5 xref-stream shape)
+    // startxref pointing at a bare object that is not a usable xref
+    // stream: clear Left, no throw
     val xs = "%PDF-1.5\n7 0 obj\n<< /Type /XRef >>\nstream\nx\nendstream\nendobj\nstartxref\n9\n%%EOF\n"
-    assert(PdfParse.parse(xs.getBytes(ISO_8859_1))
-      .left.exists(_.contains("not supported")))
+    assert(PdfParse.parse(xs.getBytes(ISO_8859_1)).isLeft)
+    // a fully-compressed PDF (catalog in an object stream, type-2 xref
+    // entry) is rejected with a clear error
+    val objStm = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+      w("%PDF-1.5\n")
+      val xrefAt = out.size()
+      // W [1 2 1]; obj0 free, obj1 type-2 (inside objstream 9), obj2 = xref stream
+      val rows = Array[Byte](0, 0, 0, -1, 2, 0, 9, 0, 1, 0, xrefAt.toByte, 0)
+      w(s"2 0 obj\n<< /Type /XRef /Size 3 /W [1 2 1] /Root 1 0 R /Length ${rows.length} >>\nstream\n")
+      out.write(rows)
+      w(s"\nendstream\nendobj\nstartxref\n$xrefAt\n%%EOF\n")
+      out.toByteArray
+    }
+    assert(PdfParse.parse(objStm).left.exists(_.contains("object streams")))
     // structurally corrupt inputs must come back as Left, never throw:
     // truncated xref entries, offsets past EOF, garbage offsets
     // startxref points AT the truncated table: entry parsing must hit the
