@@ -109,17 +109,49 @@ object PdfRender {
     * byte offsets, trailer. `extra` carries objects imported from a
     * source PDF (modify path) — ids must continue contiguously after the
     * page objects (see `objectCount`). */
-  def render(pages: Seq[PdfPage], extra: Seq[(Int, Array[Byte])] = Nil): PdfResult = {
+  /** JPEG payloads embed natively via DCTDecode passthrough. */
+  private def jpegEmbeddable(img: Array[Byte]): Boolean =
+    PdfOps.detectImageType(img).contains("JPEG") && jpegDims(img).isDefined
+
+  /** Non-JPEG underlays (PNG/GIF/TIFF/BMP) transcode to JPEG through
+    * the JDK's own ImageIO readers/writers — zero new dependencies
+    * (round-3: the earlier "no codecs in this environment" premise was
+    * wrong for images). None when no reader decodes the payload. */
+  private def transcodeToJpeg(img: Array[Byte]): Option[Array[Byte]] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(img))).map { bi =>
+      val rgb = new java.awt.image.BufferedImage(bi.getWidth, bi.getHeight,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = rgb.createGraphics()
+      g.drawImage(bi, 0, 0, null)
+      g.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(rgb, "jpg", out)
+      out.toByteArray
+    } catch { case _: Exception => None }
+
+  def render(pages0: Seq[PdfPage], extra: Seq[(Int, Array[Byte])] = Nil): PdfResult = {
     val warnings = Vector.newBuilder[String]
+    // normalize underlays up front: native JPEG passes through,
+    // decodable non-JPEG transcodes, undecodable drops with a warning
+    val pages = pages0.map { p =>
+      p.image match {
+        case Some(img) if !jpegEmbeddable(img) =>
+          val codec = PdfOps.detectImageType(img).getOrElse("unknown")
+          transcodeToJpeg(img).filter(jpegEmbeddable) match {
+            case Some(j) =>
+              warnings += s"image underlay transcoded $codec -> JPEG via ImageIO"
+              p.copy(image = Some(j))
+            case None =>
+              warnings += s"image underlay skipped (codec $codec not decodable); text layer emitted"
+              p.copy(image = None)
+          }
+        case _ => p
+      }
+    }
     final case class Ids(page: Int, content: Int, ocg: Int, image: Option[Int], form: Option[Int])
     var next = 5 // 1 Catalog, 2 Pages, 3 Font, 4 ExtGState
     val ids = pages.map { p =>
-      val embeddable = p.image.exists(img =>
-        PdfOps.detectImageType(img).contains("JPEG") && jpegDims(img).isDefined)
-      p.image.foreach { img =>
-        if (!embeddable) warnings +=
-          s"image underlay skipped (codec ${PdfOps.detectImageType(img).getOrElse("unknown")} not embeddable without decode); text layer emitted"
-      }
+      val embeddable = p.image.isDefined
       val base = 3 + (if (embeddable) 1 else 0)
       val r = Ids(next, next + 1, next + 2,
         if (embeddable) Some(next + 3) else None,

@@ -96,13 +96,25 @@ class PdfRenderSpec extends AnyFunSuite {
     assert(PdfRender.applyOcrPdf(mostlyOk).isRight) // 1 of 21 < 10%
   }
 
-  test("non-JPEG underlay: text layer emitted, warning carried, no bogus XObject") {
+  test("non-JPEG underlay: undecodable skips with warning, real PNG transcodes to JPEG") {
+    // a bare PNG signature (no IHDR) decodes in no reader: skip + warn
     val png = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
     val res = PdfRender.createPdfFromImages(
       Hocr(pages = Vector(page(Seq("text"), 1))), Seq(png)).toOption.get
-    assert(res.warnings.exists(_.contains("PNG")))
+    assert(res.warnings.exists(w => w.contains("PNG") && w.contains("skipped")))
     assert(PdfOps.detectPdfLayers(res.pdf).toOption.get.nonEmpty)
     assert(!new String(res.pdf, ISO_8859_1).contains("/XObject"))
+    // a REAL PNG transcodes to a JPEG underlay via ImageIO (round 3)
+    val realPng = graft.multimodal.Multimodal.encodeImage(
+      graft.multimodal.Multimodal.bmpToImage(
+        graft.multimodal.Multimodal.genBmp(3L, 24, 16)).get, "png")
+    val res2 = PdfRender.createPdfFromImages(
+      Hocr(pages = Vector(page(Seq("text"), 1))), Seq(realPng)).toOption.get
+    assert(res2.warnings.exists(_.contains("transcoded PNG -> JPEG")))
+    val s2 = new String(res2.pdf, ISO_8859_1)
+    assert(s2.contains("/XObject") && s2.contains("/DCTDecode"))
+    assert(s2.contains("/Width 24 /Height 16"))
+    assert(PdfOps.detectPdfLayers(res2.pdf).toOption.get.nonEmpty)
   }
 
   test("distributed sink: per-doc PDFs, layer count == page count, deterministic") {
