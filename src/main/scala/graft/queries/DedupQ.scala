@@ -195,8 +195,14 @@ object DedupQ {
     * diagnostic only (the jobs-per-iteration spec reads it). */
   @volatile var lastClusterIterations: Int = 0
 
-  def qDedupCluster(s: SparkSession, dir: String): DataFrame = {
-    val pairs = qMinhashLsh(s, dir)
+  def qDedupCluster(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(qMinhashLsh(s, dir)).orderBy(col("doc_id"))
+
+  /** General connected-components operator over an undirected pair list
+    * (doc_a, doc_b) -> (doc_id, cluster_rep, cluster_size). Standalone:
+    * any near-dup candidate relation (MinHash, SimHash, aHash, embedding
+    * buckets) clusters through it. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
@@ -209,20 +215,40 @@ object DedupQ {
     // quadratically with the component diameter.
     //
     // ONE job per iteration (round-2 verdict #7): the changed flag rides
-    // the update relation itself (nlabel < label — no separate
-    // join-back against the previous labels), the checkpoint is LAZY,
-    // and the convergence count() is the action that materializes it.
+    // the update relation itself, the checkpoint is LAZY, and the
+    // convergence count() is the action that materializes it.
+    //
+    // Each round is POINTER-JUMP + PROPAGATE (round 3): before the edge
+    // join, every label follows its own label pointer one hop
+    // (label <- label(label), a self-join of the already-materialized
+    // checkpoint — no lineage recompute). Plain min-label propagation
+    // needs O(diameter) rounds — a long duplicate chain at corpus scale
+    // means that many full-relation passes; with the jump the pointer
+    // forest contracts doubling-style, so rounds grow ~logarithmically
+    // in the diameter instead. Same fixpoint: labels stay within the
+    // component (label(x) is always some member id), both steps only
+    // decrease labels, and a round with zero changes means propagation
+    // alone is at its fixpoint — the classic CC convergence condition.
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
     var changed = 1L
     var iters = 0
     while (changed > 0) {
-      val msgs = edges.join(labels, col("src") === col("id"))
-        .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
-      val updated = labels.join(msgs, col("id") === col("dst"), "left")
+      // label(x) <= x invariant makes coalesce the only guard needed: a
+      // label that is itself a root has no row on the left-join's right
+      val jumped = labels
+        .join(labels.select(col("id").as("lid"), col("label").as("llabel")),
+          col("label") === col("lid"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
-          (col("nlabel").isNotNull && col("nlabel") < col("label")).as("chg"))
+          coalesce(col("llabel"), col("label")).as("jlabel"),
+          col("label").as("old"))
+      val msgs = edges
+        .join(jumped.select(col("id"), col("jlabel").as("label")), col("src") === col("id"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
+      val updated = jumped.join(msgs, col("id") === col("dst"), "left")
+        .select(col("id"),
+          least(col("jlabel"), coalesce(col("nlabel"), col("jlabel"))).as("label"),
+          (least(col("jlabel"), coalesce(col("nlabel"), col("jlabel"))) < col("old")).as("chg"))
         .localCheckpoint(eager = false)
       changed = updated.filter(col("chg")).count()
       labels = updated.select(col("id"), col("label"))
@@ -233,7 +259,6 @@ object DedupQ {
     labels
       .withColumn("cluster_size", count(lit(1)).over(w))
       .select(col("id").as("doc_id"), col("label").as("cluster_rep"), col("cluster_size"))
-      .orderBy(col("doc_id"))
   }
 
   val qDedupClusterSql: String =

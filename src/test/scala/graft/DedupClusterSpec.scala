@@ -65,6 +65,29 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(sizes.values.max >= 10, s"chain didn't chain: sizes ${sizes.values.toVector.sorted}")
   }
 
+  test("pointer jumping: a 1000-node path converges in O(log d) rounds, labels still exact") {
+    import spark.implicits._
+    // connectedComponents is a standalone operator over any candidate
+    // pair relation; drive it with a CONTROLLED worst-case graph (LSH
+    // banding cannot produce one: high-Jaccard chains always carry
+    // 2-hop shortcut edges, capping their diameter). A pure path of
+    // 1000 nodes has diameter 999 — plain min-label propagation needs
+    // ~999 full-relation rounds; the pointer-jump contraction must
+    // finish in ~log2(1000) + change-detection slack.
+    val pairs = spark.range(999L).select(
+      org.apache.spark.sql.functions.col("id").as("doc_a"),
+      (org.apache.spark.sql.functions.col("id") + 1L).as("doc_b"))
+    val got = DedupQ.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val iters = DedupQ.lastClusterIterations
+    assert(got.length == 1000)
+    got.foreach { case (doc, rep, size) =>
+      assert(rep == 0L, s"doc $doc -> $rep"); assert(size == 1000L)
+    }
+    assert(iters <= 16,
+      s"pointer jumping regressed: $iters rounds for a 999-diameter path (plain propagation needs ~999)")
+  }
+
   test("one Spark job per propagation iteration (lazy checkpoint + fused convergence count)") {
     // warm the memoized bands + edges lineage out of the measurement
     DedupQ.qDedupCluster(spark, dir).count()
