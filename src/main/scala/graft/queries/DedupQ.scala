@@ -395,25 +395,34 @@ object DedupQ {
     * so the assembled value never touches the BIGINT sign bit, which
     * the two engines would render differently. Shared vote formula with
     * [[simhashCore]]; only shift/xor spellings differ per engine. */
-  private def simhash60Votes(tokClause: String): String = {
-    val nibbleExpr = (j: Int) => s"(instr('0123456789abcdef', substr(m, ${j + 1}, 1)) - 1)"
+  private def simhash60Votes(tokClause: String,
+      hexToInt: String => String, shr: (String, Int) => String): String = {
+    // One integer conversion per token, then 60 codegen'd shift-and-mask
+    // bit extractions — bit-identical to the original per-nibble string
+    // formulation (bit i of that == bit 4*(14 - i/4) + i%4 of the
+    // integer value of the first 15 hex chars, hex digit 0 most
+    // significant) at ~60x less string work per token: the old form's
+    // 60 instr+substr scans per token were the q_simhash_neardup
+    // battery hot loop.
     val bitExpr = (i: Int) => {
-      val j = i / 4; val k = i % 4
-      val c = nibbleExpr(j)
-      k match {
-        case 0 => s"($c % 2)"
-        case _ => s"(CAST(FLOOR($c / ${1 << k}) AS INT) % 2)"
-      }
+      val s0 = 4 * (14 - i / 4) + (i % 4)
+      s"(${shr("h", s0)} & 1)"
     }
-    val votes = (0 until 60).map(i => s"SUM(2 * ${bitExpr(i)} - 1) AS v$i").mkString(",\n   ")
+    val votes = (0 until 60).map(i => s"SUM(2 * CAST(${bitExpr(i)} AS INT) - 1) AS v$i").mkString(",\n   ")
     val assemble = (0 until 60).map(i => s"(CASE WHEN v$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
     s"""tok AS ($tokClause),
-       |hh AS (SELECT doc_id, md5(t) AS m FROM tok),
+       |hh AS (SELECT doc_id, ${hexToInt("substr(md5(t), 1, 15)")} AS h FROM tok),
        |v AS (SELECT doc_id,
        |   $votes
        | FROM hh GROUP BY doc_id),
        |sims AS (SELECT doc_id, CAST($assemble AS BIGINT) AS sh FROM v)""".stripMargin
   }
+
+  /** Engine spellings for the 60-bit vote arithmetic. */
+  private val sparkHexToInt: String => String = s => s"CAST(conv($s, 16, 10) AS BIGINT)"
+  private val sparkShr: (String, Int) => String = (x, n) => s"shiftright($x, $n)"
+  private val duckHexToInt: String => String = s => s"CAST(concat('0x', $s) AS BIGINT)"
+  private val duckShr: (String, Int) => String = (x, n) => s"($x >> $n)"
 
   /** The block/candidate tail over an existing `simsRel(doc_id, sh)`
     * relation — CTE list WITHOUT the leading WITH so it composes either
@@ -443,9 +452,9 @@ object DedupQ {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  private def simhashNeardupCore(tokClause: String,
+  private def simhashNeardupCore(tokClause: String, hexToInt: String => String,
       shr: (String, Int) => String, xor: (String, String) => String): String =
-    s"""WITH ${simhash60Votes(tokClause)},
+    s"""WITH ${simhash60Votes(tokClause, hexToInt, shr)},
        |${simhashNeardupTail("sims", shr, xor)}""".stripMargin
 
   /** The 60-vote sims aggregation alone — the expensive single pass
@@ -454,7 +463,8 @@ object DedupQ {
     documents(s, dir).createOrReplaceTempView("documents")
     s.sql(
       s"""WITH ${simhash60Votes(
-           "SELECT doc_id, t FROM documents LATERAL VIEW explode(split(trim(text), '\\\\s+')) AS t")}
+           "SELECT doc_id, t FROM documents LATERAL VIEW explode(split(trim(text), '\\\\s+')) AS t",
+           sparkHexToInt, sparkShr)}
          |SELECT doc_id, sh FROM sims""".stripMargin)
   }
 
@@ -489,7 +499,7 @@ object DedupQ {
 
   val qSimhashNeardupSql: String = simhashNeardupCore(
     "SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t FROM documents",
-    (x, n) => s"($x >> $n)", (a, b) => s"xor($a, $b)")
+    duckHexToInt, duckShr, (a, b) => s"xor($a, $b)")
 
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_dedup_exact" -> ((qDedupExact _, Some(qDedupExactSql))),
