@@ -294,10 +294,115 @@ object SimilarityQ {
       | FROM dots)
       |SELECT qid, rank, cand_id, sim FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  /** One Lloyd k-means REFINEMENT step over the IVF seed centroids —
+    * the training half of the IVF story (qIvfAssign/qIvfProbe cover
+    * assignment and search; this covers centroid improvement):
+    * assignment under the seed centroids, per-dimension integer SUM of
+    * each cluster's quantized vectors, then REASSIGNMENT under the
+    * refined centroids, reporting per vector (centroid0, centroid1,
+    * moved). Exact cross-engine by construction: cosine is
+    * scale-invariant, so the refined centroid's MEAN is replaced by its
+    * integer SUM vector (the count divides out) — every dot/norm stays
+    * a 64-bit integer and only the final ranked division is floating
+    * point (the proven IVF-oracle pattern). Plan shape: the 16x64 sum
+    * relation is broadcast, so the reassignment pass is one narrow
+    * map-side join + partial agg over the exploded vectors — no
+    * shuffled expansion. */
+  def qKmeansRefine(s: SparkSession, dir: String): DataFrame = {
+    val a0 = qIvfAssign(s, dir).select(col("vec_id"), col("centroid").as("c0"))
+    val ql = embeddings(s, dir)
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d"),
+        round(col("x").cast("double") * 1000).cast("long").as("qx"))
+    val sums = ql.join(a0, Seq("vec_id"))
+      .groupBy(col("c0").as("cid"), col("d")).agg(sum(col("qx")).as("sx"))
+    val snrm = sums.groupBy(col("cid"))
+      .agg(sum(col("sx") * col("sx")).cast("double").as("snrm"))
+    val qnrm = ql.groupBy(col("vec_id"))
+      .agg(sum(col("qx") * col("qx")).cast("double").as("qq"))
+    val dots = ql.join(broadcast(sums), Seq("d"))
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum(col("qx") * col("sx")).cast("double").as("dp"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy((col("dp") / (sqrt(col("qq")) * sqrt(col("snrm")))).desc, col("cid"))
+    val a1 = dots
+      .join(broadcast(snrm), Seq("cid"))
+      .join(qnrm, Seq("vec_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("c1"))
+    a0.join(a1, Seq("vec_id"))
+      .select(col("vec_id"), col("c0").as("centroid0"), col("c1").as("centroid1"),
+        when(col("c0") =!= col("c1"), 1).otherwise(0).as("moved"))
+      .orderBy(col("vec_id"))
+  }
+
+  val qKmeansRefineSql: String =
+    """WITH q AS (SELECT vec_id, embedding FROM embeddings),
+      |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+      |el0 AS (SELECT q.vec_id, c.cid,
+      |   CAST(ROUND(CAST(UNNEST(q.embedding) AS DOUBLE) * 1000) AS BIGINT) AS qx,
+      |   CAST(ROUND(CAST(UNNEST(c.cv) AS DOUBLE) * 1000) AS BIGINT) AS cx FROM q, c),
+      |dots0 AS (SELECT vec_id, cid, CAST(SUM(qx * cx) AS DOUBLE) AS dp,
+      |   CAST(SUM(qx * qx) AS DOUBLE) AS qq, CAST(SUM(cx * cx) AS DOUBLE) AS cc
+      | FROM el0 GROUP BY vec_id, cid),
+      |a0 AS (SELECT vec_id, cid AS c0 FROM (
+      |   SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |     ORDER BY dp / (sqrt(qq) * sqrt(cc)) DESC, cid) AS rn FROM dots0) r WHERE rn = 1),
+      |ql AS (SELECT vec_id, d, CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS qx
+      |       FROM (SELECT vec_id, UNNEST(embedding) AS x,
+      |             UNNEST(generate_series(0, len(embedding) - 1)) AS d FROM embeddings) u),
+      |sums AS (SELECT a0.c0 AS cid, ql.d, SUM(ql.qx) AS sx
+      |         FROM ql JOIN a0 USING (vec_id) GROUP BY a0.c0, ql.d),
+      |snrm AS (SELECT cid, CAST(SUM(sx * sx) AS DOUBLE) AS snrm FROM sums GROUP BY cid),
+      |qnrm AS (SELECT vec_id, CAST(SUM(qx * qx) AS DOUBLE) AS qq FROM ql GROUP BY vec_id),
+      |dots1 AS (SELECT ql.vec_id, sums.cid, CAST(SUM(ql.qx * sums.sx) AS DOUBLE) AS dp
+      |          FROM ql JOIN sums ON sums.d = ql.d GROUP BY ql.vec_id, sums.cid),
+      |a1 AS (SELECT vec_id, cid AS c1 FROM (
+      |   SELECT d1.vec_id, d1.cid, ROW_NUMBER() OVER (PARTITION BY d1.vec_id
+      |     ORDER BY d1.dp / (sqrt(qnrm.qq) * sqrt(snrm.snrm)) DESC, d1.cid) AS rn
+      |   FROM dots1 d1 JOIN snrm ON snrm.cid = d1.cid
+      |   JOIN qnrm ON qnrm.vec_id = d1.vec_id) r WHERE rn = 1)
+      |SELECT a0.vec_id, a0.c0 AS centroid0, a1.c1 AS centroid1,
+      |  CAST(CASE WHEN a0.c0 <> a1.c1 THEN 1 ELSE 0 END AS INT) AS moved
+      |FROM a0 JOIN a1 USING (vec_id) ORDER BY a0.vec_id""".stripMargin
+
+  /** SEMANTIC dedup clusters: connected components over the embedding
+    * near-dup pair graph — the curation step that keeps one canonical
+    * document per near-duplicate GROUP (pairwise candidates alone
+    * over-delete via chains). Reuses the pointer-jumping
+    * [[graft.queries.DedupQ.connectedComponents]] operator (O(log d)
+    * rounds); the oracle recomputes the same components by recursive
+    * transitive closure over the identically-derived pairs — two
+    * independent algorithms on two engines must agree. */
+  def qEmbedCluster(s: SparkSession, dir: String): DataFrame =
+    graft.queries.DedupQ.connectedComponents(
+        qEmbedNeardup(s, dir)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster_rep"), col("cluster_size"))
+      .orderBy(col("vec_id"))
+
+  val qEmbedClusterSql: String =
+    s"""WITH RECURSIVE pairs AS (
+      |  SELECT vec_a AS doc_a, vec_b AS doc_b FROM ($qEmbedNeardupSql) t
+      |),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach AS (SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges) s0
+      |          UNION
+      |          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |labels AS (SELECT src AS vec_id, MIN(dst) AS cluster_rep FROM reach GROUP BY src)
+      |SELECT vec_id, cluster_rep,
+      |       CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
+      |FROM labels ORDER BY vec_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_ivf_assign" -> ((qIvfAssign _, Some(qIvfAssignSql))),
     "q_ivf_probe" -> ((qIvfProbe _, Some(qIvfProbeSql))),
     "q_ann_cosine" -> ((qAnnCosine _, Some(qAnnCosineSql))),
     "q_ann_lsh_buckets" -> ((qAnnLshBuckets _, Some(qAnnLshBucketsSql))),
-    "q_embed_neardup" -> ((qEmbedNeardup _, Some(qEmbedNeardupSql))))
+    "q_embed_neardup" -> ((qEmbedNeardup _, Some(qEmbedNeardupSql))),
+    "q_embed_cluster" -> ((qEmbedCluster _, Some(qEmbedClusterSql))),
+    "q_kmeans_refine" -> ((qKmeansRefine _, Some(qKmeansRefineSql))))
 }
