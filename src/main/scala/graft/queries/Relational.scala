@@ -369,7 +369,39 @@ object Relational {
       |SELECT event_type, 'both' AS bucket FROM (SELECT event_type FROM lo INTERSECT SELECT event_type FROM hi)
       |ORDER BY bucket, event_type""".stripMargin
 
+  /** PIVOT (wide reshape): per source, char totals per language as
+    * columns — Spark's native `.pivot(col, values)` relational operator
+    * (explicit value list, so no extra distinct-collection job and a
+    * stable column order); the oracle spells the same reshape as
+    * conditional aggregates, the form every engine shares. Exact BIGINT
+    * sums, zero-filled for absent (source, lang) combos. */
+  private val PivotLangs = Seq("de", "en", "es", "fr", "zh")
+
+  def qPivotLangs(s: SparkSession, dir: String): DataFrame = {
+    val wide = s.read.parquet(s"$dir/documents.parquet")
+      .groupBy(col("source"))
+      .pivot("lang", PivotLangs)
+      .agg(sum(col("n_chars")))
+    PivotLangs.foldLeft(wide) { (df, l) =>
+        df.withColumn(s"chars_$l", coalesce(col(l), lit(0L))).drop(l)
+      }
+      .join(s.read.parquet(s"$dir/documents.parquet")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs")), Seq("source"))
+      .select(col("source") +: PivotLangs.map(l => col(s"chars_$l")) :+ col("n_docs"): _*)
+      .orderBy(col("source"))
+  }
+
+  val qPivotLangsSql: String = {
+    val cols = PivotLangs.map(l =>
+      s"CAST(SUM(CASE WHEN lang = '$l' THEN n_chars ELSE 0 END) AS BIGINT) AS chars_$l").mkString(",\n ")
+    s"""SELECT source,
+       | $cols,
+       | CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_pivot_langs" -> ((qPivotLangs _, Some(qPivotLangsSql))),
     "q_anti_join" -> ((qAntiJoin _, Some(qAntiJoinSql))),
     "q_set_ops" -> ((qSetOps _, Some(qSetOpsSql))),
     "q_rollup_revenue" -> ((qRollupRevenue _, Some(qRollupRevenueSql))),

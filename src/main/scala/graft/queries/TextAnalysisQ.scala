@@ -188,10 +188,44 @@ object TextAnalysisQ {
       |FROM bi JOIN g USING (b)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Readability scoring (Flesch-style): word / sentence / vowel-group
+    * counts are exact regex counts with identical Java/RE2 semantics
+    * (char classes and + only), the score is fixed-literal arithmetic
+    * over those integers (IEEE-deterministic), rounded to 4. Sentence
+    * count floors at 1 (a fragment is one sentence; also guards the
+    * division on both engines identically). The per-doc length gate a
+    * curation pipeline pairs with quality_score. */
+  def qReadability(s: SparkSession, dir: String): DataFrame = {
+    val nWords = greatest(size(split(trim(col("text")), "\\s+")), lit(1)).cast("long")
+    val nSent = greatest(
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))), lit(1)).cast("long")
+    val nVg = size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0))).cast("long")
+    documents(s, dir)
+      .select(col("doc_id"), nWords.as("n_words"), nSent.as("n_sentences"),
+        nVg.as("n_vowel_groups"),
+        round(lit(206.835)
+          - lit(1.015) * (nWords.cast("double") / nSent.cast("double"))
+          - lit(84.6) * (nVg.cast("double") / nWords.cast("double")), 4).as("flesch"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qReadabilitySql: String =
+    """SELECT doc_id,
+      | CAST(GREATEST(length(regexp_split_to_array(trim(text), '\s+')), 1) AS BIGINT) AS n_words,
+      | CAST(GREATEST(length(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+      | CAST(length(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_vowel_groups,
+      | ROUND(206.835
+      |   - 1.015 * (CAST(GREATEST(length(regexp_split_to_array(trim(text), '\s+')), 1) AS DOUBLE)
+      |              / CAST(GREATEST(length(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE))
+      |   - 84.6 * (CAST(length(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+      |             / CAST(GREATEST(length(regexp_split_to_array(trim(text), '\s+')), 1) AS DOUBLE)), 4) AS flesch
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_bigram_familiarity" -> ((qBigramFamiliarity _, Some(qBigramFamiliaritySql))),
     "q_token_count" -> ((qTokenCount _, Some(qTokenCountSql))),
     "q_quality_score" -> ((qQualityScore _, Some(qQualityScoreSql))),
     "q_langid" -> ((qLangid _, Some(qLangidSql))),
+    "q_readability" -> ((qReadability _, Some(qReadabilitySql))),
     "q_fingerprint" -> ((qFingerprint _, Some(qFingerprintSql))))
 }
