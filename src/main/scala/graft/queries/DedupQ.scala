@@ -100,6 +100,41 @@ object DedupQ {
       }: _*)).as(Seq("band", "bh")))
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+
+  /** Pure per-document band signatures — EXACTLY the batch lshBands
+    * arithmetic (word 3-gram shingles of the whitespace-normalized
+    * lowercased text; 16 minhashes as min md5("j:"+shingle) under
+    * lexicographic hex order, which is what the SQL MIN over md5
+    * strings compares; band hash = md5 of the comma-joined quartet).
+    * One row arriving on a stream carries a complete document, so its
+    * signatures compute in-row with no cross-row aggregation — the
+    * function the streaming near-dup operator shares with batch
+    * (StreamingMultimodalSpec pins streaming == batch on the real
+    * documents table). Docs with fewer than 3 tokens produce no
+    * shingles and so no bands, matching the batch groupBy. */
+  def bandSignaturesOf(text: String): Seq[(Int, String)] = {
+    val words = text.replaceAll("\\s+", " ")
+      .toLowerCase(java.util.Locale.ROOT).trim.split(" ")
+    if (words.length < 3) return Seq.empty
+    val mins = new Array[String](16)
+    var i = 0
+    while (i <= words.length - 3) {
+      val sh = words(i) + " " + words(i + 1) + " " + words(i + 2)
+      var j = 0
+      while (j < 16) {
+        val h = md5hex(j.toString + ":" + sh)
+        if (mins(j) == null || h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    (0 until 4).map(b => (b, md5hex((4 * b until 4 * b + 4).map(mins).mkString(","))))
+  }
+
   /** The band relation cached once per (session, sf dir): FIVE queries
     * consume it (qMinhashLsh directly and via qDedupCluster /
     * qNeardupVerified, plus qLshBucketProfile), and without the memo each

@@ -115,6 +115,52 @@ object StreamingOps {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming MinHash NEAR-dup: incremental candidate-pair discovery
+    * over a live document feed. Each arriving (doc_id, text) row
+    * computes its 4 LSH band signatures in-row (the exact batch
+    * arithmetic — [[graft.queries.DedupQ.bandSignaturesOf]], shared so
+    * streaming and batch cannot drift), then
+    * `flatMapGroupsWithState` keyed by (band, band_hash) maintains each
+    * bucket's member list and emits a candidate pair for the new doc
+    * against every stored member. Downstream consumers verify
+    * candidates (exact Jaccard — the batch qNeardupVerified kernel) or
+    * route them into the clustering operator.
+    *
+    * State is a near-dup INDEX, not transient aggregation state: each
+    * bucket is bounded by the batch skew guard's cap (MaxLshBucket —
+    * an arriving doc that would exceed it is dropped from that bucket,
+    * the streaming form of the batch guard's drop: prefix-of-bucket
+    * semantics rather than retroactive drop-all, since a stream cannot
+    * retract), and the bucket count grows with corpus size exactly like
+    * the batch band relation. A deployment with a bounded dedup horizon
+    * adds event-time TTL via timeouts; the index form is the contract
+    * here. */
+  def neardupStream(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val bandsUdf = udf((text: String) => graft.queries.DedupQ.bandSignaturesOf(text))
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(bandsUdf(col("text"))).as("bs"))
+      .select(col("doc_id"), col("bs._1").as("band"), col("bs._2").as("bh"))
+      .as[(Long, Int, String)]
+      .groupByKey { case (_, band, bh) => (band, bh) }
+      .flatMapGroupsWithState[Vector[Long], (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, it: Iterator[(Long, Int, String)], state: GroupState[Vector[Long]]) =>
+          var members = state.getOption.getOrElse(Vector.empty)
+          val out = Vector.newBuilder[(Long, Long)]
+          it.foreach { case (doc, _, _) =>
+            if (!members.contains(doc) && members.length < graft.queries.DedupQ.MaxLshBucket) {
+              members.foreach(m => out += ((math.min(m, doc), math.max(m, doc))))
+              members = members :+ doc
+            }
+          }
+          state.update(members)
+          out.result().iterator
+      }
+      .toDF("doc_a", "doc_b")
+  }
+
   /** Streaming decontamination: a STREAM-STATIC broadcast join. Each
     * arriving document's 8-token shingle fingerprints (the exact batch
     * shingle operator — TrainPrepQ.shingleFps, shared so batch and

@@ -109,6 +109,37 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(batchDistinct == out.count(_ <= 4L))
   }
 
+  test("streaming minhash near-dup == batch candidate pairs on the real documents table") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.OutputMode
+    // stage sf0.01 documents as 4 parquet files -> 4 micro-batches, so
+    // pairs must form ACROSS batches through the bucket state
+    val dir = "/root/testdata/sf0.01"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_docs").toString
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").repartition(4)
+      .write.mode("overwrite").parquet(tmp)
+    val schema = spark.read.parquet(tmp).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val q = StreamingOps.neardupStream(stream).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("neardup_stream")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // streaming emits one pair per shared band; batch distincts — and
+    // batch doc order inside a pair is (smaller, larger), same as ours
+    val streamed = spark.table("neardup_stream")
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.queries.DedupQ.qMinhashLsh(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      s"streaming-only: ${(streamed -- batch).take(5)}; batch-only: ${(batch -- streamed).take(5)}")
+    assert(batch.nonEmpty)
+  }
+
   test("streaming extraction (append, stateless) == batch Extract.run") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.OutputMode
