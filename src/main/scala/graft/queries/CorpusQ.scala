@@ -256,7 +256,78 @@ object CorpusQ {
       |  MAX(CASE WHEN rn = CAST(CEIL(n * 0.99) AS BIGINT) THEN n_tok END) AS p99
       |FROM r GROUP BY source ORDER BY source""".stripMargin
 
+  /** DETERMINISTIC HyperLogLog distinct-count sketch (m = 32 registers)
+    * per source — the cardinality sketch a 100 TB profile pass uses
+    * where exact distinct is a full shuffle. Engine-exact by
+    * construction (unlike approx_count_distinct, whose internal sketch
+    * no second engine can replicate): bucket and rank derive from the
+    * first 15 md5 hex chars as INTEGER bit arithmetic (rank via
+    * length(bin(w)), identical in Spark and DuckDB), registers are
+    * exact MAX aggregates, and the harmonic sum is carried as the exact
+    * BIGINT  S = Σ 2^(56 - M_j)  (empty registers contribute 2^56;
+    * max 32·2^56 = 2^61, no overflow) so the only floating-point step
+    * is one literal-scaled division of exact integers. The standard
+    * small-range linear-counting correction (E <= 2.5m with empty
+    * registers -> m*ln(m/V)) IS applied — ln is transcendental and
+    * never oracle-safe at runtime, but V only takes 32 values, so the
+    * correction ships as a CASE of compile-time literal doubles,
+    * identical text in both engines. Output carries the exact distinct
+    * alongside, so the correctness row also PINS the estimator's
+    * accuracy on this data. */
+  def qApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    val fp = md5(lower(regexp_replace(col("text"), "\\s+", " ")).cast("binary"))
+    val v = expr("CAST(conv(substr(fp, 1, 15), 16, 10) AS BIGINT)")
+    val regs = documents(s, dir)
+      .select(col("source"), fp.as("fp"))
+      .select(col("source"), col("fp"),
+        shiftright(v, 55).as("bucket"),
+        (v.bitwiseAND(lit((1L << 55) - 1))).as("w"))
+      .withColumn("rho",
+        when(col("w") === 0L, lit(56)).otherwise(lit(56) - length(bin(col("w")))))
+      .groupBy(col("source"), col("bucket")).agg(max(col("rho")).as("m"))
+    regs.groupBy(col("source"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 56 - m)")).as("s_present"),
+        count(lit(1)).as("n_buckets"))
+      .join(documents(s, dir).groupBy(col("source"))
+        .agg(countDistinct(md5(lower(regexp_replace(col("text"), "\\s+", " ")).cast("binary"))).as("n_exact")),
+        Seq("source"))
+      .select(col("source"), col("n_exact"), expr(EstimateExpr).as("n_est"))
+      .orderBy(col("source"))
+  }
+
+  /** The estimator over (s_present, n_buckets) — ONE string, used
+    * verbatim in both engines (any drift would hash-mismatch). */
+  private val EstimateExpr: String = {
+    val raw = "(0.7213 / (1.0 + 1.079 / 32.0)) * 1024.0 * 72057594037927936.0 / " +
+      "CAST(s_present + (32 - n_buckets) * 72057594037927936 AS DOUBLE)"
+    // linear counting m*ln(m/V), V = 32 - n_buckets empty registers:
+    // 32 compile-time literals (Scala Double.toString is shortest-round-
+    // trip; both engines parse the same literal to the same double)
+    val linCase = (1 to 31).map { nb =>
+      s"WHEN $nb THEN ${32.0 * math.log(32.0 / (32 - nb))}"
+    }.mkString("CASE n_buckets ", " ", s" ELSE $raw END")
+    s"ROUND(CASE WHEN ($raw) <= 80.0 AND n_buckets < 32 THEN ($linCase) ELSE ($raw) END, 2)"
+  }
+
+  val qApproxDistinctSql: String =
+    s"""WITH f AS (SELECT source, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp FROM documents),
+      |b AS (SELECT source, fp,
+      |   (CAST(concat('0x', substr(fp, 1, 15)) AS BIGINT) >> 55) AS bucket,
+      |   (CAST(concat('0x', substr(fp, 1, 15)) AS BIGINT) & 36028797018963967) AS w
+      | FROM f),
+      |r AS (SELECT source, bucket,
+      |   MAX(CASE WHEN w = 0 THEN 56 ELSE 56 - length(bin(w)) END) AS m
+      | FROM b GROUP BY source, bucket),
+      |agg AS (SELECT source,
+      |   CAST(SUM(CAST(1 AS BIGINT) << (56 - m)) AS BIGINT) AS s_present,
+      |   COUNT(*) AS n_buckets
+      | FROM r GROUP BY source),
+      |ex AS (SELECT source, CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_exact FROM f GROUP BY source)
+      |SELECT agg.source, ex.n_exact, $EstimateExpr AS n_est
+      |FROM agg JOIN ex ON ex.source = agg.source ORDER BY agg.source""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_approx_distinct" -> ((qApproxDistinct _, Some(qApproxDistinctSql))),
     "q_length_percentiles" -> ((qLengthPercentiles _, Some(qLengthPercentilesSql))),
     "q_pii_redact" -> ((qPiiRedact _, Some(qPiiRedactSql))),
     "q_repetition_signals" -> ((qRepetitionSignals _, Some(qRepetitionSignalsSql))),
