@@ -466,7 +466,7 @@ object PdfParse {
   /** Undo a PNG row predictor (colors=1, 8 bits/component — the xref-
     * stream case; /Predictor 12 "PNG Up" is what real writers emit).
     * Each encoded row = 1 filter-tag byte + `columns` data bytes. */
-  private[pdf] def unpredict(data: Array[Byte], predictor: Int, columns: Int): Either[String, Array[Byte]] = {
+  private[graft] def unpredict(data: Array[Byte], predictor: Int, columns: Int): Either[String, Array[Byte]] = {
     if (predictor <= 1) return Right(data)
     if (predictor < 10) return Left(s"unsupported /Predictor $predictor (only PNG predictors)")
     val rowLen = columns + 1

@@ -168,4 +168,65 @@ class PropertySpec extends AnyFunSuite {
       assert(graft.functions.VectorExprs.quantize(x) == spec(x), s"x=$x")
     }
   }
+
+  test("property: PNG predictor round-trip for every filter tag (PdfParse.unpredict)") {
+    // forward-apply each PNG filter to random rows, then unpredict must
+    // restore the original bytes — covers Sub/Up/Average/Paeth paths the
+    // xref-stream fixtures (which use Up) don't reach
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    def encode(data: Array[Byte], cols: Int, tag: Int): Array[Byte] = {
+      val nRows = data.length / cols
+      val out = new Array[Byte](nRows * (cols + 1))
+      var prev = new Array[Byte](cols)
+      for (r <- 0 until nRows) {
+        val row = java.util.Arrays.copyOfRange(data, r * cols, (r + 1) * cols)
+        out(r * (cols + 1)) = tag.toByte
+        for (i <- 0 until cols) {
+          val left = if (i > 0) row(i - 1) & 0xFF else 0
+          val up = prev(i) & 0xFF
+          val upLeft = if (i > 0) prev(i - 1) & 0xFF else 0
+          val pred = tag match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) >> 1
+            case 4 => paeth(left, up, upLeft)
+          }
+          out(r * (cols + 1) + 1 + i) = (row(i) - pred).toByte
+        }
+        prev = row
+      }
+      out
+    }
+    val gen = for {
+      cols <- Gen.chooseNum(1, 9)
+      nRows <- Gen.chooseNum(1, 12)
+      data <- Gen.listOfN(cols * nRows, Gen.chooseNum(-128, 127).map(_.toByte))
+      tag <- Gen.chooseNum(0, 4)
+    } yield (cols, data.toArray, tag)
+    samples(gen, 300).foreach { case (cols, data, tag) =>
+      val dec = graft.pdf.PdfParse.unpredict(encode(data, cols, tag), 10 + tag, cols)
+      assert(dec.exists(_.sameElements(data)), s"tag=$tag cols=$cols: $dec")
+    }
+    // mixed tags per row (real writers vary the filter row-by-row)
+    samples(gen, 100).foreach { case (cols, data, _) =>
+      val nRows = data.length / cols
+      val enc = new Array[Byte](nRows * (cols + 1))
+      var prev = new Array[Byte](cols)
+      for (r <- 0 until nRows) {
+        val tag = (r * 7 + cols) % 5
+        val one = encode(
+          prev ++ java.util.Arrays.copyOfRange(data, r * cols, (r + 1) * cols), cols, tag)
+        // take the second encoded row (encoded against `prev` correctly)
+        System.arraycopy(one, cols + 1, enc, r * (cols + 1), cols + 1)
+        prev = java.util.Arrays.copyOfRange(data, r * cols, (r + 1) * cols)
+      }
+      val dec = graft.pdf.PdfParse.unpredict(enc, 12, cols)
+      assert(dec.exists(_.sameElements(data)), s"mixed tags cols=$cols")
+    }
+  }
 }
