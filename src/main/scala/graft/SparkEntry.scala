@@ -61,20 +61,33 @@ object SparkEntry {
             col("sp.kind").as("kind"), col("sp.text").as("text"),
             col("sp.media_ref").as("media_ref"), md5(col("sp.text").cast("binary")).as("text_md5"))
       }),
-      // page-parallel G-21 pipeline over a deterministic page table
+      // page-parallel G-21 pipeline over a deterministic page table,
+      // with a partial-prediction oracle in the flagship style: the
+      // full job runs (classify -> assembly -> per-page stitch ->
+      // ordered reduce) and projects the columns DuckDB re-derives from
+      // the documents table alone (page count = doc_id % 3 + 1; both
+      // text outputs non-empty — the classifier always emits >= 1
+      // block). Text VALUES stay pinned by the distributed==sequential
+      // suite and the rows-only q_pages_text.
       "q_pages_pipeline" -> ((s: SparkSession, dir: String) => {
-        // page table derived distributively from documents (1-4 pages/doc)
-        val df = s.read.parquet(s"$dir/documents.parquet")
-          .selectExpr("doc_id", "explode(sequence(0, CAST(doc_id % 3 AS INT))) AS page_idx")
-          .selectExpr("CAST(doc_id AS STRING) AS doc_id", "page_idx",
-            "concat('img://page/', doc_id, '/', page_idx) AS media_ref")
-        graft.pipeline.PagesPipeline.run(df)
+        import org.apache.spark.sql.functions._
+        graft.pipeline.PagesPipeline.run(pagesTable(s, dir))
+          .select(col("doc_id"), col("n_pages"),
+            (length(col("full_text")) > 0).as("full_text_nonempty"),
+            (length(col("doc_text")) > 0).as("doc_text_nonempty"))
       }),
+      // the full text outputs of the same job (not SQL-expressible)
+      "q_pages_text" -> ((s: SparkSession, dir: String) =>
+        graft.pipeline.PagesPipeline.run(pagesTable(s, dir))),
       // multimodal featurizer (binary columns; real decode for BMP/WAV
       // and, via the JDK's ImageIO, JPEG/PNG/GIF/TIFF — only MP3/video
       // remain stubbed, those codecs genuinely are absent)
       "q_media_features" -> ((s: SparkSession, dir: String) =>
         graft.multimodal.Multimodal.qMediaFeatures(s, dir)),
+      // ORACLE-checkable structural projection of the same featurizer
+      // run (sizes/frames/decoded are pure id+splitmix arithmetic)
+      "q_media_profile" -> ((s: SparkSession, dir: String) =>
+        graft.multimodal.Multimodal.qMediaProfile(s, dir)),
       // perceptual-hash image near-dup (real BMP decode -> aHash ->
       // pigeonhole-blocked join; rows-only, same decision as media_features)
       "q_image_neardup" -> ((s: SparkSession, dir: String) =>
@@ -90,8 +103,21 @@ object SparkEntry {
       "q_extract_curate" -> ((s: SparkSession, dir: String) =>
         Extract.extractCurate(CorpusGen.fromDocuments(s, dir))))
 
+  /** Page table derived distributively from documents (1-4 pages/doc). */
+  private def pagesTable(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "explode(sequence(0, CAST(doc_id % 3 AS INT))) AS page_idx")
+      .selectExpr("CAST(doc_id AS STRING) AS doc_id", "page_idx",
+        "concat('img://page/', doc_id, '/', page_idx) AS media_ref")
+
   def oracleSql: Map[String, String] =
     battery.collect { case (k, (_, Some(sql))) => k -> sql } ++ Map(
       "q_extract_flagship" -> graft.queries.FlagshipQ.oracle,
-      "q_extract_presplit" -> graft.queries.FlagshipQ.oracle)
+      "q_extract_presplit" -> graft.queries.FlagshipQ.oracle,
+      "q_pages_pipeline" ->
+        """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+          |  CAST(doc_id % 3 + 1 AS INT) AS n_pages,
+          |  TRUE AS full_text_nonempty, TRUE AS doc_text_nonempty
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q_media_profile" -> graft.multimodal.Multimodal.qMediaProfileSql)
 }

@@ -403,6 +403,48 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** The ORACLE-checkable structural projection of the featurizer run
+    * (flagship partial-prediction pattern): the real decode pass
+    * executes — `decoded` comes from the actual decoder dispatch — and
+    * the projected columns are all pure id/splitmix arithmetic DuckDB
+    * re-derives with no knowledge of the decoders: payload sizes from
+    * the BMP/WAV/container generator formulas (NULL for the
+    * ImageIO-transcoded PNG/JPEG fixtures, whose encoder output length
+    * is codec-internal), frame counts, and the decoded flag (video
+    * stubs = 0, every image/audio = 1 — which pins that JPEG/PNG really
+    * route through the ImageIO path, not the stub). Pixel-level values
+    * (luma/histograms) stay in the rows-only qMediaFeatures, pinned by
+    * the handcrafted-payload unit suite. */
+  def qMediaProfile(spark: SparkSession, dir: String): DataFrame = {
+    featurize(genTable(spark, 200)).toDF()
+      .select(col("media_id"), col("kind"),
+        when(col("kind") === "image" &&
+            (col("media_id") % 9 === 3 || col("media_id") % 9 === 6), lit(null))
+          .otherwise(col("n_bytes")).cast("int").as("n_bytes_raw"),
+        col("n_frames"), col("decoded"))
+      .orderBy(col("media_id"))
+  }
+
+  val qMediaProfileSql: String = {
+    val hmod = s"(${graft.queries.FlagshipQ.hash64Sql("'len:' || media_id")} % 1024)"
+    s"""WITH ids AS (SELECT CAST(range AS BIGINT) AS media_id FROM range(200)),
+      |g AS (SELECT media_id,
+      |   CASE CAST(media_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |   16 + CAST(media_id % 8 AS INT) * 4 AS w,
+      |   12 + CAST(media_id % 5 AS INT) * 4 AS h,
+      |   CAST($hmod AS BIGINT) AS hmod
+      | FROM ids)
+      |SELECT media_id, kind,
+      |  CAST(CASE
+      |    WHEN kind = 'image' AND media_id % 9 IN (3, 6) THEN NULL
+      |    WHEN kind = 'image' THEN 54 + ((w * 3 + 3) // 4) * 4 * h
+      |    WHEN kind = 'audio' THEN 44 + 2 * (256 + hmod)
+      |    ELSE 256 + hmod END AS INT) AS n_bytes_raw,
+      |  CAST(CASE WHEN kind = 'video' THEN GREATEST(1, (256 + hmod) // 128) ELSE 1 END AS INT) AS n_frames,
+      |  CAST(CASE WHEN kind = 'video' THEN 0 ELSE 1 END AS INT) AS decoded
+      |FROM g ORDER BY media_id""".stripMargin
+  }
+
   /** 64-bit average-hash (aHash) of a 24-bit BMP: pixel lumas pool into
     * an 8x8 grid of cell means, bit (8*cy + cx) is set iff the cell mean
     * exceeds the global mean. The standard perceptual fingerprint for
