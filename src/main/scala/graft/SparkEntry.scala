@@ -99,9 +99,11 @@ object SparkEntry {
       // CURATION layer — extract spans, stitch per-doc text, then exact-
       // dup fingerprint + length gate over the EXTRACTED text (rows-only:
       // the extraction half is not SQL-expressible; curation invariants
-      // pinned by ExtractCurateSpec)
+      // pinned by ExtractCurateSpec). Reads the materialized pre-split
+      // layout like q_extract_text — identical output, and the battery
+      // measures the extract->curate composition, not corpus synthesis.
       "q_extract_curate" -> ((s: SparkSession, dir: String) =>
-        Extract.extractCurate(CorpusGen.fromDocuments(s, dir))))
+        Extract.extractCurate(s.read.parquet(CorpusGen.materializedPreSplit(s, dir)))))
 
   /** Page table derived distributively from documents (1-4 pages/doc). */
   private def pagesTable(s: SparkSession, dir: String): DataFrame =
