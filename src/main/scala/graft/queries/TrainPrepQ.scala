@@ -402,7 +402,47 @@ object TrainPrepQ {
       |  MIN(doc_id) AS first_doc
       |FROM u GROUP BY host ORDER BY host""".stripMargin
 
+  /** Context-window CHUNKING with overlap — the other half of sequence
+    * preparation (q_seq_pack concatenates short docs into fixed
+    * sequences; this SPLITS long docs into overlapping token windows,
+    * the standard pretraining chunker: window 64 tokens, stride 48, so
+    * adjacent chunks share 16 tokens of context). One row per chunk
+    * with its token count and content fingerprint (md5 of the re-joined
+    * window — chunk-level exact dedup keys off it). Pure per-doc
+    * arithmetic: explode over chunk starts + array slice, no
+    * shuffle before the aggregation a caller adds — embarrassingly
+    * parallel at any scale. */
+  val ChunkWindow = 64
+  val ChunkStride = 48
+
+  def qChunkOverlap(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    documents(s, dir)
+      .select(col("doc_id"), toks.as("w"), size(toks).as("n"))
+      .select(col("doc_id"), col("w"),
+        explode(expr(s"sequence(0, (n - 1) div $ChunkStride)")).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        expr(s"slice(w, chunk_idx * $ChunkStride + 1, $ChunkWindow)").as("c"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("c")).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("c")).cast("binary")).as("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val qChunkOverlapSql: String =
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+      |x AS (SELECT doc_id, w, CAST(i AS INT) AS chunk_idx
+      |      FROM t, UNNEST(generate_series(0, (length(w) - 1) // $ChunkStride)) u(i)),
+      |c AS (SELECT doc_id, chunk_idx,
+      |        list_slice(w, chunk_idx * $ChunkStride + 1, chunk_idx * $ChunkStride + $ChunkWindow) AS c
+      |      FROM x)
+      |SELECT doc_id, chunk_idx,
+      |  CAST(length(c) AS BIGINT) AS n_chunk_tokens,
+      |  md5(array_to_string(c, ' ')) AS chunk_fp
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_chunk_overlap" -> ((qChunkOverlap _, Some(qChunkOverlapSql))),
     "q_boilerplate_ngrams" -> ((qBoilerplateNgrams _, Some(qBoilerplateNgramsSql))),
     "q_vocab_stats" -> ((qVocabStats _, Some(qVocabStatsSql))),
     "q_domain_stats" -> ((qDomainStats _, Some(qDomainStatsSql))),
