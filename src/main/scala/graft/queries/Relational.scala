@@ -400,7 +400,56 @@ object Relational {
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** RANGE (interval) join with no equi key: every 'error' event
+    * aggregated against ALL events within +-60 s of it. A naive
+    * inequality join in Spark plans as BroadcastNestedLoop — quadratic
+    * at corpus scale; the scale shape here is BIN REPLICATION: bin =
+    * minute bucket of the timestamp, each anchor replicated to bins
+    * {b-1, b, b+1} (window == bin width, so 3 replicas cover every
+    * possible neighbor), candidates via a plain shuffled EQUI-join on
+    * the bin, exact |dt| <= 60 s filter after. Each (anchor, neighbor)
+    * pair meets exactly once (the neighbor's bin is unique), so no
+    * dedup pass. Same pattern as q_containment_join's binned geometry
+    * join; AQE splits any hot-minute bin. The DuckDB oracle states the
+    * naive inequality join (its IEJoin handles it at oracle scale).
+    * Microsecond-exact integer arithmetic on both engines. */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val WinUs = 60000000L // 60 s, also the bin width
+    val ev = s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+    val anchors0 = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("a_id"), col("us").as("a_us"))
+    val anchors = anchors0.select(col("a_id"), col("a_us"),
+      explode(expr(s"array(a_us div $WinUs - 1, a_us div $WinUs, a_us div $WinUs + 1)")).as("bin"))
+    val withBin = ev.withColumn("bin", expr(s"us div $WinUs"))
+    val agg = anchors.join(withBin, Seq("bin"))
+      .filter(abs(col("us") - col("a_us")) <= WinUs && col("event_id") =!= col("a_id"))
+      .groupBy(col("a_id"))
+      .agg(count(lit(1)).as("nn"), countDistinct(col("user_id")).as("nu"),
+        min(col("event_id")).as("mn"))
+    anchors0.join(agg, Seq("a_id"), "left")
+      .select(col("a_id").as("event_id"),
+        coalesce(col("nn"), lit(0L)).as("n_nearby"),
+        coalesce(col("nu"), lit(0L)).as("n_users"),
+        col("mn").as("min_neighbor"))
+      .orderBy(col("event_id"))
+  }
+
+  val qRangeJoinSql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+      |a AS (SELECT event_id AS a_id, us AS a_us FROM e WHERE event_type = 'error'),
+      |j AS (SELECT a.a_id, COUNT(*) AS nn, COUNT(DISTINCT e.user_id) AS nu, MIN(e.event_id) AS mn
+      |      FROM a JOIN e ON abs(e.us - a.a_us) <= 60000000 AND e.event_id <> a.a_id
+      |      GROUP BY a.a_id)
+      |SELECT a.a_id AS event_id,
+      |  CAST(COALESCE(j.nn, 0) AS BIGINT) AS n_nearby,
+      |  CAST(COALESCE(j.nu, 0) AS BIGINT) AS n_users,
+      |  j.mn AS min_neighbor
+      |FROM a LEFT JOIN j ON j.a_id = a.a_id ORDER BY event_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_range_join" -> ((qRangeJoin _, Some(qRangeJoinSql))),
     "q_pivot_langs" -> ((qPivotLangs _, Some(qPivotLangsSql))),
     "q_anti_join" -> ((qAntiJoin _, Some(qAntiJoinSql))),
     "q_set_ops" -> ((qSetOps _, Some(qSetOpsSql))),
