@@ -441,7 +441,56 @@ object TrainPrepQ {
       |  md5(array_to_string(c, ' ')) AS chunk_fp
       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** URL canonicalization + dedup — the crawl-level dedup step every
+    * CommonCrawl-style pipeline runs before content dedup: lowercase,
+    * http -> https, strip query/fragment, strip trailing slashes, then
+    * group. The fixture-in-query injection (q_domain_stats pattern)
+    * plants the same logical URL under DIFFERENT raw spellings (mixed
+    * case + tracking params on one variant, http + trailing slash on
+    * the other, overlapping item ids across variants), so the
+    * canonical groups genuinely merge distinct raw forms — the oracle
+    * predicts the merged groups independently. All regexes use
+    * Java/RE2-identical syntax; anchored or rest-consuming patterns so
+    * first-match (DuckDB) == all-match (Spark) replacement. */
+  def qUrlDedup(s: SparkSession, dir: String): DataFrame = {
+    val injected = concat(col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" ref https://Shop.Example.com/item/"), col("doc_id") % 10, lit("?utm=abc")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 3,
+        concat(lit(" ref http://shop.example.com/item/"), col("doc_id") % 10, lit("/")))
+        .otherwise(lit("")))
+    val canon = regexp_replace(regexp_replace(regexp_replace(
+      lower(col("u")), "^http://", "https://"), "[?#].*", ""), "/+$", "")
+    documents(s, dir)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(injected,
+          lit("https?://[A-Za-z0-9./?=&_-]+"), lit(0))).as("u"))
+      .select(col("doc_id"), canon.as("canon_url"))
+      .groupBy(col("canon_url"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy(col("canon_url"))
+  }
+
+  val qUrlDedupSql: String =
+    """WITH t AS (SELECT doc_id,
+      |  text ||
+      |  (CASE WHEN doc_id % 7 = 0 THEN ' ref https://Shop.Example.com/item/' || CAST(doc_id % 10 AS VARCHAR) || '?utm=abc' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 7 = 3 THEN ' ref http://shop.example.com/item/' || CAST(doc_id % 10 AS VARCHAR) || '/' ELSE '' END) AS t
+      |FROM documents),
+      |u AS (SELECT doc_id, UNNEST(regexp_extract_all(t, 'https?://[A-Za-z0-9./?=&_-]+')) AS u FROM t),
+      |c AS (SELECT doc_id,
+      |  regexp_replace(regexp_replace(regexp_replace(lower(u), '^http://', 'https://'), '[?#].*', ''), '/+$', '') AS canon_url
+      |FROM u)
+      |SELECT canon_url, COUNT(*) AS n_urls,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  MIN(doc_id) AS min_doc
+      |FROM c GROUP BY canon_url ORDER BY canon_url""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_url_dedup" -> ((qUrlDedup _, Some(qUrlDedupSql))),
     "q_chunk_overlap" -> ((qChunkOverlap _, Some(qChunkOverlapSql))),
     "q_boilerplate_ngrams" -> ((qBoilerplateNgrams _, Some(qBoilerplateNgramsSql))),
     "q_vocab_stats" -> ((qVocabStats _, Some(qVocabStatsSql))),
