@@ -448,7 +448,56 @@ object Relational {
       |  j.mn AS min_neighbor
       |FROM a LEFT JOIN j ON j.a_id = a.a_id ORDER BY event_id""".stripMargin
 
+  /** Ordered FUNNEL: per user, the view -> click -> purchase conversion
+    * where each later step must happen strictly AFTER the earlier one
+    * (first view, then the first click within 24 h after that view,
+    * then the first purchase within 24 h after that click — the
+    * standard product-analytics shape, distinct from gap
+    * sessionization; the step window is what makes stages
+    * discriminate on a month-long event stream). One narrow pass: conditional
+    * MIN aggregates per user (no joins, no windows; two of the three
+    * step timestamps are correlated conditional-mins computed from the
+    * per-user sorted event array — a single groupBy). Microsecond
+    * integer timestamps; stage is an exact INT. */
+  def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    s.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+      .groupBy(col("user_id"))
+      .agg(collect_list(struct(col("us"), col("event_type"))).as("evs"))
+      .withColumn("t_view",
+        expr("array_min(transform(filter(evs, e -> e.event_type = 'view'), e -> e.us))"))
+      .withColumn("t_click",
+        expr("array_min(transform(filter(evs, e -> e.event_type = 'click' AND e.us > t_view AND e.us <= t_view + 86400000000), e -> e.us))"))
+      .withColumn("t_purchase",
+        expr("array_min(transform(filter(evs, e -> e.event_type = 'purchase' AND e.us > t_click AND e.us <= t_click + 86400000000), e -> e.us))"))
+      .select(col("user_id"),
+        when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .when(col("t_view").isNotNull, 1)
+          .otherwise(0).as("stage"),
+        col("t_view"), col("t_click"), col("t_purchase"))
+      .orderBy(col("user_id"))
+  }
+
+  val qFunnelSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |v AS (SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN us END) AS t_view
+      |      FROM e GROUP BY user_id),
+      |c AS (SELECT e.user_id, MIN(CASE WHEN e.event_type = 'click' AND e.us > v.t_view AND e.us <= v.t_view + 86400000000 THEN e.us END) AS t_click
+      |      FROM e JOIN v ON v.user_id = e.user_id GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, MIN(CASE WHEN e.event_type = 'purchase' AND e.us > c.t_click AND e.us <= c.t_click + 86400000000 THEN e.us END) AS t_purchase
+      |      FROM e JOIN c ON c.user_id = e.user_id GROUP BY e.user_id)
+      |SELECT v.user_id,
+      |  CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+      |            WHEN t_click IS NOT NULL THEN 2
+      |            WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS INT) AS stage,
+      |  t_view, t_click, t_purchase
+      |FROM v JOIN c ON c.user_id = v.user_id JOIN p ON p.user_id = v.user_id
+      |ORDER BY v.user_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_funnel" -> ((qFunnel _, Some(qFunnelSql))),
     "q_range_join" -> ((qRangeJoin _, Some(qRangeJoinSql))),
     "q_pivot_langs" -> ((qPivotLangs _, Some(qPivotLangsSql))),
     "q_anti_join" -> ((qAntiJoin _, Some(qAntiJoinSql))),
