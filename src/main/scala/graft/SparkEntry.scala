@@ -28,7 +28,8 @@ object SparkEntry {
     graft.queries.DedupQ.all ++
     graft.queries.SimilarityQ.all ++
     graft.queries.PositionedQ.all ++
-    graft.queries.PdfQ.all
+    graft.queries.PdfQ.all ++
+    graft.queries.GraphQ.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     battery.map { case (k, (fn, _)) => k -> fn } ++ Map(

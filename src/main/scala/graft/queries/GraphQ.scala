@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics over the crawl corpus — the selection signals a
+  * web-scale training pipeline derives from the hyperlink structure
+  * (reference scope boundary: ocrchestra stops at per-document
+  * extraction; link-level ranking/aggregation is an engine-side
+  * addition, SURVEY.md §2.F).
+  *
+  * The graph is synthesized deterministically from the documents table
+  * (no external data, per the task brief): doc `i` links to
+  * `(i*48271 + j*1009) mod N` for `j in 1..(i mod 3 + 1)`, self-links
+  * dropped. Both the Spark job and the DuckDB oracle re-derive the
+  * same edges from the same arithmetic, so every number is
+  * independently predicted.
+  *
+  * Determinism rules (CLAUDE.md): all rank math is BIGINT — scaled
+  * integer ranks with `div`/`//` floor division (identical for the
+  * non-negative values here), never double division; ties in the
+  * anchor argmax break on the anchor string.
+  *
+  * Scale notes (100 TB framing):
+  *   - PageRank is the canonical iterative shuffle: each round joins
+  *     the slim (node, rank) relation to the edge list on src and
+  *     re-aggregates on dst. The edge relation (with out-degree
+  *     attached) is computed ONCE and cached pre-partitioned on the
+  *     join key, so every iteration shuffles only the two-column rank
+  *     relation — at 10^12 edges the edge side is the one you must
+  *     not re-shuffle per round.
+  *   - A fixed iteration count (5) keeps the DAG bounded; a
+  *     convergence-driven variant would reuse the q_dedup_cluster
+  *     pattern (localCheckpoint-truncated lineage, changed-count
+  *     riding the materializing action).
+  *   - Contributions use map-side partial aggregation (sum by dst);
+  *     the per-round shuffle carries one row per (dst) partial, not
+  *     one per edge.
+  *   - Anchor aggregation is two hash-aggregates over the same edge
+  *     relation plus a top-1 window on the (dst, anchor) counts — the
+  *     window input is already the deduped pair relation, not the raw
+  *     edge stream.
+  */
+object GraphQ {
+
+  private def documents(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Deterministic link edges (src, dst) — multigraph semantics: if two
+    * j values collide on the same dst the edge counts twice, exactly as
+    * the oracle's UNNEST does. */
+  private def linkEdges(docs: DataFrame): DataFrame = {
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    docs.crossJoin(broadcast(n))
+      .select(col("doc_id").as("src"),
+        explode(expr("sequence(1, CAST(doc_id % 3 + 1 AS INT))")).as("j"),
+        col("n_docs"))
+      .select(col("src"), ((col("src") * 48271L + col("j") * 1009L) % col("n_docs")).as("dst"))
+      .filter(col("dst") =!= col("src"))
+  }
+
+  private val EdgesSql: String =
+    """nrel AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |e AS (SELECT src, dst FROM (
+      |        SELECT d.doc_id AS src,
+      |               (d.doc_id * 48271 + u.j * 1009) % n.n_docs AS dst
+      |        FROM documents d CROSS JOIN nrel n,
+      |             UNNEST(generate_series(1, d.doc_id % 3 + 1)) AS u(j))
+      |      WHERE dst != src)""".stripMargin
+
+  val Iterations = 5
+
+  /** Integer PageRank, 5 fixed rounds: r0 = 1e6 per node;
+    * r' = 150000 + (85 * sum(r_src div outdeg_src)) div 100. Dangling
+    * mass (a node whose every generated target was itself) leaks, as in
+    * the classic formulation without a dangling-redistribution term —
+    * both engines compute the identical recurrence. */
+  def qPagerank(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val e = linkEdges(docs)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // edge list with out-degree attached, cached pre-partitioned on the
+    // per-iteration join key: each round reuses this exchange and only
+    // the slim (doc_id, rank) relation moves
+    val ed = e.join(deg, Seq("src")).repartition(col("src")).cache()
+    var ranks = docs.select(col("doc_id"), lit(1000000L).as("rank"))
+    for (_ <- 1 to Iterations) {
+      val contribs = ed.join(ranks.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .select(col("dst"), expr("rank div outdeg").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
+      ranks = docs.select(col("doc_id"))
+        .join(contribs.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          expr("CAST(150000 + (85 * coalesce(s, CAST(0 AS BIGINT))) div 100 AS BIGINT)").as("rank"))
+    }
+    val indeg = e.groupBy(col("dst")).agg(count(lit(1)).as("ind"))
+    ranks
+      .join(deg.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+      .join(indeg.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("outdeg"), lit(0L)).as("out_degree"),
+        coalesce(col("ind"), lit(0L)).as("in_degree"),
+        col("rank").as("rank_scaled"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qPagerankSql: String = {
+    val rounds = (1 to Iterations).map { i =>
+      s"""c$i AS (SELECT ed.dst, CAST(SUM(r${i - 1}.rank // ed.outdeg) AS BIGINT) AS s
+         |        FROM ed JOIN r${i - 1} ON r${i - 1}.doc_id = ed.src GROUP BY ed.dst),
+         |r$i AS (SELECT d.doc_id,
+         |          CAST(150000 + (85 * COALESCE(c$i.s, 0)) // 100 AS BIGINT) AS rank
+         |        FROM documents d LEFT JOIN c$i ON c$i.dst = d.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $EdgesSql,
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+       |ed AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
+       |indeg AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS ind FROM e GROUP BY dst),
+       |r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS rank FROM documents),
+       |$rounds
+       |SELECT r$Iterations.doc_id,
+       |  CAST(COALESCE(deg.outdeg, 0) AS BIGINT) AS out_degree,
+       |  CAST(COALESCE(indeg.ind, 0) AS BIGINT) AS in_degree,
+       |  r$Iterations.rank AS rank_scaled
+       |FROM r$Iterations
+       |LEFT JOIN deg ON deg.src = r$Iterations.doc_id
+       |LEFT JOIN indeg ON indeg.dst = r$Iterations.doc_id
+       |ORDER BY r$Iterations.doc_id""".stripMargin
+  }
+
+  /** Anchor-text aggregation: per link target, the inbound-link count,
+    * distinct-anchor count, and the most frequent anchor (ties ->
+    * lexicographically smallest anchor). The anchor of an edge is the
+    * first whitespace token of the source document — the deterministic
+    * stand-in for the `<a>` text a crawl pipeline would carry. */
+  def qAnchorAgg(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val anchors = docs.select(col("doc_id").as("src"),
+      element_at(split(trim(col("text")), "\\s+"), 1).as("anchor"))
+    val pa = linkEdges(docs).join(anchors, Seq("src"))
+      .groupBy(col("dst"), col("anchor")).agg(count(lit(1)).as("c"))
+    val top = pa.withColumn("rn",
+        row_number().over(Window.partitionBy(col("dst")).orderBy(col("c").desc, col("anchor").asc)))
+      .filter(col("rn") === 1)
+      .select(col("dst"), col("anchor").as("top_anchor"), col("c").as("top_anchor_count"))
+    pa.groupBy(col("dst"))
+      .agg(sum(col("c")).as("n_inlinks"), count(lit(1)).as("n_distinct_anchors"))
+      .join(top, Seq("dst"))
+      .select(col("dst").as("target_id"), col("n_inlinks"),
+        col("n_distinct_anchors"), col("top_anchor"), col("top_anchor_count"))
+      .orderBy(col("target_id"))
+  }
+
+  val qAnchorAggSql: String =
+    s"""WITH $EdgesSql,
+       |a AS (SELECT doc_id AS src,
+       |        regexp_split_to_array(trim(text), '\\s+')[1] AS anchor
+       |      FROM documents),
+       |pa AS (SELECT e.dst, a.anchor, COUNT(*) AS c
+       |       FROM e JOIN a USING (src) GROUP BY e.dst, a.anchor),
+       |top AS (SELECT dst, anchor, c FROM (
+       |          SELECT dst, anchor, c,
+       |                 ROW_NUMBER() OVER (PARTITION BY dst ORDER BY c DESC, anchor ASC) AS rn
+       |          FROM pa) WHERE rn = 1),
+       |tot AS (SELECT dst, CAST(SUM(c) AS BIGINT) AS n_inlinks,
+       |               CAST(COUNT(*) AS BIGINT) AS n_distinct_anchors
+       |        FROM pa GROUP BY dst)
+       |SELECT tot.dst AS target_id, n_inlinks, n_distinct_anchors,
+       |       top.anchor AS top_anchor, CAST(top.c AS BIGINT) AS top_anchor_count
+       |FROM tot JOIN top ON top.dst = tot.dst
+       |ORDER BY target_id""".stripMargin
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_pagerank" -> ((qPagerank _, Some(qPagerankSql))),
+    "q_anchor_agg" -> ((qAnchorAgg _, Some(qAnchorAggSql))))
+}
