@@ -489,7 +489,90 @@ object TrainPrepQ {
       |  MIN(doc_id) AS min_doc
       |FROM c GROUP BY canon_url ORDER BY canon_url""".stripMargin
 
+  // ---------------------------------------------------------------- //
+  // q_bloom_probe                                                     //
+  // ---------------------------------------------------------------- //
+
+  /** Canonical boilerplate shared by "mirror" pages (doc_id % 71 == 0)
+    * — the fixture-in-query exact-dup plant (the corpus has no natural
+    * exact duplicates across the benchmark boundary). doc_id 0 is both
+    * a mirror and a benchmark doc (0 % 97 == 0), so the mirrored
+    * content is benchmark content and every other mirror is a TRUE hit. */
+  private val MirrorText = "shared mirror landing page boilerplate content"
+
+  /** Deterministic Bloom-filter membership probe — the fixed-size
+    * alternative to broadcasting the full benchmark fingerprint set.
+    * Build: k=4 hash positions per benchmark fp (disjoint 28-bit md5
+    * chunks mod m=512 bits), OR-folded into 30-bit words (30, not 64,
+    * so the mask arithmetic stays in safe signed range in BOTH
+    * engines). Probe: a training doc is a bloom hit iff all 4 of its
+    * bit positions are set; `true_hit` labels it against the exact set,
+    * so the output exhibits the sketch's one-sided error (false
+    * positives possible, false negatives impossible — a spec pin).
+    *
+    * Scale note: the broadcast is the BITMAP (m/30 words regardless of
+    * benchmark cardinality — m is chosen from the FP budget), not the
+    * fingerprint set; the probe side is a map-side broadcast join plus
+    * a 4-row-per-doc aggregate with partial combine. At a 10^9-entry
+    * blocklist the exact-set broadcast is gigabytes; the bloom bitmap
+    * is megabytes, and only misses of the bloom pre-filter would ever
+    * need the exact verify join (the q_neardup_verified two-stage
+    * pattern applied to membership). */
+  def qBloomProbe(s: SparkSession, dir: String): DataFrame = {
+    val fp = md5(lower(regexp_replace(
+      when(col("doc_id") % 71 === 0, lit(MirrorText)).otherwise(col("text")),
+      "\\s+", " ")).cast("binary"))
+    val docs = documents(s, dir).select(col("doc_id"), fp.as("fp"))
+    val positions = (0 until 4).map(i =>
+      expr(s"CAST(conv(substring(fp, ${1 + i * 8}, 7), 16, 10) AS BIGINT) % 512"))
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val bloom = bench.select(explode(array(positions: _*)).as("h"))
+      .select(expr("h div 30").as("word"), (col("h") % 30).as("bit"))
+      .groupBy(col("word"))
+      .agg(expr("bit_or(CAST(shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)) AS BIGINT))").as("bits"))
+    val benchFps = bench.select(col("fp")).distinct()
+      .withColumn("in_bench", lit(true))
+    val probes = docs.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("fp"), explode(array(positions: _*)).as("h"))
+      .select(col("doc_id"), col("fp"), expr("h div 30").as("word"), (col("h") % 30).as("bit"))
+    probes
+      .join(broadcast(bloom), Seq("word"), "left")
+      .groupBy(col("doc_id"), col("fp"))
+      .agg(sum(expr(
+        "CASE WHEN bits IS NOT NULL AND (shiftright(bits, CAST(bit AS INT)) & 1) = 1 THEN 1 ELSE 0 END")).as("n_bits_set"))
+      .join(broadcast(benchFps), Seq("fp"), "left")
+      .select(col("doc_id"), col("n_bits_set"),
+        (col("n_bits_set") === 4).as("bloom_hit"),
+        coalesce(col("in_bench"), lit(false)).as("true_hit"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qBloomProbeSql: String =
+    s"""WITH f AS (SELECT doc_id,
+       |  md5(lower(regexp_replace(
+       |    CASE WHEN doc_id % 71 = 0 THEN '$MirrorText' ELSE text END,
+       |    '\\s+', ' ', 'g'))) AS fp FROM documents),
+       |pos AS (SELECT doc_id, fp,
+       |          CAST(concat('0x', substr(fp, 1 + i * 8, 7)) AS BIGINT) % 512 AS h
+       |        FROM f, UNNEST([0, 1, 2, 3]) AS u(i)),
+       |bloom AS (SELECT h // 30 AS word,
+       |            CAST(bit_or(CAST(1 AS BIGINT) << CAST(h % 30 AS INT)) AS BIGINT) AS bits
+       |          FROM pos WHERE doc_id % 97 = 0 GROUP BY h // 30),
+       |bench AS (SELECT DISTINCT fp FROM f WHERE doc_id % 97 = 0),
+       |probe AS (SELECT p.doc_id, p.fp,
+       |            CAST(SUM(CASE WHEN bloom.bits IS NOT NULL
+       |                          AND (bloom.bits >> CAST(p.h % 30 AS INT)) & 1 = 1
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bits_set
+       |          FROM pos p LEFT JOIN bloom ON bloom.word = p.h // 30
+       |          WHERE p.doc_id % 97 != 0 GROUP BY p.doc_id, p.fp)
+       |SELECT probe.doc_id, n_bits_set,
+       |  n_bits_set = 4 AS bloom_hit,
+       |  bench.fp IS NOT NULL AS true_hit
+       |FROM probe LEFT JOIN bench ON bench.fp = probe.fp
+       |ORDER BY probe.doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_bloom_probe" -> ((qBloomProbe _, Some(qBloomProbeSql))),
     "q_url_dedup" -> ((qUrlDedup _, Some(qUrlDedupSql))),
     "q_chunk_overlap" -> ((qChunkOverlap _, Some(qChunkOverlapSql))),
     "q_boilerplate_ngrams" -> ((qBoilerplateNgrams _, Some(qBoilerplateNgramsSql))),

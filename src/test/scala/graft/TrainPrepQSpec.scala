@@ -147,4 +147,25 @@ class TrainPrepQSpec extends AnyFunSuite {
     // the handcrafted corpus must exercise both keep outcomes
     assert(rows.values.map(_._3).toSet == Set(0L, 1L))
   }
+
+  test("bloom probe: one-sided error, planted mirrors all caught") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = TrainPrepQ.qBloomProbe(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+    // benchmark docs excluded from the probe side
+    assert(rows.forall(_._1 % 97 != 0))
+    // a Bloom filter NEVER misses a true member (one-sided error)
+    rows.filter(_._4).foreach { case (id, n, hit, _) =>
+      assert(hit && n == 4L, s"false negative on doc $id")
+    }
+    // hit <=> all four bits set
+    rows.foreach { case (_, n, hit, _) => assert(hit == (n == 4L)) }
+    // every non-benchmark mirror (doc_id % 71 == 0) is a TRUE hit:
+    // doc 0 is a benchmark mirror, so the mirrored fp is in the set
+    val mirrors = rows.filter(_._1 % 71 == 0)
+    assert(mirrors.nonEmpty && mirrors.forall(_._4))
+    // and nothing else is a true hit (no natural exact dups across the
+    // benchmark boundary in this corpus)
+    assert(rows.filter(_._4).forall(_._1 % 71 == 0))
+  }
 }
