@@ -496,7 +496,40 @@ object Relational {
       |FROM v JOIN c ON c.user_id = v.user_id JOIN p ON p.user_id = v.user_id
       |ORDER BY v.user_id""".stripMargin
 
+  /** Skew-salted two-phase aggregation — the manual mitigation the north
+    * rule mandates for hot keys, expressed as an oracle-checked operator:
+    * phase 1 aggregates on (event_type, salt = event_id % 64) so one hot
+    * event_type spreads over 64 reducers; phase 2 combines the 64
+    * partials per key. The output is provably identical to the plain
+    * GROUP BY (the oracle states exactly that), because counts and
+    * DECIMAL sums are associative — the floor-to-cents happens ONCE,
+    * after the final combine.
+    *
+    * Scale note: with a zipfian key (one event_type = 50% of 10^12
+    * rows), the unsalted shuffle sends half the corpus to one reducer;
+    * salting bounds any reducer at ~1/64 of the hot key, and the
+    * phase-2 shuffle carries #keys x 64 partial rows — nothing. AQE
+    * skew-join splitting solves joins, but a skewed AGGREGATE needs the
+    * salt (or partial agg to absorb it map-side; salting stays
+    * necessary when the per-map key set is already unique, e.g. after a
+    * distinct or when upstream partitioning aligns with the key). */
+  def qSaltedAgg(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_type"), (col("event_id") % 64).as("salt"), dec(col("value")).as("v"))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("c"), sum(col("v")).as("sv"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n_events"),
+        floor(sum(col("sv")) * 100).cast("long").as("sum_cents"))
+      .orderBy(col("event_type"))
+
+  val qSaltedAggSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(FLOOR(SUM(CAST(value AS DECIMAL(18,4))) * 100) AS BIGINT) AS sum_cents
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_salted_agg" -> ((qSaltedAgg _, Some(qSaltedAggSql))),
     "q_funnel" -> ((qFunnel _, Some(qFunnelSql))),
     "q_range_join" -> ((qRangeJoin _, Some(qRangeJoinSql))),
     "q_pivot_langs" -> ((qPivotLangs _, Some(qPivotLangsSql))),
