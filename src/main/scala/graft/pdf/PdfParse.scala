@@ -13,17 +13,17 @@ import scala.collection.mutable
   * hybrid /XRefStm), all object types, stream payloads, and FlateDecode
   * content streams via the JVM's built-in Inflater.
   *
-  * Deliberately NOT a full interpreter: OBJECT streams (/Type /ObjStm —
-  * compressed-object containers), encryption, and non-Flate filters on
-  * CONTENT streams are rejected with a clear error (resource streams —
-  * images etc. — are copied byte-verbatim whatever their filter, no
-  * decode needed). Type-2 xref entries are tolerated structurally: the
-  * parse fails with a clear error only when the document's catalog
-  * itself lives in an object stream (a fully-compressed PDF), otherwise
-  * such objects are simply absent, consistent with the tolerant
-  * resolve-to-null model. That covers every PDF this engine itself
-  * emits plus the classic and xref-stream classes of scanner output
-  * the reference tool targets.
+  * OBJECT streams (/Type /ObjStm — the compressed-object containers of
+  * fully-compressed PDF 1.5 files) are read too: type-2 xref entries
+  * resolve through their container's /N+/First header into plain direct
+  * values (streams inside object streams are forbidden by spec, so
+  * nothing is lost). Deliberately NOT a full interpreter: encryption
+  * and non-Flate filters on CONTENT streams are rejected with a clear
+  * error (resource streams — images etc. — are copied byte-verbatim
+  * whatever their filter, no decode needed). That covers every PDF this
+  * engine itself emits plus the classic, xref-stream and
+  * fully-compressed classes of scanner output the reference tool
+  * targets.
   */
 object PdfParse {
 
@@ -353,7 +353,7 @@ object PdfParse {
     // newer 'f' free entry masking an older in-use one)
     val offsets = mutable.HashMap.empty[Int, Long] // objNum -> byte offset
     val decided = mutable.HashSet.empty[Int]
-    val objStreamObjs = mutable.HashSet.empty[Int] // type-2 xref entries
+    val inObjStm = mutable.HashMap.empty[Int, (Int, Int)] // objNum -> (container, index)
     var trailer: Option[PDict] = None
     var xrefAt = firstXref
     var hops = 0
@@ -396,7 +396,7 @@ object PdfParse {
         // table first, then its XRefStm, then /Prev — PDF spec §7.5.8.4)
         tdict.get("XRefStm") match {
           case Some(n: PNum) =>
-            readXrefStream(text, pdf, n.toInt.toLong, offsets, decided, objStreamObjs) match {
+            readXrefStream(text, pdf, n.toInt.toLong, offsets, decided, inObjStm) match {
               case Left(e) => return Left(e)
               case Right(_) => () // hybrid: classic trailer's /Prev governs the chain
             }
@@ -408,7 +408,7 @@ object PdfParse {
         }
       } else {
         // PDF 1.5+: startxref points at a cross-reference STREAM object
-        readXrefStream(text, pdf, xrefAt, offsets, decided, objStreamObjs) match {
+        readXrefStream(text, pdf, xrefAt, offsets, decided, inObjStm) match {
           case Left(e) => return Left(e)
           case Right(xdict) =>
             if (trailer.isEmpty) trailer = Some(xdict) // the xref stream dict IS the trailer
@@ -419,14 +419,6 @@ object PdfParse {
         }
       }
     }
-    // a fully-compressed PDF keeps its catalog inside an object stream —
-    // that (and only that) makes the document unreadable for us
-    trailer.flatMap(_.get("Root")).foreach {
-      case PRef(n, _) if objStreamObjs.contains(n) =>
-        return Left("object streams (/Type /ObjStm) are not supported: the document catalog is compressed")
-      case _ => ()
-    }
-
     // pass 1: objects with direct /Length; pass 2: indirect /Length
     val objects = mutable.HashMap.empty[Int, PObjDef]
     val pending = mutable.ArrayBuffer.empty[(Int, Long)]
@@ -447,6 +439,12 @@ object PdfParse {
         case Right(o) => objects(o.num) = o
         case Left(e) => return Left(s"object $num at $off: $e")
       }
+    }
+    // pass 3: extract type-2 (compressed) objects from their /ObjStm
+    // containers — the containers themselves loaded in passes 1/2
+    loadObjStreams(objects, inObjStm) match {
+      case Left(e) => return Left(e)
+      case _ => ()
     }
     trailer match {
       case Some(t) => Right(PdfDoc(objects.toMap, t))
@@ -518,7 +516,7 @@ object PdfParse {
     * Returns the stream dictionary (it doubles as the trailer). */
   private def readXrefStream(text: String, pdf: Array[Byte], off: Long,
       offsets: mutable.HashMap[Int, Long], decided: mutable.HashSet[Int],
-      objStreamObjs: mutable.HashSet[Int]): Either[String, PDict] = {
+      inObjStm: mutable.HashMap[Int, (Int, Int)]): Either[String, PDict] = {
     if (off < 0 || off >= text.length) return Left("xref-stream offset beyond EOF")
     val p = new P(text, pdf); p.pos = off.toInt
     // xref-stream dict entries must be direct per spec, so no /Length pass 2
@@ -587,7 +585,9 @@ object PdfParse {
         val objNum = start + i
         if (decided.add(objNum)) typ match {
           case 1L => offsets(objNum) = f2
-          case 2L => objStreamObjs += objNum // lives in /Type /ObjStm f2
+          case 2L => // lives in /Type /ObjStm f2 at index f3
+            val f3 = readBE(data, pos + wArr(0) + wArr(1), wArr(2))
+            inObjStm(objNum) = (f2.toInt, f3.toInt)
           case _ => () // type 0: free
         }
         pos += rowLen
@@ -595,6 +595,75 @@ object PdfParse {
       }
     }
     Right(dict)
+  }
+
+  /** Extract the type-2 (compressed) objects out of their /Type /ObjStm
+    * containers (PDF spec §7.5.7): each container's stream opens with /N
+    * whitespace-separated (objnum, offset) integer pairs; object values
+    * sit at /First + offset as DIRECT values (streams inside object
+    * streams are forbidden by spec, so every extracted object is a plain
+    * value). Newest-wins masking already happened at xref level: an
+    * object appears in `inObjStm` only if no newer table decided it. */
+  private def loadObjStreams(
+      objects: mutable.HashMap[Int, PObjDef],
+      inObjStm: mutable.HashMap[Int, (Int, Int)]): Either[String, Unit] = {
+    inObjStm.groupBy(_._2._1).toSeq.sortBy(_._1).foreach { case (containerNum, members) =>
+      val container = objects.get(containerNum) match {
+        case Some(o) => o
+        case None => return Left(s"object stream $containerNum referenced by the xref is missing")
+      }
+      val dict = container.value match {
+        case d: PDict if d.get("Type").contains(PName("ObjStm")) => d
+        case _ => return Left(s"object $containerNum is not a /Type /ObjStm container")
+      }
+      val raw = container.stream match {
+        case Some(d) => d
+        case None => return Left(s"object stream $containerNum has no stream data")
+      }
+      val data = dict.get("Filter") match {
+        case None => raw
+        case Some(PName("FlateDecode")) | Some(PArr(Vector(PName("FlateDecode")))) =>
+          inflate(raw) match {
+            case Right(d) => d
+            case Left(e) => return Left(s"object stream $containerNum: $e")
+          }
+        case Some(f) =>
+          return Left(s"object stream $containerNum: unsupported filter ${serialize(f, identity)}")
+      }
+      val (n, first) = (dict.get("N"), dict.get("First")) match {
+        case (Some(a: PNum), Some(b: PNum)) => (a.toInt, b.toInt)
+        case _ => return Left(s"object stream $containerNum: missing /N or /First")
+      }
+      if (n < 0 || first < 0 || first > data.length)
+        return Left(s"object stream $containerNum: implausible /N $n or /First $first")
+      val text = new String(data, ISO_8859_1)
+      val hp = new P(text, data)
+      val pairs = Vector.newBuilder[(Int, Int)]
+      var i = 0
+      while (i < n) {
+        (hp.parseValue(), hp.parseValue()) match {
+          case (Right(a: PNum), Right(b: PNum)) => pairs += ((a.toInt, b.toInt))
+          case _ => return Left(s"object stream $containerNum: bad header pair $i")
+        }
+        i += 1
+      }
+      val header = pairs.result()
+      members.toSeq.sortBy(_._1).foreach { case (objNum, (_, idx)) =>
+        if (idx < 0 || idx >= header.length)
+          return Left(s"object stream $containerNum: index $idx out of range (/N $n)")
+        val (num, off) = header(idx)
+        if (num != objNum)
+          return Left(s"object stream $containerNum: entry $idx holds object $num, xref said $objNum")
+        if (first + off >= text.length)
+          return Left(s"object stream $containerNum: object $objNum offset beyond stream")
+        val vp = new P(text, data); vp.pos = first + off
+        vp.parseValue() match {
+          case Right(v) => objects(objNum) = PObjDef(objNum, v, None)
+          case Left(e) => return Left(s"object stream $containerNum: object $objNum: $e")
+        }
+      }
+    }
+    Right(())
   }
 
   // ---- serialization with object renumbering (for page import) ----

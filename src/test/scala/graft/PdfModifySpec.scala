@@ -192,6 +192,70 @@ class PdfModifySpec extends AnyFunSuite {
     }
   }
 
+  /** A fully-compressed PDF 1.5 source: catalog/pages/page dicts live
+    * inside a /Type /ObjStm container (object 6), indexed by type-2
+    * entries in a cross-reference stream. The content stream stays a
+    * regular type-1 object (streams inside object streams are forbidden
+    * by spec). */
+  private def objStmSource(word: String, flateContainer: Boolean): Array[Byte] = {
+    val content = s"BT /F9 12 Tf ($word) Tj ET"
+    val inner = Vector(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 400 300] >>",
+      "<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources << >> >>")
+    val innerOffs = inner.map(_.length + 1).scanLeft(0)(_ + _).take(3)
+    val header = inner.indices.map(i => s"${i + 1} ${innerOffs(i)}").mkString(" ") + "\n"
+    val stmPlain = (header + inner.mkString("\n") + "\n").getBytes(ISO_8859_1)
+    val stmBytes =
+      if (!flateContainer) stmPlain
+      else {
+        val d = new java.util.zip.Deflater()
+        d.setInput(stmPlain); d.finish()
+        val buf = new Array[Byte](4096)
+        val n = d.deflate(buf); d.end()
+        java.util.Arrays.copyOf(buf, n)
+      }
+    val filter = if (flateContainer) " /Filter /FlateDecode" else ""
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    w("%PDF-1.5\n")
+    val off4 = out.size()
+    w(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+    val off6 = out.size()
+    w(s"6 0 obj\n<< /Type /ObjStm /N 3 /First ${header.length}" +
+      s" /Length ${stmBytes.length}$filter >>\nstream\n")
+    out.write(stmBytes)
+    w("\nendstream\nendobj\n")
+    val xrefAt = out.size()
+    def t1(off: Long) = Array[Byte](1, ((off >> 8) & 0xFF).toByte, (off & 0xFF).toByte, 0)
+    def t2(container: Int, idx: Int) = Array[Byte](2, 0, container.toByte, idx.toByte)
+    val rows: Array[Byte] = Array.concat(
+      Array[Byte](0, 0, 0, -1), // obj 0: free
+      t2(6, 0), t2(6, 1), t2(6, 2), // objs 1-3 inside container 6
+      t1(off4), t1(xrefAt), t1(off6))
+    w(s"5 0 obj\n<< /Type /XRef /Size 7 /W [1 2 1] /Root 1 0 R" +
+      s" /Length ${rows.length} >>\nstream\n")
+    out.write(rows)
+    w(s"\nendstream\nendobj\nstartxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
+  test("fully-compressed PDFs (/Type /ObjStm, type-2 entries) parse and import") {
+    for (flate <- Seq(false, true)) {
+      val src = objStmSource("objstmword", flate)
+      val doc = PdfParse.parse(src).toOption.getOrElse(
+        fail(s"objstm parse failed (flate=$flate): ${PdfParse.parse(src).left.toOption.get}"))
+      val pages = doc.pages.toOption.getOrElse(
+        fail(s"objstm page walk failed (flate=$flate): ${doc.pages.left.toOption.get}"))
+      assert(pages.length == 1)
+      assert(pages.head.mediaBox.contains((0.0, 0.0, 400.0, 300.0)))
+      val out = PdfRender.modifyExistingPdf(src,
+        Hocr(pages = Vector(page(Seq("newocr"), 1)))).toOption.get
+      val s = raw(out.pdf)
+      assert(s.contains("(objstmword) Tj") && s.contains("(newocr) Tj"))
+    }
+  }
+
   test("error paths: empty input, missing page, object-stream PDFs") {
     val hocr = Hocr(pages = Vector(page(Seq("w"), 1)))
     assert(PdfRender.modifyExistingPdf(Array.emptyByteArray, hocr).isLeft)
@@ -202,8 +266,8 @@ class PdfModifySpec extends AnyFunSuite {
     // stream: clear Left, no throw
     val xs = "%PDF-1.5\n7 0 obj\n<< /Type /XRef >>\nstream\nx\nendstream\nendobj\nstartxref\n9\n%%EOF\n"
     assert(PdfParse.parse(xs.getBytes(ISO_8859_1)).isLeft)
-    // a fully-compressed PDF (catalog in an object stream, type-2 xref
-    // entry) is rejected with a clear error
+    // a type-2 entry whose /ObjStm container object is absent from the
+    // file: clear Left, no throw
     val objStm = {
       val out = new java.io.ByteArrayOutputStream()
       def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
@@ -216,7 +280,7 @@ class PdfModifySpec extends AnyFunSuite {
       w(s"\nendstream\nendobj\nstartxref\n$xrefAt\n%%EOF\n")
       out.toByteArray
     }
-    assert(PdfParse.parse(objStm).left.exists(_.contains("object streams")))
+    assert(PdfParse.parse(objStm).left.exists(_.contains("object stream 9")))
     // structurally corrupt inputs must come back as Left, never throw:
     // truncated xref entries, offsets past EOF, garbage offsets
     // startxref points AT the truncated table: entry parsing must hit the
