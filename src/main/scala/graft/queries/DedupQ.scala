@@ -536,7 +536,55 @@ object DedupQ {
     "SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t FROM documents",
     duckHexToInt, duckShr, (a, b) => s"xor($a, $b)")
 
+  /** Exact SUBSTRING-level dedup (the Lee-et-al "deduplicating training
+    * data" block shape): non-overlapping 32-token blocks are
+    * fingerprinted; a block instance is a duplicate iff an identical
+    * block occurs EARLIER in corpus order (smaller doc_id, or same doc
+    * at a smaller block index). Unlike whole-document dedup this
+    * catches repeated passages embedded in otherwise-unique documents
+    * (boilerplate paragraphs, quoted chunks) — this corpus has ~8% of
+    * blocks duplicated with zero exact-dup documents.
+    *
+    * Scale notes: one row per block (explode is 1/32 of the token
+    * stream); first-occurrence via row_number over fp — ONE shuffle of
+    * the slim (fp, doc, blk) relation; the groupBy-min+join-back
+    * alternative shuffles the same rows twice (q_corpus_filter
+    * reasoning). Per-doc rollup is a partial-agg groupBy. */
+  def qSubstrDedup(s: SparkSession, dir: String): DataFrame = {
+    val blocks = documents(s, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 32)
+      .select(col("doc_id"),
+        explode(expr("sequence(0, CAST(size(toks) DIV 32 AS INT) - 1)")).as("blk"),
+        col("toks"))
+      .select(col("doc_id"), col("blk"),
+        md5(concat_ws(" ", expr("slice(toks, blk * 32 + 1, 32)")).cast("binary")).as("fp"))
+    val ranked = blocks.withColumn("rn", row_number().over(
+      Window.partitionBy(col("fp")).orderBy(col("doc_id"), col("blk"))))
+    ranked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_blocks"))
+      .select(col("doc_id"), col("n_blocks"), col("n_dup_blocks"),
+        round(col("n_dup_blocks").cast("double") / col("n_blocks"), 4).as("dup_block_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qSubstrDedupSql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      |b AS (SELECT doc_id, i AS blk,
+      |        md5(array_to_string(toks[(i*32+1):(i*32+32)], ' ')) AS fp
+      |      FROM t, UNNEST(generate_series(0, length(toks)//32 - 1)) AS u(i)
+      |      WHERE length(toks) >= 32),
+      |r AS (SELECT doc_id, blk,
+      |        ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, blk) AS rn
+      |      FROM b)
+      |SELECT doc_id, COUNT(*) AS n_blocks,
+      |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_blocks,
+      |  ROUND(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS dup_block_frac
+      |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_substr_dedup" -> ((qSubstrDedup _, Some(qSubstrDedupSql))),
     "q_dedup_exact" -> ((qDedupExact _, Some(qDedupExactSql))),
     "q_minhash_lsh" -> ((qMinhashLsh _, Some(qMinhashLshSql))),
     "q_lsh_bucket_profile" -> ((qLshBucketProfile _, Some(qLshBucketProfileSql))),
