@@ -221,7 +221,57 @@ object TextAnalysisQ {
       |             / CAST(GREATEST(length(regexp_split_to_array(trim(text), '\s+')), 1) AS DOUBLE)), 4) AS flesch
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Skip-gram co-occurrence — the word2vec/GloVe-style corpus statistic:
+    * unordered word pairs within a +/-2 token window, with the pair and
+    * both unigram frequencies (all exact ints — association scores like
+    * PMI are a log away, which the consumer computes; the oracle-checked
+    * layer stays transcendental-free per the determinism rules). Top 200
+    * pairs, total order (count desc, then the pair strings).
+    *
+    * Scale notes: pairs generate ARRAY-SIDE (two shifted zips per doc,
+    * no positions self-join — a join on (doc, pos distance) would
+    * shuffle the token stream twice); (pair) and (word) counts are
+    * hash-aggregates with map-side combine, so the shuffles carry
+    * distinct pairs/words; the two unigram joins are vocabulary-sized
+    * (AQE broadcasts them); top-k is a TakeOrdered, not a global sort. */
+  def qCooccur(s: SparkSession, dir: String): DataFrame = {
+    val toksRel = documents(s, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+    val pairs = toksRel.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(toks) - 1), i ->
+          |  filter(transform(sequence(1, 2), d ->
+          |    CASE WHEN i + d <= size(toks) THEN
+          |      struct(least(element_at(toks, i), element_at(toks, i + d)) AS w1,
+          |             greatest(element_at(toks, i), element_at(toks, i + d)) AS w2)
+          |    END), p -> p IS NOT NULL)))""".stripMargin)).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("pair_count"))
+    val uni = toksRel.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    pairs
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "w1_count"), Seq("w1"))
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "w2_count"), Seq("w2"))
+      .select(col("w1"), col("w2"), col("pair_count"), col("w1_count"), col("w2_count"))
+      .orderBy(col("pair_count").desc, col("w1").asc, col("w2").asc)
+      .limit(200)
+  }
+
+  val qCooccurSql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      |p AS (SELECT LEAST(toks[CAST(i AS INT)], toks[CAST(i + d AS INT)]) AS w1,
+      |             GREATEST(toks[CAST(i AS INT)], toks[CAST(i + d AS INT)]) AS w2
+      |      FROM t, UNNEST(generate_series(1, length(toks) - 1)) AS u(i),
+      |           UNNEST([1, 2]) AS v(d)
+      |      WHERE length(toks) >= 2 AND i + d <= length(toks)),
+      |pc AS (SELECT w1, w2, COUNT(*) AS pair_count FROM p GROUP BY w1, w2),
+      |uni AS (SELECT w, COUNT(*) AS c FROM (SELECT UNNEST(toks) AS w FROM t) GROUP BY w)
+      |SELECT pc.w1, pc.w2, pair_count, u1.c AS w1_count, u2.c AS w2_count
+      |FROM pc JOIN uni u1 ON u1.w = pc.w1 JOIN uni u2 ON u2.w = pc.w2
+      |ORDER BY pair_count DESC, pc.w1 ASC, pc.w2 ASC LIMIT 200""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_cooccur" -> ((qCooccur _, Some(qCooccurSql))),
     "q_bigram_familiarity" -> ((qBigramFamiliarity _, Some(qBigramFamiliaritySql))),
     "q_token_count" -> ((qTokenCount _, Some(qTokenCountSql))),
     "q_quality_score" -> ((qQualityScore _, Some(qQualityScoreSql))),
