@@ -171,7 +171,51 @@ object GraphQ {
        |FROM tot JOIN top ON top.dst = tot.dst
        |ORDER BY target_id""".stripMargin
 
+  /** Per-node triangle counts over the undirected link graph — the
+    * clustering signal (spam farms and mirror rings show up as dense
+    * triangles; organic link neighborhoods are sparse). Node-id
+    * orientation (a < b < c): each triangle is enumerated exactly once
+    * as two joins over the canonical edge set, never a cube of the
+    * neighborhood.
+    *
+    * Scale notes: the classic trick at 10^12 edges is orienting edges
+    * from lower to higher DEGREE (bounds wedge fan-out by sqrt(m));
+    * node-id orientation is its deterministic stand-in here and the
+    * join shape is identical — two shuffle equi-joins on the slim
+    * (a, b) relation, then an explode+groupBy rollup with partial
+    * aggregation. No all-pairs step exists anywhere. */
+  def qTriangleCount(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val ec = linkEdges(docs)
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val wedges = ec.as("e1")
+      .join(ec.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("wa"), col("e1.b").as("wb"), col("e2.b").as("wc"))
+    val tri = wedges.join(ec.as("e3"), col("wa") === col("e3.a") && col("wc") === col("e3.b"))
+      .select(col("wa").as("a"), col("wb").as("b"), col("wc").as("c"))
+    val perNode = tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("cnt"))
+    docs.select(col("doc_id"))
+      .join(perNode.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cnt"), lit(0L)).as("n_triangles"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qTriangleCountSql: String =
+    s"""WITH $EdgesSql,
+       |ec AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e),
+       |tri AS (SELECT e1.a, e1.b, e2.b AS c
+       |        FROM ec e1 JOIN ec e2 ON e2.a = e1.b
+       |        JOIN ec e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |pn AS (SELECT node, COUNT(*) AS cnt
+       |       FROM (SELECT UNNEST([a, b, c]) AS node FROM tri) GROUP BY node)
+       |SELECT d.doc_id, CAST(COALESCE(pn.cnt, 0) AS BIGINT) AS n_triangles
+       |FROM documents d LEFT JOIN pn ON pn.node = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_pagerank" -> ((qPagerank _, Some(qPagerankSql))),
-    "q_anchor_agg" -> ((qAnchorAgg _, Some(qAnchorAggSql))))
+    "q_anchor_agg" -> ((qAnchorAgg _, Some(qAnchorAggSql))),
+    "q_triangle_count" -> ((qTriangleCount _, Some(qTriangleCountSql))))
 }

@@ -528,7 +528,39 @@ object Relational {
       |  CAST(FLOOR(SUM(CAST(value AS DECIMAL(18,4))) * 100) AS BIGINT) AS sum_cents
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Sliding (hopping) time-window aggregation via Spark's native
+    * `window()` generator: 1-hour windows every 30 minutes, so each
+    * event lands in exactly two windows. The oracle replicates the
+    * window fan-out as an explicit 2-way UNNEST against DuckDB's
+    * epoch-aligned time_bucket (both engines align 30-minute grids
+    * identically). Money sums in floored cents (the decimal rule).
+    *
+    * Scale note: window() is a Generate (2 rows per event) followed by
+    * a hash aggregate with map-side partial combine — the shuffle
+    * carries per-(window) partials, not the event stream. This is also
+    * byte-for-byte the aggregation Structured Streaming runs
+    * incrementally with a watermark (StreamingOps.windowCounts); here
+    * it is pinned against an independent engine as a batch query. */
+  def qHopWindow(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        floor(sum(dec(col("value"))) * 100).cast("long").as("sum_cents"))
+      .select(col("w.start").as("w_start"), col("n_events"), col("n_users"), col("sum_cents"))
+      .orderBy(col("w_start"))
+
+  val qHopWindowSql: String =
+    """WITH x AS (SELECT ts, user_id, value,
+      |    time_bucket(INTERVAL 30 MINUTE, ts) - (k * INTERVAL 30 MINUTE) AS w_start
+      |  FROM events, UNNEST([0, 1]) AS u(k))
+      |SELECT w_start, COUNT(*) AS n_events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(FLOOR(SUM(CAST(value AS DECIMAL(18,4))) * 100) AS BIGINT) AS sum_cents
+      |FROM x GROUP BY w_start ORDER BY w_start""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_hop_window" -> ((qHopWindow _, Some(qHopWindowSql))),
     "q_salted_agg" -> ((qSaltedAgg _, Some(qSaltedAggSql))),
     "q_funnel" -> ((qFunnel _, Some(qFunnelSql))),
     "q_range_join" -> ((qRangeJoin _, Some(qRangeJoinSql))),

@@ -68,6 +68,18 @@ object SampleQ {
       |FROM r WHERE rk <= 10""",
     "ORDER BY source, rk")
 
+  /** Curriculum deciles: NTILE(10) per source over length (descending;
+    * doc_id tie-break makes the order total, so bucket boundaries are
+    * engine-independent). The curriculum/difficulty-binning step —
+    * downstream schedulers feed deciles in order. ANSI NTILE (remainder
+    * buckets first) is identical in Spark and DuckDB, so one SQL string
+    * runs through both. Plan: one window shuffle on source. */
+  private val ntileSql: String =
+    """SELECT doc_id, source, n_chars,
+      | CAST(NTILE(10) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS decile
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   private def run(sql: String)(s: SparkSession, dir: String): DataFrame = {
     s.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
     s.sql(sql)
@@ -77,5 +89,6 @@ object SampleQ {
     "q_hash_sample" -> ((run(sampleSql) _, Some(sampleSql))),
     "q_corpus_split" -> ((run(splitSql) _, Some(splitSql))),
     "q_stratified_sample" -> ((run(stratifiedSql) _, Some(stratifiedSql))),
-    "q_source_mix" -> ((run(mixSql) _, Some(mixSql))))
+    "q_source_mix" -> ((run(mixSql) _, Some(mixSql))),
+    "q_ntile_curriculum" -> ((run(ntileSql) _, Some(ntileSql))))
 }
