@@ -326,7 +326,61 @@ object CorpusQ {
       |SELECT agg.source, ex.n_exact, $EstimateExpr AS n_est
       |FROM agg JOIN ex ON ex.source = agg.source ORDER BY agg.source""".stripMargin
 
+  /** Cross-source contamination matrix: for every source pair, the
+    * number of distinct word 3-grams they share plus the Jaccard of
+    * their 3-gram vocabularies — the corpus-level overlap audit run
+    * before mixing sources into one training set (a hot pair means one
+    * source republishes another's content).
+    *
+    * Scale notes: the unit relation is DISTINCT (source, fp) — i.e.
+    * vocabulary-sized per source, NOT the token stream; it is computed
+    * once and cached for its three consumers (sizes + both self-join
+    * sides; Spark inlines shared lineage otherwise). The self-join
+    * fans out per fp by the number of sources containing it (<= #
+    * sources, a constant) — never doc-pairs. Output is #sources^2/2
+    * rows: nothing at any corpus size. */
+  def qSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val g = documents(s, dir)
+      .select(col("source"), split(trim(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("source"),
+        explode(sequence(lit(1), size(col("toks")) - 2)).as("i"), col("toks"))
+      .select(col("source"),
+        md5(concat_ws(" ", slice(col("toks"), col("i"), lit(3))).cast("binary")).as("fp"))
+      .distinct()
+      .cache()
+    val sizes = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = g.as("a")
+      .join(g.as("b"), col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(sizes.select(col("source").as("source_a"), col("n").as("n_a")), Seq("source_a"))
+      .join(sizes.select(col("source").as("source_b"), col("n").as("n_b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"), col("n_a"), col("n_b"),
+        round(col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val qSourceOverlapSql: String =
+    """WITH t AS (SELECT source, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      |g AS (SELECT DISTINCT source,
+      |        md5(array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ')) AS fp
+      |      FROM t, UNNEST(generate_series(1, length(toks) - 2)) AS u(i)
+      |      WHERE length(toks) >= 3),
+      |sizes AS (SELECT source, COUNT(*) AS n FROM g GROUP BY source),
+      |p AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+      |      FROM g a JOIN g b ON a.fp = b.fp AND a.source < b.source
+      |      GROUP BY a.source, b.source)
+      |SELECT source_a, source_b, n_shared,
+      |  sa.n AS n_a, sb.n AS n_b,
+      |  ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 6) AS jaccard
+      |FROM p JOIN sizes sa ON sa.source = p.source_a
+      |       JOIN sizes sb ON sb.source = p.source_b
+      |ORDER BY source_a, source_b""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_source_overlap" -> ((qSourceOverlap _, Some(qSourceOverlapSql))),
     "q_approx_distinct" -> ((qApproxDistinct _, Some(qApproxDistinctSql))),
     "q_length_percentiles" -> ((qLengthPercentiles _, Some(qLengthPercentilesSql))),
     "q_pii_redact" -> ((qPiiRedact _, Some(qPiiRedactSql))),
