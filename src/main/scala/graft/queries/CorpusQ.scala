@@ -379,7 +379,91 @@ object CorpusQ {
       |       JOIN sizes sb ON sb.source = p.source_b
       |ORDER BY source_a, source_b""".stripMargin
 
+  /** Robust outlier gate: per-source median + MAD (median absolute
+    * deviation) of token counts via the exact rank arithmetic of
+    * qLengthPercentiles (lower median at rank ceil(n/2)), then the
+    * standard |x - med| > 3*MAD flag — the lengths-based anomaly filter
+    * that, unlike mean/stddev, one mega-doc cannot drag. All integer
+    * ranks and values; the only doubles are int/int ratios.
+    *
+    * Scale: two window passes over the slim (source, n_tok) projection
+    * (values, then deviations) + one broadcastable per-source medians
+    * join — same shape as the percentile profile, run twice. */
+  def qMadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val t = documents(s, dir).select(col("doc_id"), col("source"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+    def medianOf(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
+      val w = Window.partitionBy(col("source")).orderBy(col(valueCol))
+      val n = Window.partitionBy(col("source"))
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(n))
+        .groupBy(col("source"))
+        .agg(max(when(col("rn") === ceil(col("n") * 0.5).cast("long"), col(valueCol))).as(outCol))
+    }
+    val med = medianOf(t, "n_tok", "med")
+    val dev = t.join(med, Seq("source")).withColumn("adev", abs(col("n_tok") - col("med")))
+    val mad = medianOf(dev, "adev", "mad")
+    dev.join(mad, Seq("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), max(col("med")).as("med"), max(col("mad")).as("mad"),
+        sum(when(col("adev") > lit(3) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy(col("source"))
+  }
+
+  val qMadOutliersSql: String =
+    """WITH t AS (SELECT doc_id, source,
+      |    CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok FROM documents),
+      |r1 AS (SELECT source, n_tok,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tok) AS rn,
+      |    COUNT(*) OVER (PARTITION BY source) AS n FROM t),
+      |med AS (SELECT source, MAX(CASE WHEN rn = CAST(CEIL(n * 0.5) AS BIGINT) THEN n_tok END) AS med
+      |        FROM r1 GROUP BY source),
+      |dev AS (SELECT t.source, t.n_tok, ABS(t.n_tok - med.med) AS adev, med.med
+      |        FROM t JOIN med ON med.source = t.source),
+      |r2 AS (SELECT source, adev,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY adev) AS rn,
+      |    COUNT(*) OVER (PARTITION BY source) AS n FROM dev),
+      |mad AS (SELECT source, MAX(CASE WHEN rn = CAST(CEIL(n * 0.5) AS BIGINT) THEN adev END) AS mad
+      |        FROM r2 GROUP BY source)
+      |SELECT dev.source, COUNT(*) AS n_docs, MAX(dev.med) AS med, MAX(mad.mad) AS mad,
+      |  CAST(SUM(CASE WHEN dev.adev > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM dev JOIN mad ON mad.source = dev.source
+      |GROUP BY dev.source ORDER BY dev.source""".stripMargin
+
+  /** Exact-integer distribution profile: per-source mean/variance of
+    * token counts carried as EXACT BIGINT sums (n, sum, sum of squares);
+    * the only floating-point steps are final int/int divisions, so both
+    * engines produce bit-identical doubles. The one-pass partial-agg
+    * alternative to rank-based percentiles when a streaming profile is
+    * enough. */
+  def qSourceVariance(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("source"), size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tok"),
+        sum(col("n_tok") * col("n_tok")).as("sumsq_tok"))
+      .select(col("source"), col("n_docs"), col("sum_tok"), col("sumsq_tok"),
+        round(col("sum_tok").cast("double") / col("n_docs"), 6).as("mean_tok"),
+        round((col("n_docs") * col("sumsq_tok") - col("sum_tok") * col("sum_tok")).cast("double")
+          / (col("n_docs") * col("n_docs")), 6).as("var_tok"))
+      .orderBy(col("source"))
+
+  val qSourceVarianceSql: String =
+    """WITH t AS (SELECT source,
+      |    CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok FROM documents),
+      |a AS (SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+      |    CAST(SUM(n_tok * n_tok) AS BIGINT) AS sumsq_tok
+      |  FROM t GROUP BY source)
+      |SELECT source, n_docs, sum_tok, sumsq_tok,
+      |  ROUND(CAST(sum_tok AS DOUBLE) / n_docs, 6) AS mean_tok,
+      |  ROUND(CAST(n_docs * sumsq_tok - sum_tok * sum_tok AS DOUBLE) / (n_docs * n_docs), 6) AS var_tok
+      |FROM a ORDER BY source""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_mad_outliers" -> ((qMadOutliers _, Some(qMadOutliersSql))),
+    "q_source_variance" -> ((qSourceVariance _, Some(qSourceVarianceSql))),
     "q_source_overlap" -> ((qSourceOverlap _, Some(qSourceOverlapSql))),
     "q_approx_distinct" -> ((qApproxDistinct _, Some(qApproxDistinctSql))),
     "q_length_percentiles" -> ((qLengthPercentiles _, Some(qLengthPercentilesSql))),

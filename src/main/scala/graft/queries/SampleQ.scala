@@ -80,6 +80,25 @@ object SampleQ {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic WEIGHTED sample: top-10 per source by the priority
+    * bucket*65536/weight (weight = n_chars, so longer docs are
+    * proportionally likelier) — the hash-based stand-in for weighted
+    * reservoir sampling, rand()-free like everything in this module.
+    * The division runs in IEEE double in BOTH engines (identical
+    * operands -> identical correctly-rounded quotient -> identical
+    * FLOOR), then ranks break ties on doc_id for a total order. */
+  private val weightedSql: String =
+    s"""WITH h AS (SELECT doc_id, source, n_chars, md5(CAST(doc_id AS STRING)) AS h FROM documents),
+       |b AS (SELECT doc_id, source, n_chars, CAST($bucketExpr AS BIGINT) AS bucket FROM h),
+       |p AS (SELECT doc_id, source, n_chars, bucket,
+       |   CAST(FLOOR((bucket * 65536.0) / (CASE WHEN n_chars < 1 THEN 1 ELSE n_chars END)) AS BIGINT) AS priority
+       | FROM b),
+       |r AS (SELECT doc_id, source, n_chars, priority,
+       |   ROW_NUMBER() OVER (PARTITION BY source ORDER BY priority, doc_id) AS rk FROM p)
+       |SELECT doc_id, source, n_chars, priority, CAST(rk AS BIGINT) AS rk
+       |FROM r WHERE rk <= 10
+       |ORDER BY source, rk""".stripMargin
+
   private def run(sql: String)(s: SparkSession, dir: String): DataFrame = {
     s.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
     s.sql(sql)
@@ -90,5 +109,6 @@ object SampleQ {
     "q_corpus_split" -> ((run(splitSql) _, Some(splitSql))),
     "q_stratified_sample" -> ((run(stratifiedSql) _, Some(stratifiedSql))),
     "q_source_mix" -> ((run(mixSql) _, Some(mixSql))),
-    "q_ntile_curriculum" -> ((run(ntileSql) _, Some(ntileSql))))
+    "q_ntile_curriculum" -> ((run(ntileSql) _, Some(ntileSql))),
+    "q_weighted_sample" -> ((run(weightedSql) _, Some(weightedSql))))
 }
