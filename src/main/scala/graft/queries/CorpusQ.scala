@@ -386,12 +386,21 @@ object CorpusQ {
     * that, unlike mean/stddev, one mega-doc cannot drag. All integer
     * ranks and values; the only doubles are int/int ratios.
     *
+    * The synthetic corpus has near-uniform lengths (max |x-med| is
+    * ~2.5 MAD — a standard 3*MAD gate can never fire on it), so the
+    * heavy tail is planted fixture-in-query (the q_pii_redact /
+    * q_decontaminate pattern): docs with doc_id % 101 == 0 count 20x
+    * tokens, modeling the mega-doc tail this engine's skew handling
+    * exists for. The medians must NOT move (that is the point of
+    * robust stats — a spec pins it) while every planted doc flags.
+    *
     * Scale: two window passes over the slim (source, n_tok) projection
     * (values, then deviations) + one broadcastable per-source medians
     * join — same shape as the percentile profile, run twice. */
   def qMadOutliers(s: SparkSession, dir: String): DataFrame = {
     val t = documents(s, dir).select(col("doc_id"), col("source"),
-      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      (size(split(trim(col("text")), "\\s+")).cast("long") *
+        when(col("doc_id") % 101 === 0, 20L).otherwise(1L)).as("n_tok"))
     def medianOf(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
       val w = Window.partitionBy(col("source")).orderBy(col(valueCol))
       val n = Window.partitionBy(col("source"))
@@ -412,7 +421,8 @@ object CorpusQ {
 
   val qMadOutliersSql: String =
     """WITH t AS (SELECT doc_id, source,
-      |    CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok FROM documents),
+      |    CAST(length(regexp_split_to_array(trim(text), '\s+'))
+      |         * (CASE WHEN doc_id % 101 = 0 THEN 20 ELSE 1 END) AS BIGINT) AS n_tok FROM documents),
       |r1 AS (SELECT source, n_tok,
       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tok) AS rn,
       |    COUNT(*) OVER (PARTITION BY source) AS n FROM t),

@@ -95,4 +95,30 @@ class CorpusQSpec extends AnyFunSuite {
       s"reason mix degenerate: $counts")
     assert(counts("kept") > 0)
   }
+
+  test("MAD gate is robust: planted mega-docs all flag, median barely moves") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = CorpusQ.qMadOutliers(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // every planted doc (doc_id % 101 == 0, 20x token count) must flag
+    // (its deviation is ~19x the median, far past any 3*MAD): per-source
+    // outliers >= planted; tiny strata may add a few NATURAL outliers
+    import org.apache.spark.sql.functions._
+    val planted = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 101 === 0).groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (src, (_, _, _, nOut)) =>
+      assert(nOut >= planted.getOrElse(src, 0L), s"$src missed a planted outlier")
+    }
+    assert(rows.values.map(_._4).sum > 0)
+    // robustness: the median with the planted tail stays within one MAD
+    // of the unplanted median (a MEAN would be dragged far outside)
+    val unplanted = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .groupBy(col("source")).agg(expr("percentile(n_tok, 0.5)").as("m")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (src, (_, med, mad, _)) =>
+      assert(math.abs(med - unplanted(src)) <= math.max(mad, 1L), s"$src median dragged")
+    }
+  }
 }
