@@ -178,7 +178,29 @@ object StreamingOps {
 
   /** Drive a streaming query over the static events parquet (memory sink,
     * synchronous) and return the sink table. */
-  def runWindowedOverDir(spark: SparkSession, sfDir: String, queryName: String): DataFrame = {
+  def runWindowedOverDir(spark: SparkSession, sfDir: String, queryName: String): DataFrame =
+    runStreamOverDir(spark, sfDir, queryName, windowedCounts)
+
+  /** Event-time SLIDING window aggregate (1-hour window hopping every 30
+    * minutes) with a watermark — the streaming form of the batch
+    * q_hop_window: identical window generator and floored-cents decimal
+    * arithmetic, so the two cannot drift (the spec pins column-level
+    * equality). Exact distinct-user counts are a batch-only column:
+    * streaming aggregation cannot compute exact DISTINCT incrementally. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        floor(sum(col("value").cast("decimal(18,4)")) * 100).cast("long").as("sum_cents"))
+      .select(col("w.start").as("w_start"), col("n_events"), col("sum_cents"))
+
+  def runSlidingOverDir(spark: SparkSession, sfDir: String, queryName: String): DataFrame =
+    runStreamOverDir(spark, sfDir, queryName, slidingCounts)
+
+  private def runStreamOverDir(spark: SparkSession, sfDir: String, queryName: String,
+      op: DataFrame => DataFrame): DataFrame = {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // file-stream sources require a DIRECTORY; stage the (read-only)
     // events file into a temp dir via symlink
@@ -189,7 +211,7 @@ object StreamingOps {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir.toString)
-    val q = windowedCounts(stream).writeStream
+    val q = op(stream).writeStream
       .outputMode(OutputMode.Complete)
       .format("memory").queryName(queryName)
       .start()

@@ -28,6 +28,21 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming SLIDING window == batch q_hop_window on shared columns") {
+    val sfDir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.col
+    // streaming casts ts to TIMESTAMP (LTZ) for the watermark; batch
+    // stays NTZ — same instants under the UTC session, so compare epochs
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("w_start").cast("timestamp").cast("long"),
+        col("n_events"), col("sum_cents"))
+      .collect().map(_.toString).sorted.toSeq
+    val streamed = canon(StreamingOps.runSlidingOverDir(spark, sfDir, "smoke_sliding"))
+    val batch = canon(graft.queries.Relational.qHopWindow(spark, sfDir))
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) matches batch gap logic") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
