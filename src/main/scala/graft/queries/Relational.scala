@@ -559,7 +559,60 @@ object Relational {
       |  CAST(FLOOR(SUM(CAST(value AS DECIMAL(18,4))) * 100) AS BIGINT) AS sum_cents
       |FROM x GROUP BY w_start ORDER BY w_start""".stripMargin
 
+  /** Z-order (Morton) clustering layout — the multi-dimensional sort
+    * Iceberg/Delta call Z-ORDER: interleave the bits of two normalized
+    * dimensions so range scans on EITHER dimension touch few tiles.
+    * Both coordinates normalize to 16 bits (x*65535 div max), the
+    * 32-bit interleave is an explicit 32-term shift-sum (generated
+    * once, mirrored per dialect), and the top 4 interleaved bits ARE
+    * the 16 quadtree tiles — bucketing needs no global window at all.
+    * Output: per tile, the doc_id/n_chars bounding box — each tile
+    * covers a contiguous rectangle, which is the clustering property a
+    * file-per-tile layout exploits for min/max pruning.
+    *
+    * Scale: normalization max is one broadcast scalar; the morton code
+    * is pure codegen'd scan-stage arithmetic; the rollup is a 16-group
+    * partial agg. Nothing here is 100-TB-hostile — that is the point:
+    * Z-ordering is a LAYOUT decision, not an expensive job. */
+  def qZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val morton = (0 until 16).map(b =>
+      s"shiftleft(shiftright(xs, $b) & 1, ${2 * b}) + shiftleft(shiftright(ys, $b) & 1, ${2 * b + 1})")
+      .mkString(" + ")
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val mx = docs.agg(max(col("doc_id")).as("mx"), max(col("n_chars")).as("my"))
+    docs.crossJoin(broadcast(mx))
+      .selectExpr("doc_id", "n_chars",
+        "CAST(doc_id * 65535 div greatest(mx, 1) AS BIGINT) AS xs",
+        "CAST(n_chars * 65535 div greatest(my, 1) AS BIGINT) AS ys")
+      .selectExpr("doc_id", "n_chars", s"CAST($morton AS BIGINT) AS z")
+      .selectExpr("*", "shiftright(z, 28) AS tile")
+      .groupBy(col("tile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"),
+        min(col("z")).as("min_z"), max(col("z")).as("max_z"))
+      .orderBy(col("tile"))
+  }
+
+  val qZorderLayoutSql: String = {
+    val morton = (0 until 16).map(b =>
+      s"(((xs >> $b) & 1) << ${2 * b}) + (((ys >> $b) & 1) << ${2 * b + 1})")
+      .mkString(" + ")
+    s"""WITH m AS (SELECT MAX(doc_id) AS mx, MAX(n_chars) AS my FROM documents),
+       |n AS (SELECT doc_id, n_chars,
+       |        CAST(doc_id * 65535 // GREATEST(mx, 1) AS BIGINT) AS xs,
+       |        CAST(n_chars * 65535 // GREATEST(my, 1) AS BIGINT) AS ys
+       |      FROM documents CROSS JOIN m),
+       |zc AS (SELECT doc_id, n_chars, CAST($morton AS BIGINT) AS z FROM n)
+       |SELECT z >> 28 AS tile, COUNT(*) AS n_docs,
+       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+       |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+       |  MIN(z) AS min_z, MAX(z) AS max_z
+       |FROM zc GROUP BY z >> 28 ORDER BY tile""".stripMargin
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_zorder_layout" -> ((qZorderLayout _, Some(qZorderLayoutSql))),
     "q_hop_window" -> ((qHopWindow _, Some(qHopWindowSql))),
     "q_salted_agg" -> ((qSaltedAgg _, Some(qSaltedAggSql))),
     "q_funnel" -> ((qFunnel _, Some(qFunnelSql))),
