@@ -214,8 +214,64 @@ object GraphQ {
        |FROM documents d LEFT JOIN pn ON pn.node = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  val BfsHops = 4
+  private val Inf = 999L
+
+  /** Bounded BFS: hop distance from the seed set (doc_id % 128 == 0)
+    * over the UNDIRECTED link graph, 4 relaxation rounds — crawl-depth
+    * / freshness-propagation labeling (how far a page sits from the
+    * trusted frontier). The iterative MIN-aggregation complement to
+    * PageRank's SUM: each round joins the slim (node, dist) relation to
+    * the cached undirected edge list and relaxes dist via min(dist,
+    * min_neighbor + 1). Unreached after 4 hops reports -1.
+    *
+    * Scale: same per-round shape as qPagerank (edges cached once,
+    * pre-partitioned; per-round shuffle = the two-column distance
+    * relation with map-side partial MIN). Bounded hops keep the DAG
+    * static; an until-fixpoint variant would reuse the q_dedup_cluster
+    * checkpoint/convergence machinery. */
+  def qBfsDist(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val e = linkEdges(docs)
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src")).cache()
+    var dist = docs.select(col("doc_id"),
+      when(col("doc_id") % 128 === 0, 0L).otherwise(lit(Inf)).as("dist"))
+    for (_ <- 1 to BfsHops) {
+      val relaxed = und.join(dist.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .groupBy(col("dst")).agg(min(col("dist") + 1).as("mv"))
+      dist = dist.join(relaxed.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), least(col("dist"), coalesce(col("mv"), lit(Inf))).as("dist"))
+    }
+    dist.select(col("doc_id"),
+        when(col("dist") >= Inf, -1L).otherwise(col("dist")).as("dist"),
+        (col("doc_id") % 128 === 0).as("is_seed"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qBfsDistSql: String = {
+    val rounds = (1 to BfsHops).map { i =>
+      s"""m$i AS (SELECT und.dst AS doc_id, MIN(d${i - 1}.dist + 1) AS mv
+         |        FROM und JOIN d${i - 1} ON d${i - 1}.doc_id = und.src GROUP BY und.dst),
+         |d$i AS (SELECT d${i - 1}.doc_id,
+         |          LEAST(d${i - 1}.dist, COALESCE(m$i.mv, $Inf)) AS dist
+         |        FROM d${i - 1} LEFT JOIN m$i ON m$i.doc_id = d${i - 1}.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $EdgesSql,
+       |und AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+       |d0 AS (SELECT doc_id,
+       |         CAST(CASE WHEN doc_id % 128 = 0 THEN 0 ELSE $Inf END AS BIGINT) AS dist
+       |       FROM documents),
+       |$rounds
+       |SELECT doc_id,
+       |  CAST(CASE WHEN dist >= $Inf THEN -1 ELSE dist END AS BIGINT) AS dist,
+       |  doc_id % 128 = 0 AS is_seed
+       |FROM d$BfsHops ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_pagerank" -> ((qPagerank _, Some(qPagerankSql))),
     "q_anchor_agg" -> ((qAnchorAgg _, Some(qAnchorAggSql))),
-    "q_triangle_count" -> ((qTriangleCount _, Some(qTriangleCountSql))))
+    "q_triangle_count" -> ((qTriangleCount _, Some(qTriangleCountSql))),
+    "q_bfs_dist" -> ((qBfsDist _, Some(qBfsDistSql))))
 }
