@@ -611,7 +611,42 @@ object Relational {
        |FROM zc GROUP BY z >> 28 ORDER BY tile""".stripMargin
   }
 
+  /** CDC/SCD "latest record wins" compaction: treat the event stream as
+    * a change log per user and keep each key's newest row (ts desc,
+    * event_id desc — a total order, since replayed logs carry
+    * same-timestamp writes). The snapshot-maintenance primitive every
+    * incremental table format (Iceberg/Delta MERGE) runs under the
+    * hood.
+    *
+    * Scale: one window over the slim projected change log — the
+    * standard compaction shape; max_by would save the rank column but
+    * Spark's max_by is not deterministic under ties, so the explicit
+    * row_number with a total order is the engine-portable form. */
+  def qCdcLatest(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        floor(dec(col("value")) * 100).cast("long").as("value_cents"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)))
+      .withColumn("n_changes", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"), col("value_cents").as("last_value_cents"),
+        col("n_changes"))
+      .orderBy(col("user_id"))
+
+  val qCdcLatestSql: String =
+    """WITH r AS (SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(CAST(value AS DECIMAL(18,4)) * 100) AS BIGINT) AS value_cents,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+      |  FROM events)
+      |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+      |  value_cents AS last_value_cents, CAST(n_changes AS BIGINT) AS n_changes
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_cdc_latest" -> ((qCdcLatest _, Some(qCdcLatestSql))),
     "q_zorder_layout" -> ((qZorderLayout _, Some(qZorderLayoutSql))),
     "q_hop_window" -> ((qHopWindow _, Some(qHopWindowSql))),
     "q_salted_agg" -> ((qSaltedAgg _, Some(qSaltedAggSql))),
