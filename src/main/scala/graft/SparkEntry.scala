@@ -29,7 +29,8 @@ object SparkEntry {
     graft.queries.SimilarityQ.all ++
     graft.queries.PositionedQ.all ++
     graft.queries.PdfQ.all ++
-    graft.queries.GraphQ.all
+    graft.queries.GraphQ.all ++
+    graft.queries.MiningQ.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     battery.map { case (k, (fn, _)) => k -> fn } ++ Map(

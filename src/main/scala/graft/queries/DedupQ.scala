@@ -345,6 +345,45 @@ object DedupQ {
       |WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) >= 0.35
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** ASYMMETRIC shingle containment |A ∩ B| / |A| over the same bounded
+    * subset as [[qNgramJaccard]] — the near-dup measure Jaccard misses:
+    * a short doc fully quoted inside a long one has low Jaccard (the
+    * union is dominated by the container) but containment ≈ 1 from the
+    * quoted side. Directional: (doc_a ⊂ doc_b) and (doc_b ⊂ doc_a) are
+    * separate rows. Ratio is int/int -> identical double on both
+    * engines; at scale this is the same candidate-bounded verify kernel
+    * as Jaccard (a shingle equi-join + two hash aggregates), applied to
+    * LSH-discovered pairs rather than a doc_id cap. */
+  def qShingleContain(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir, Some(40L)).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") =!= col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("sa.n").as("n_a"),
+        round(col("n_inter").cast("double") / col("sa.n"), 4).as("containment"))
+      .filter(col("containment") >= 0.65)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qShingleContainSql: String =
+    """WITH n AS (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+      |           FROM documents WHERE doc_id < 40),
+      |sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 4) AS s
+      |       FROM n, UNNEST(generate_series(1, length(t) - 3)) AS u(i)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_inter
+      |          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id != y.doc_id
+      |          GROUP BY x.doc_id, y.doc_id)
+      |SELECT doc_a, doc_b, n_inter, sa.n AS n_a,
+      |       ROUND(CAST(n_inter AS DOUBLE) / sa.n, 4) AS containment
+      |FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+      |WHERE ROUND(CAST(n_inter AS DOUBLE) / sa.n, 4) >= 0.65
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** The production two-stage near-dup: MinHash+LSH DISCOVERS candidate
     * pairs (never all-pairs), exact word-3gram Jaccard VERIFIES each —
     * the composition the bounded qNgramJaccard kernel exists for. Cost
@@ -592,5 +631,6 @@ object DedupQ {
     "q_neardup_verified" -> ((qNeardupVerified _, Some(qNeardupVerifiedSql))),
     "q_simhash_neardup" -> ((qSimhashNeardup _, Some(qSimhashNeardupSql))),
     "q_ngram_jaccard" -> ((qNgramJaccard _, Some(qNgramJaccardSql))),
+    "q_shingle_contain" -> ((qShingleContain _, Some(qShingleContainSql))),
     "q_simhash" -> ((qSimhash _, Some(qSimhashSql))))
 }

@@ -397,6 +397,87 @@ object SimilarityQ {
       |       CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
       |FROM labels ORDER BY vec_id""".stripMargin
 
+  /** Product-quantization sub-space count (64 dims -> 8 blocks of 8). */
+  val PqSubspaces = 8
+  private val PqSubDim = 8
+
+  /** Product quantization + asymmetric-distance (ADC) probe — the
+    * memory-compression half of the ANN family (qAnnCosine = exact
+    * baseline, qAnnLshBuckets/qIvfAssign = candidate pruning; PQ is how
+    * a 10^12-vector index fits in RAM): each vector's 64 dims split
+    * into 8 sub-spaces of 8; per sub-space the vector is replaced by the
+    * id of its nearest of 16 codebook centroids (deterministic seeding:
+    * the sub-vectors of vec_id < 16, same rule as the IVF seeds;
+    * production trains them with qKmeansRefine's Lloyd step) — 8 small
+    * codes per vector instead of 64 floats, a 32x compression. A query
+    * is NOT quantized (the "asymmetric" in ADC): it precomputes its
+    * exact distance to all 16 centroids per sub-space (a 128-entry
+    * table), and each candidate's distance estimate is 8 table lookups
+    * summed — no float math per candidate at probe time.
+    *
+    * Exactness: elements int-quantized via the proven ROUND(x*1000)
+    * rule; every distance is an exact BIGINT sum of squares, so both
+    * engines produce identical ints (no sqrt — ranking by squared L2 is
+    * rank-equivalent). Plan shape: the codebook (128 rows) and the
+    * query ADC tables (640 rows) are BROADCAST; assignment is one
+    * narrow join + partial agg over the exploded sub-vectors; the probe
+    * is an equi-join of candidate CODES (8 rows/vec) against the tiny
+    * table — the full corpus's raw floats never appear in the probe. */
+  def qPqAnn(s: SparkSession, dir: String): DataFrame = {
+    val ql = embeddings(s, dir)
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), expr(s"CAST(d div $PqSubDim AS INT)").as("m"), col("d"),
+        round(col("x").cast("double") * 1000).cast("long").as("qx"))
+    val cents = ql.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("m"), col("d"), col("qx").as("cx"))
+    // per (vector, sub-space, centroid): exact squared L2 distance
+    val sub = ql.join(broadcast(cents), Seq("m", "d"))
+      .groupBy(col("vec_id"), col("m"), col("cid"))
+      .agg(sum((col("qx") - col("cx")) * (col("qx") - col("cx"))).as("sq"))
+      .cache() // consumed twice: candidate codes + query ADC tables
+    val wA = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("sq").asc, col("cid").asc)
+    val codes = sub.withColumn("rn", row_number().over(wA))
+      .filter(col("rn") === 1 && col("vec_id") >= 5)
+      .select(col("vec_id"), col("m"), col("cid").as("code"))
+    val qtab = sub.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("m").as("qm"), col("cid"), col("sq").as("qsq"))
+    val adc = codes.join(broadcast(qtab),
+        col("m") === col("qm") && col("code") === col("cid"))
+      .groupBy(col("qid"), col("vec_id").as("cand_id"))
+      .agg(sum(col("qsq")).as("adc_dist"))
+    val wR = Window.partitionBy(col("qid")).orderBy(col("adc_dist").asc, col("cand_id").asc)
+    adc.withColumn("rank", row_number().over(wR))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("rank"), col("cand_id"), col("adc_dist"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val qPqAnnSql: String =
+    s"""WITH u AS (SELECT vec_id, UNNEST(embedding) AS x,
+       |            UNNEST(generate_series(0, len(embedding) - 1)) AS d FROM embeddings),
+       |ql AS (SELECT vec_id, CAST(d // $PqSubDim AS INT) AS m, d,
+       |         CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS qx FROM u),
+       |cents AS (SELECT vec_id AS cid, m, d, qx AS cx FROM ql WHERE vec_id < 16),
+       |sub AS (SELECT ql.vec_id, ql.m, c.cid,
+       |          CAST(SUM((ql.qx - c.cx) * (ql.qx - c.cx)) AS BIGINT) AS sq
+       |        FROM ql JOIN cents c ON c.m = ql.m AND c.d = ql.d
+       |        GROUP BY ql.vec_id, ql.m, c.cid),
+       |codes AS (SELECT vec_id, m, cid AS code FROM (
+       |            SELECT vec_id, m, cid,
+       |                   ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY sq ASC, cid ASC) AS rn
+       |            FROM sub) t WHERE rn = 1 AND vec_id >= 5),
+       |qtab AS (SELECT vec_id AS qid, m, cid, sq AS qsq FROM sub WHERE vec_id < 5),
+       |adc AS (SELECT q.qid, c.vec_id AS cand_id, CAST(SUM(q.qsq) AS BIGINT) AS adc_dist
+       |        FROM codes c JOIN qtab q ON q.m = c.m AND q.cid = c.code
+       |        GROUP BY q.qid, c.vec_id),
+       |ranked AS (SELECT qid, cand_id, adc_dist,
+       |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dist ASC, cand_id ASC) AS rank
+       |           FROM adc)
+       |SELECT qid, rank, cand_id, adc_dist FROM ranked WHERE rank <= 10
+       |ORDER BY qid, rank""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_ivf_assign" -> ((qIvfAssign _, Some(qIvfAssignSql))),
     "q_ivf_probe" -> ((qIvfProbe _, Some(qIvfProbeSql))),
@@ -404,5 +485,6 @@ object SimilarityQ {
     "q_ann_lsh_buckets" -> ((qAnnLshBuckets _, Some(qAnnLshBucketsSql))),
     "q_embed_neardup" -> ((qEmbedNeardup _, Some(qEmbedNeardupSql))),
     "q_embed_cluster" -> ((qEmbedCluster _, Some(qEmbedClusterSql))),
-    "q_kmeans_refine" -> ((qKmeansRefine _, Some(qKmeansRefineSql))))
+    "q_kmeans_refine" -> ((qKmeansRefine _, Some(qKmeansRefineSql))),
+    "q_pq_ann" -> ((qPqAnn _, Some(qPqAnnSql))))
 }
