@@ -90,13 +90,21 @@ object SparkEntry {
       // run (sizes/frames/decoded are pure id+splitmix arithmetic)
       "q_media_profile" -> ((s: SparkSession, dir: String) =>
         graft.multimodal.Multimodal.qMediaProfile(s, dir)),
-      // perceptual-hash image near-dup (real BMP decode -> aHash ->
-      // pigeonhole-blocked join; rows-only, same decision as media_features)
+      // perceptual-hash image near-dup, ORACLE-checked recall report:
+      // the planted pair set is pure id arithmetic, so DuckDB predicts
+      // every row (recovered=TRUE, zero spurious); hamming values stay
+      // in the rows-only q_image_pairs
       "q_image_neardup" -> ((s: SparkSession, dir: String) =>
         graft.multimodal.Multimodal.qImageNeardup(s, dir)),
-      // energy-delta audio fingerprint near-dup (scale-invariant; rows-only)
+      // energy-delta audio fingerprint near-dup, same recall-report form
       "q_audio_neardup" -> ((s: SparkSession, dir: String) =>
         graft.multimodal.Multimodal.qAudioNeardup(s, dir)),
+      // the full found-pair lists (hamming values decoder-dependent;
+      // precision/recall laws live in the oracle rows + brute-force spec)
+      "q_image_pairs" -> ((s: SparkSession, dir: String) =>
+        graft.multimodal.Multimodal.qImagePairs(s, dir)),
+      "q_audio_pairs" -> ((s: SparkSession, dir: String) =>
+        graft.multimodal.Multimodal.qAudioPairs(s, dir)),
       // the capstone composition: interleaved-doc EXTRACTION feeding the
       // CURATION layer — extract spans, stitch per-doc text, then exact-
       // dup fingerprint + length gate over the EXTRACTED text (rows-only:
@@ -123,5 +131,7 @@ object SparkEntry {
           |  CAST(doc_id % 3 + 1 AS INT) AS n_pages,
           |  TRUE AS full_text_nonempty, TRUE AS doc_text_nonempty
           |FROM documents ORDER BY doc_id""".stripMargin,
-      "q_media_profile" -> graft.multimodal.Multimodal.qMediaProfileSql)
+      "q_media_profile" -> graft.multimodal.Multimodal.qMediaProfileSql,
+      "q_image_neardup" -> graft.multimodal.Multimodal.qImageNeardupSql,
+      "q_audio_neardup" -> graft.multimodal.Multimodal.qAudioNeardupSql)
 }

@@ -722,16 +722,14 @@ object Multimodal {
     out
   }
 
-  /** Driver query (rows-only — image decode is not SQL-expressible, same
-    * decision as q_media_features): corpus = the synthetic media table
-    * plus, for every 10th image, a container-appropriate near-duplicate —
-    * pixel perturbation for BMP originals, a JPEG re-encode (decode ->
-    * DCT requantize -> encode, quality 0.9) for PNG/JPEG originals —
-    * plus a cross-container JPEG re-encode of every 20th BMP. The
-    * blocked aHash join must recover exactly those planted pairs (plus
-    * any natural collisions, which random pixels make vanishingly
-    * unlikely). */
-  def qImageNeardup(spark: SparkSession, dir: String): DataFrame = {
+  /** The image near-dup corpus: the synthetic media table plus, for
+    * every 10th image, a container-appropriate near-duplicate — pixel
+    * perturbation for BMP originals, a JPEG re-encode (decode -> DCT
+    * requantize -> encode, quality 0.9) for PNG/JPEG originals — plus a
+    * cross-container JPEG re-encode of every 20th BMP. Variant ids are
+    * base + 100000 (same container) / + 200000 (cross codec), so the
+    * planted pair set is pure id arithmetic — see plantedImageSql. */
+  private def imageNeardupCorpus(spark: SparkSession): Dataset[MediaRow] = {
     import spark.implicits._
     val base = genTable(spark, 200)
     val variants = base.filter(r => r.kind == "image" && r.media_id % 10 == 0)
@@ -745,18 +743,94 @@ object Multimodal {
         r.kind == "image" && r.media_id % 20 == 0 && r.payload(0) == 'B')
       .map(r => r.copy(media_id = r.media_id + 200000,
         payload = encodeImage(bmpToImage(r.payload).get, "jpg", quality = 0.9f)))
-    imageNearDup(base.unionByName(variants).unionByName(crossCodec))
+    base.unionByName(variants).unionByName(crossCodec)
   }
 
-  /** Driver query (rows-only, same decision): volume-rescaled (9/10)
-    * copies of every 15th audio must pair with their originals — the
-    * re-encoded/normalized-duplicate detection a media corpus needs. */
-  def qAudioNeardup(spark: SparkSession, dir: String): DataFrame = {
+  /** The audio near-dup corpus: volume-rescaled (9/10, integer truncation)
+    * copies of every 15th audio under id + 100000 — the re-encoded /
+    * normalized-duplicate detection a media corpus needs. */
+  private def audioNeardupCorpus(spark: SparkSession): Dataset[MediaRow] = {
     import spark.implicits._
     val base = genTable(spark, 200)
     val variants = base.filter(r => r.kind == "audio" && r.media_id % 15 == 1)
       .map(r => r.copy(media_id = r.media_id + 100000,
         payload = rescaleWav(r.payload, 9, 10)))
-    audioNearDup(base.unionByName(variants))
+    base.unionByName(variants)
   }
+
+  /** Turns a found-pairs relation into the ORACLE-checkable recall
+    * report: every planted pair (enumerable by id arithmetic in both
+    * engines) with a recovered flag, plus one 'spurious' row for any
+    * base-corpus pair the detector invents (the oracle predicts zero —
+    * a false positive shows up as a row-count mismatch, a recall miss
+    * as recovered=false vs the oracle's TRUE). Variant↔variant pairs
+    * of the SAME base (both ids >= 100000, e.g. the perturbed BMP vs
+    * the JPEG re-encode of base 0) are genuine near-dups by
+    * transitivity, not detector errors, and are excluded from both
+    * sides — they stay visible in the rows-only full pair list. */
+  private def recallReport(found: DataFrame, planted: DataFrame): DataFrame = {
+    val f = found.select(col("id_a"), col("id_b"))
+    planted
+      .join(f.withColumn("hit", lit(true)), Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"), col("pair_class"),
+        coalesce(col("hit"), lit(false)).as("recovered"))
+      .unionByName(
+        f.filter(col("id_a") < 100000)
+          .join(planted.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"), "left_anti")
+          .select(col("id_a"), col("id_b"), lit("spurious").as("pair_class"),
+            lit(true).as("recovered")))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Driver query (ORACLE-checked recall report): the blocked aHash
+    * join over the planted image corpus must recover exactly the
+    * arithmetically-enumerable planted pairs — same-container variants
+    * at id+100000 for base % 30 == 0, cross-codec BMP->JPEG at
+    * id+200000 for base % 60 == 0 with a BMP container (% 9 not in
+    * {3,6}) — and invent none. Hamming VALUES (decoder-dependent) stay
+    * in the rows-only q_image_pairs. */
+  def qImageNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val planted = spark.range(0, 200).selectExpr("id AS id_a")
+      .selectExpr("id_a", "id_a + 100000 AS id_b", "'same_container' AS pair_class")
+      .filter(col("id_a") % 30 === 0)
+      .unionByName(spark.range(0, 200).selectExpr("id AS id_a")
+        .filter(col("id_a") % 60 === 0 && !(col("id_a") % 9).isin(3, 6))
+        .selectExpr("id_a", "id_a + 200000 AS id_b", "'cross_codec' AS pair_class"))
+    recallReport(imageNearDup(imageNeardupCorpus(spark)), planted)
+  }
+
+  val qImageNeardupSql: String =
+    """SELECT CAST(range AS BIGINT) AS id_a, CAST(range + 100000 AS BIGINT) AS id_b,
+      |  'same_container' AS pair_class, TRUE AS recovered
+      |FROM range(200) WHERE range % 30 = 0
+      |UNION ALL
+      |SELECT CAST(range AS BIGINT), CAST(range + 200000 AS BIGINT), 'cross_codec', TRUE
+      |FROM range(200) WHERE range % 60 = 0 AND range % 9 NOT IN (3, 6)
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Driver query (ORACLE-checked recall report): the energy-delta
+    * fingerprint is amplitude-scale invariant, so every rescaled copy
+    * (base % 15 == 1, variant at id+100000) must pair with its
+    * original, with zero invented pairs. */
+  def qAudioNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val planted = spark.range(0, 200).selectExpr("id AS id_a")
+      .filter(col("id_a") % 15 === 1)
+      .selectExpr("id_a", "id_a + 100000 AS id_b", "'rescaled' AS pair_class")
+    recallReport(audioNearDup(audioNeardupCorpus(spark)), planted)
+  }
+
+  val qAudioNeardupSql: String =
+    """SELECT CAST(range AS BIGINT) AS id_a, CAST(range + 100000 AS BIGINT) AS id_b,
+      |  'rescaled' AS pair_class, TRUE AS recovered
+      |FROM range(200) WHERE range % 15 = 1
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Rows-only full pair lists (hamming values are decoder-dependent —
+    * not SQL-expressible; recall/precision laws live in the oracle rows
+    * above and the brute-force spec). */
+  def qImagePairs(spark: SparkSession, dir: String): DataFrame =
+    imageNearDup(imageNeardupCorpus(spark))
+
+  def qAudioPairs(spark: SparkSession, dir: String): DataFrame =
+    audioNearDup(audioNeardupCorpus(spark))
 }
