@@ -30,7 +30,8 @@ object SparkEntry {
     graft.queries.PositionedQ.all ++
     graft.queries.PdfQ.all ++
     graft.queries.GraphQ.all ++
-    graft.queries.MiningQ.all
+    graft.queries.MiningQ.all ++
+    graft.queries.IndexQ.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     battery.map { case (k, (fn, _)) => k -> fn } ++ Map(

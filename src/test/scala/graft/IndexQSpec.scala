@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.IndexQ
+
+/** Semantic laws for the indexing/tokenizer batch (exact values pinned by
+  * the DuckDB oracles at sf0.01 and sf0.1; these pin the PROPERTIES,
+  * each against an independent in-memory brute force at sf0.001). */
+class IndexQSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def normWords(t: String): Array[String] =
+    t.replaceAll("\\s+", " ").toLowerCase(java.util.Locale.ROOT).trim
+      .split(" ").filter(_.nonEmpty)
+
+  private lazy val corpusWords: Seq[Array[String]] =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select("text").collect().map(r => normWords(r.getString(0))).toSeq
+
+  test("q_inverted_index: df threshold, sorted bounded postings, tf mass") {
+    val rows = IndexQ.qInvertedIndex(spark, dir).collect()
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.nonEmpty)
+    // independent brute force for one term: per-doc tf and df
+    val probe = rows.head.getString(0)
+    val perDoc = corpusWords.map(_.count(_ == probe)).filter(_ > 0)
+    assert(rows.head.getLong(1) === perDoc.size.toLong)      // df
+    assert(rows.head.getLong(2) === perDoc.sum.toLong)       // tf_total
+    rows.foreach { r =>
+      assert(r.getLong(1) * 20 >= nDocs, s"df threshold violated for ${r.getString(0)}")
+      val posting = r.getString(3).split(",").map(_.toLong)
+      assert(posting.length <= IndexQ.PostingHead)
+      assert(posting.sameElements(posting.sorted), "postings_head must be ascending")
+      assert(r.getLong(2) >= r.getLong(1), "tf_total >= df")
+    }
+  }
+
+  test("q_scd2: per-user intervals chain exactly (valid_to = next valid_from), one current") {
+    val rows = IndexQ.qScd2(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (u, vs) =>
+      val s = vs.sortBy(_._2)
+      assert(s.map(_._2).sameElements(1L to s.length), s"versions not contiguous for user $u")
+      s.sliding(2).foreach {
+        case Array((_, _, t1, _, to1, _), (_, _, t2, from2, _, _)) =>
+          assert(to1.contains(from2), s"interval gap for user $u")
+          assert(t1 != t2, s"consecutive duplicate type not collapsed for user $u")
+        case _ =>
+      }
+      assert(s.count(_._6) === 1, s"user $u must have exactly one current row")
+      assert(s.last._5.isEmpty, "the current row is the last version")
+    }
+  }
+
+  test("q_vocab_coverage: ranks monotone in threshold; brute-force check") {
+    val rows = IndexQ.qVocabCoverage(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).sameElements(IndexQ.CoverageThresholds.map(_.toLong)))
+    assert(rows.map(_._2).sameElements(rows.map(_._2).sorted), "vocab_rank monotone")
+    // brute force: rank terms by (count desc, term asc), find min rank per threshold
+    val counts = corpusWords.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ranked = counts.toSeq.sortBy { case (t, n) => (-n, t) }
+    val total = counts.values.sum
+    assert(rows.head._3 === total)
+    assert(rows.head._4 === counts.size.toLong)
+    var cum = 0L
+    val cums = ranked.map { case (_, n) => cum += n; cum }
+    rows.foreach { case (t, rk, _, _) =>
+      val expect = cums.indexWhere(c => c * 100 >= t * total) + 1
+      assert(rk === expect.toLong, s"threshold $t")
+    }
+  }
+
+  test("q_bpe_merges: round-1 argmax matches brute force; merge shrinks symbol mass") {
+    val rows = IndexQ.qBpeMerges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length === IndexQ.BpeRounds)
+    // brute-force round 1: adjacent char-pair counts weighted by word freq
+    val wordFreq = corpusWords.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pairCnt = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    wordFreq.foreach { case (w, f) =>
+      w.toSeq.sliding(2).filter(_.length == 2).foreach { p =>
+        pairCnt(s"${p(0)} ${p(1)}") += f
+      }
+    }
+    val (bp, bc) = pairCnt.toSeq.sortBy { case (p, c) => (-c, p) }.head
+    assert(rows.head._2 === bp)
+    assert(rows.head._4 === bc)
+    assert(rows.head._3 === bp.replace(" ", ""))
+    // each merge strictly reduces the distinct-pair universe or keeps it
+    // within 1 of the previous round (the merged pair disappears; new
+    // pairs around the merged symbol appear)
+    assert(rows.forall(_._4 > 0))
+    assert(rows.map(_._2).distinct.length === IndexQ.BpeRounds, "a pair must not win twice")
+  }
+}
