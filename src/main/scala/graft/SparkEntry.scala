@@ -106,6 +106,10 @@ object SparkEntry {
         graft.multimodal.Multimodal.qImagePairs(s, dir)),
       "q_audio_pairs" -> ((s: SparkSession, dir: String) =>
         graft.multimodal.Multimodal.qAudioPairs(s, dir)),
+      // thumbnail resize over every image container, ORACLE-checked via
+      // the id-arithmetic dims + canonical BMP byte-size formula
+      "q_media_resize" -> ((s: SparkSession, dir: String) =>
+        graft.multimodal.Multimodal.qMediaResize(s, dir)),
       // the capstone composition: interleaved-doc EXTRACTION feeding the
       // CURATION layer — extract spans, stitch per-doc text, then exact-
       // dup fingerprint + length gate over the EXTRACTED text (rows-only:
@@ -134,5 +138,6 @@ object SparkEntry {
           |FROM documents ORDER BY doc_id""".stripMargin,
       "q_media_profile" -> graft.multimodal.Multimodal.qMediaProfileSql,
       "q_image_neardup" -> graft.multimodal.Multimodal.qImageNeardupSql,
-      "q_audio_neardup" -> graft.multimodal.Multimodal.qAudioNeardupSql)
+      "q_audio_neardup" -> graft.multimodal.Multimodal.qAudioNeardupSql,
+      "q_media_resize" -> graft.multimodal.Multimodal.qMediaResizeSql)
 }

@@ -833,4 +833,57 @@ object Multimodal {
 
   def qAudioPairs(spark: SparkSession, dir: String): DataFrame =
     audioNearDup(audioNeardupCorpus(spark))
+
+  /** Thumbnail target: longest side after resize. */
+  val ThumbMax = 8
+
+  /** Aspect-preserving thumbnail dims (integer arithmetic — the oracle
+    * re-derives them from the id alone). */
+  def thumbDims(w: Int, h: Int): (Int, Int) =
+    if (w >= h) (ThumbMax, math.max(1, h * ThumbMax / w))
+    else (math.max(1, w * ThumbMax / h), ThumbMax)
+
+  /** Driver query (ORACLE-checked): thumbnail RESIZE over every image in
+    * the media table — BMPs pool directly, ImageIO containers (PNG/JPEG)
+    * decode and transcode to BMP first, then the same average-pool
+    * kernel emits a real 24-bit BMP thumbnail. The projection (dims in
+    * and out, output byte size, success flag) is pure id arithmetic +
+    * the fixed BMP layout formula, so DuckDB predicts every row — which
+    * pins that every container actually DECODED and the writer emitted
+    * the canonical header. Pixel values are pinned by the luma-
+    * preservation spec (MultimodalDedupSpec).
+    *
+    * Scale notes: embarrassingly parallel map over payload rows (the
+    * multimodal batch shape — no shuffle at all); output thumbnails are
+    * bounded (<= 54 + 4 * 3 * ThumbMax^2 bytes) regardless of input
+    * size, so the result relation is safe to collect into a preview
+    * index at any corpus scale. */
+  def qMediaResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    genTable(spark, 200).filter(_.kind == "image").map { r =>
+      val bmp =
+        if (r.payload(0) == 'B' && r.payload(1) == 'M') Some(r.payload)
+        else decodeImage(r.payload).map(encodeImage(_, "bmp"))
+      val (nw, nh) = thumbDims(r.width, r.height)
+      val out = bmp.flatMap(resizeBmp(_, nw, nh))
+      (r.media_id, r.width, r.height, nw, nh,
+        out.map(_.length).getOrElse(-1), out.isDefined)
+    }.toDF("media_id", "w", "h", "new_w", "new_h", "n_bytes_out", "resized")
+      .orderBy(col("media_id"))
+  }
+
+  val qMediaResizeSql: String =
+    s"""WITH img AS (
+       |  SELECT CAST(range AS BIGINT) AS media_id,
+       |         CAST(16 + (range % 8) * 4 AS INT) AS w,
+       |         CAST(12 + (range % 5) * 4 AS INT) AS h
+       |  FROM range(200) WHERE range % 3 = 0),
+       |d AS (SELECT media_id, w, h,
+       |    CAST(CASE WHEN w >= h THEN $ThumbMax ELSE GREATEST(1, (w * $ThumbMax) // h) END AS INT) AS new_w,
+       |    CAST(CASE WHEN w >= h THEN GREATEST(1, (h * $ThumbMax) // w) ELSE $ThumbMax END AS INT) AS new_h
+       |  FROM img)
+       |SELECT media_id, w, h, new_w, new_h,
+       |  CAST(54 + ((new_w * 3 + 3) // 4) * 4 * new_h AS INT) AS n_bytes_out,
+       |  TRUE AS resized
+       |FROM d ORDER BY media_id""".stripMargin
 }

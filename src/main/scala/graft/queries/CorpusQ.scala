@@ -471,7 +471,90 @@ object CorpusQ {
       |  ROUND(CAST(n_docs * sumsq_tok - sum_tok * sum_tok AS DOUBLE) / (n_docs * n_docs), 6) AS var_tok
       |FROM a ORDER BY source""".stripMargin
 
+  /** Histogram-sketch bin width / clamp bin (covers n_chars 0..4095;
+    * larger values land in the open top bin). */
+  val HistBinWidth = 16
+  val HistMaxBin = 255
+
+  /** Quantile targets (percent). */
+  val HistQs: Seq[Int] = Seq(50, 90, 99)
+
+  /** MERGEABLE histogram-quantile sketch vs exact — the fourth
+    * deterministic sketch in the battery (HLL = cardinality, CMS =
+    * frequency, Bloom = membership, this = quantiles): per source, an
+    * equi-width 256-bin histogram of n_chars, quantile estimate = the
+    * upper value bound of the first bin whose cumulative count reaches
+    * the target rank. Unlike rank-pick exact percentiles (one sort per
+    * group), the histogram is a bounded-size MERGEABLE partial
+    * aggregate — the 100 TB shape: map-side combine into <= 256
+    * counters per group, no per-group sort, and partial histograms
+    * merge associatively across partitions/days. The exact value rides
+    * alongside, so the sketch's one-sided error law (0 <= est_hi -
+    * exact < bin width, when unclamped) is oracle-checked on every row.
+    */
+  def qHistQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val t = documents(s, dir).select(col("source"), col("n_chars"))
+    val bins = t
+      .select(col("source"),
+        least(lit(HistMaxBin.toLong), expr(s"n_chars div $HistBinWidth")).cast("long").as("bin"))
+      .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("c"))
+    val cum = bins
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("source")).orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("c")).over(Window.partitionBy(col("source"))))
+    val est = cum
+      .select(col("source"), col("bin"), col("cum"), col("total"),
+        explode(array(HistQs.map(lit): _*)).as("q_pct"))
+      .filter(col("cum") * 100 >= col("q_pct") * col("total"))
+      .groupBy(col("source"), col("q_pct"))
+      .agg(min(col("bin")).as("est_bin"))
+      .select(col("source"), col("q_pct").cast("long").as("q_pct"),
+        ((col("est_bin") + 1) * HistBinWidth - 1).as("est_hi"))
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+    val exact = t
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .select(col("source"), col("n_chars"), col("rn"), col("n"),
+        explode(array(HistQs.map(lit): _*)).as("q_pct"))
+      .filter(col("rn") === ceil(col("n") * col("q_pct") / 100.0).cast("long"))
+      .select(col("source"), col("q_pct").cast("long").as("q_pct"),
+        col("n_chars").as("exact_v"))
+    est.join(exact, Seq("source", "q_pct"))
+      .select(col("source"), col("q_pct"), col("est_hi"), col("exact_v"),
+        (col("est_hi") - col("exact_v")).as("err"))
+      .orderBy(col("source"), col("q_pct"))
+  }
+
+  val qHistQuantilesSql: String = {
+    val qs = HistQs.mkString(", ")
+    s"""WITH t AS (SELECT source, n_chars FROM documents),
+       |b AS (SELECT source, LEAST($HistMaxBin, n_chars // $HistBinWidth) AS bin, COUNT(*) AS c
+       |      FROM t GROUP BY 1, 2),
+       |cb AS (SELECT source, bin,
+       |    SUM(c) OVER (PARTITION BY source ORDER BY bin
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    SUM(c) OVER (PARTITION BY source) AS total
+       |  FROM b),
+       |q AS (SELECT unnest(ARRAY[$qs]) AS q_pct),
+       |est AS (SELECT source, q_pct, MIN(bin) AS est_bin
+       |        FROM cb, q WHERE cum * 100 >= q_pct * total GROUP BY 1, 2),
+       |r AS (SELECT source, n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+       |    COUNT(*) OVER (PARTITION BY source) AS n
+       |  FROM t),
+       |ex AS (SELECT source, q_pct, n_chars AS exact_v
+       |       FROM r, q WHERE rn = CAST(CEIL(n * q_pct / 100.0) AS BIGINT))
+       |SELECT e.source, CAST(e.q_pct AS BIGINT) AS q_pct,
+       |  CAST((e.est_bin + 1) * $HistBinWidth - 1 AS BIGINT) AS est_hi,
+       |  CAST(x.exact_v AS BIGINT) AS exact_v,
+       |  CAST((e.est_bin + 1) * $HistBinWidth - 1 - x.exact_v AS BIGINT) AS err
+       |FROM est e JOIN ex x ON x.source = e.source AND x.q_pct = e.q_pct
+       |ORDER BY e.source, e.q_pct""".stripMargin
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_hist_quantiles" -> ((qHistQuantiles _, Some(qHistQuantilesSql))),
     "q_mad_outliers" -> ((qMadOutliers _, Some(qMadOutliersSql))),
     "q_source_variance" -> ((qSourceVariance _, Some(qSourceVarianceSql))),
     "q_source_overlap" -> ((qSourceOverlap _, Some(qSourceOverlapSql))),

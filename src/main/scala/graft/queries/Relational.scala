@@ -611,6 +611,31 @@ object Relational {
        |FROM zc GROUP BY z >> 28 ORDER BY tile""".stripMargin
   }
 
+  /** GROUPING SETS — the multi-granularity aggregation a reporting
+    * layer asks of a corpus profile ((source, lang) detail, per-source
+    * subtotal, grand total) computed in ONE pass instead of three
+    * scans + a UNION. One SQL string runs through BOTH engines (the
+    * q_ntile_curriculum pattern); NULL group markers are COALESCEd to
+    * '(all)' so the display column is engine-independent (Spark's
+    * grouping_id bit order differs from DuckDB's — the coalesced
+    * columns sidestep it).
+    *
+    * Scale: Spark expands grouping sets before the aggregate
+    * (one Expand + one partial-agg shuffle keyed on the padded
+    * grouping keys) — 3x the map-side rows, never 3 scans. */
+  val qGroupingSetsSql: String =
+    """SELECT COALESCE(source, '(all)') AS source, COALESCE(lang, '(all)') AS lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |GROUP BY GROUPING SETS ((source, lang), (source), ())
+      |ORDER BY source, lang""".stripMargin
+
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    s.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    s.sql(qGroupingSetsSql)
+  }
+
   /** CDC/SCD "latest record wins" compaction: treat the event stream as
     * a change log per user and keep each key's newest row (ts desc,
     * event_id desc — a total order, since replayed logs carry
@@ -647,6 +672,7 @@ object Relational {
 
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_cdc_latest" -> ((qCdcLatest _, Some(qCdcLatestSql))),
+    "q_grouping_sets" -> ((qGroupingSets _, Some(qGroupingSetsSql))),
     "q_zorder_layout" -> ((qZorderLayout _, Some(qZorderLayoutSql))),
     "q_hop_window" -> ((qHopWindow _, Some(qHopWindowSql))),
     "q_salted_agg" -> ((qSaltedAgg _, Some(qSaltedAggSql))),
