@@ -31,7 +31,8 @@ object SparkEntry {
     graft.queries.PdfQ.all ++
     graft.queries.GraphQ.all ++
     graft.queries.MiningQ.all ++
-    graft.queries.IndexQ.all
+    graft.queries.IndexQ.all ++
+    graft.queries.DeltaQ.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     battery.map { case (k, (fn, _)) => k -> fn } ++ Map(
