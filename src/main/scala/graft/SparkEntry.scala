@@ -32,7 +32,8 @@ object SparkEntry {
     graft.queries.GraphQ.all ++
     graft.queries.MiningQ.all ++
     graft.queries.IndexQ.all ++
-    graft.queries.DeltaQ.all
+    graft.queries.DeltaQ.all ++
+    graft.queries.EventsQ.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     battery.map { case (k, (fn, _)) => k -> fn } ++ Map(
