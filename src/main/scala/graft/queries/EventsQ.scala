@@ -116,7 +116,76 @@ object EventsQ {
       |FROM sp LEFT JOIN a ON a.h = sp.h AND a.event_type = sp.event_type
       |ORDER BY sp.h, sp.event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_partial_reagg — incremental rollup from mergeable daily partials
+  // ---------------------------------------------------------------------
+
+  /** Incremental re-aggregation: build DAILY partial states per event
+    * type (count, DECIMAL sum, min, max — kept UNROUNDED: the state must
+    * stay mergeable, so cents-flooring happens only at the final merge),
+    * roll the partials up to per-type totals, and emit them side by side
+    * with a direct single-pass aggregate plus per-measure match flags.
+    * This is the contract behind every incremental pipeline (daily
+    * partitions -> monthly rollup without rescanning raw data); the
+    * classic bug it guards against — flooring per partial and summing
+    * the floors — would show up as sum_match = FALSE.
+    *
+    * Scale notes: partials are one row per (day, type) — the raw event
+    * table is scanned once for them and once for the direct check (the
+    * check IS the point of the query; a production rollup keeps only
+    * the first scan); both aggregates collapse map-side. */
+  def qPartialReagg(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).cast("long").as("day"),
+        col("event_type"), dec(col("value")).as("v"))
+    val partials = ev.groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val reagg = partials.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_partials"), sum(col("n")).as("n_events"),
+        floor(sum(col("s")) * 100).cast("long").as("sum_cents"),
+        floor(min(col("mn")) * 100).cast("long").as("min_cents"),
+        floor(max(col("mx")) * 100).cast("long").as("max_cents"))
+    val direct = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_d"),
+        floor(sum(col("v")) * 100).cast("long").as("s_d"),
+        floor(min(col("v")) * 100).cast("long").as("mn_d"),
+        floor(max(col("v")) * 100).cast("long").as("mx_d"))
+    reagg.join(direct, Seq("event_type"))
+      .select(col("event_type"), col("n_partials"), col("n_events"),
+        col("sum_cents"), col("min_cents"), col("max_cents"),
+        (col("n_events") === col("n_d")).as("n_match"),
+        (col("sum_cents") === col("s_d")).as("sum_match"),
+        (col("min_cents") === col("mn_d")).as("min_match"),
+        (col("max_cents") === col("mx_d")).as("max_match"))
+      .orderBy(col("event_type"))
+  }
+
+  val qPartialReaggSql: String =
+    """WITH e AS (SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+      |    event_type, CAST(value AS DECIMAL(18,4)) AS v FROM events),
+      |p AS (SELECT day, event_type, COUNT(*) AS n, SUM(v) AS s, MIN(v) AS mn, MAX(v) AS mx
+      |      FROM e GROUP BY 1, 2),
+      |r AS (SELECT event_type, COUNT(*) AS n_partials, SUM(n) AS n_events,
+      |        CAST(FLOOR(SUM(s) * 100) AS BIGINT) AS sum_cents,
+      |        CAST(FLOOR(MIN(mn) * 100) AS BIGINT) AS min_cents,
+      |        CAST(FLOOR(MAX(mx) * 100) AS BIGINT) AS max_cents
+      |      FROM p GROUP BY 1),
+      |d AS (SELECT event_type, COUNT(*) AS n_d,
+      |        CAST(FLOOR(SUM(v) * 100) AS BIGINT) AS s_d,
+      |        CAST(FLOOR(MIN(v) * 100) AS BIGINT) AS mn_d,
+      |        CAST(FLOOR(MAX(v) * 100) AS BIGINT) AS mx_d
+      |      FROM e GROUP BY 1)
+      |SELECT r.event_type, CAST(r.n_partials AS BIGINT) AS n_partials,
+      |  CAST(r.n_events AS BIGINT) AS n_events,
+      |  r.sum_cents, r.min_cents, r.max_cents,
+      |  r.n_events = d.n_d AS n_match, r.sum_cents = d.s_d AS sum_match,
+      |  r.min_cents = d.mn_d AS min_match, r.max_cents = d.mx_d AS max_match
+      |FROM r JOIN d ON d.event_type = r.event_type
+      |ORDER BY r.event_type""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_partial_reagg" -> ((qPartialReagg _, Some(qPartialReaggSql))),
     "q_cohort_retention" -> ((qCohortRetention _, Some(qCohortRetentionSql))),
     "q_gap_fill" -> ((qGapFill _, Some(qGapFillSql))))
 }

@@ -99,6 +99,43 @@ object SampleQ {
        |FROM r WHERE rk <= 10
        |ORDER BY source, rk""".stripMargin
 
+  /** Rendezvous (highest-random-weight) shard count before/after adding
+    * one shard. */
+  private val ShardsBefore = 8
+
+  /** First 8 hex nibbles of md5(doc_id || ':' || shard) as a BIGINT
+    * weight (the per-(key, shard) rendezvous score; engine-identical —
+    * the q_hash_sample nibble idiom widened to 32 bits). */
+  private def shardWeight(k: Int): String = {
+    def nib(i: Int) =
+      s"CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING) || ':$k'), $i, 1)) - 1 AS BIGINT)"
+    (1 to 8).map(i => s"${nib(i)} * ${1L << ((8 - i) * 4)}").mkString("(", " + ", ")")
+  }
+
+  /** Consistent shard assignment via RENDEZVOUS HASHING — the placement
+    * primitive that makes cluster resizing cheap: every key scores all
+    * shards with an independent hash weight and lands on the argmax.
+    * Growing from 8 to 9 shards re-scores in place; the HRW guarantee —
+    * ONLY keys whose new shard is the added one ever move (~1/9 of
+    * keys), everything else stays put — is emitted per source
+    * (n_moved == n_moved_to_new on every row) and oracle-checked.
+    * Modulo sharding would move ~8/9 of all keys on the same resize.
+    *
+    * Ties are impossible by construction: the argmax runs over
+    * weight * 16 + shard (a total order). Narrow scan + GREATEST —
+    * pure codegen scalar work, one partial-agg shuffle on source. */
+  private val consistentShardSql: String = {
+    def packed(k: Int) = s"${shardWeight(k)} * 16 + $k"
+    val c8 = (0 until ShardsBefore).map(packed).mkString("GREATEST(", ", ", ")")
+    val c9 = (0 to ShardsBefore).map(packed).mkString("GREATEST(", ", ", ")")
+    s"""WITH c AS (SELECT source, $c8 AS c8, $c9 AS c9 FROM documents)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN c8 % 16 <> c9 % 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+       |  CAST(SUM(CASE WHEN c8 % 16 <> c9 % 16 AND c9 % 16 = $ShardsBefore
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_to_new
+       |FROM c GROUP BY source ORDER BY source""".stripMargin
+  }
+
   private def run(sql: String)(s: SparkSession, dir: String): DataFrame = {
     s.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
     s.sql(sql)
@@ -110,5 +147,6 @@ object SampleQ {
     "q_stratified_sample" -> ((run(stratifiedSql) _, Some(stratifiedSql))),
     "q_source_mix" -> ((run(mixSql) _, Some(mixSql))),
     "q_ntile_curriculum" -> ((run(ntileSql) _, Some(ntileSql))),
-    "q_weighted_sample" -> ((run(weightedSql) _, Some(weightedSql))))
+    "q_weighted_sample" -> ((run(weightedSql) _, Some(weightedSql))),
+    "q_consistent_shard" -> ((run(consistentShardSql) _, Some(consistentShardSql))))
 }
