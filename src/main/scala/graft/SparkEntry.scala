@@ -33,7 +33,8 @@ object SparkEntry {
     graft.queries.MiningQ.all ++
     graft.queries.IndexQ.all ++
     graft.queries.DeltaQ.all ++
-    graft.queries.EventsQ.all
+    graft.queries.EventsQ.all ++
+    graft.queries.DataQualityQ.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     battery.map { case (k, (fn, _)) => k -> fn } ++ Map(
