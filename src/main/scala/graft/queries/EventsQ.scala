@@ -184,8 +184,74 @@ object EventsQ {
       |FROM r JOIN d ON d.event_type = r.event_type
       |ORDER BY r.event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_late_profile — out-of-order arrival audit (sizes the watermark)
+  // ---------------------------------------------------------------------
+
+  /** Out-of-order-arrival profile: per event type, how many events
+    * arrive BEHIND the high-water mark of their user's sequence
+    * (event_id = arrival order within a user), how far behind, and how
+    * many exceed a 10-minute watermark delay. This is the audit that
+    * SIZES the streaming watermark: pick a delay, and this query tells
+    * you exactly how many events it would drop. The synthetic feed is
+    * in-order, so disorder is PLANTED (event_id % 61 == 17 shifted back
+    * 36 hours) — both engines predict every late row.
+    *
+    * Scale notes: the high-water mark is a per-USER running max
+    * (partitioned window over arrival order — never a global sort);
+    * lateness stays integer microseconds; the rollup is one partial
+    * aggregate on event_type. */
+  def qLateProfile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val planted = events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        when(col("event_id") % 61 === 17, col("ts") - expr("INTERVAL 36 HOURS"))
+          .otherwise(col("ts")).as("ts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    planted
+      // ts is TIMESTAMP_NTZ (parquet timestamp[us]); unix_micros needs LTZ.
+      // Session tz is UTC everywhere (Verify/Bench/build.sbt), so the cast
+      // is an exact identity on the underlying micros.
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("hwm_us", max(col("ts_us")).over(w))
+      .withColumn("late_us",
+        greatest(lit(0L), coalesce(col("hwm_us") - col("ts_us"), lit(0L))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late"),
+        sum(when(col("late_us") > 600L * 1000000L, 1L).otherwise(0L)).as("n_late_10m"),
+        sum(when(col("late_us") > 108000L * 1000000L, 1L).otherwise(0L)).as("n_late_30h"),
+        max(col("late_us")).as("mx"), sum(col("late_us")).as("sm"))
+      .select(col("event_type"), col("n_events"), col("n_late"), col("n_late_10m"),
+        col("n_late_30h"),
+        expr("mx div 1000000").as("max_late_sec"),
+        expr("sm div 1000000").as("sum_late_sec"))
+      .orderBy(col("event_type"))
+  }
+
+  val qLateProfileSql: String =
+    """WITH p AS (
+      |  SELECT event_id, user_id, event_type,
+      |    CASE WHEN event_id % 61 = 17 THEN ts - INTERVAL 36 HOUR ELSE ts END AS ts
+      |  FROM events),
+      |l AS (
+      |  SELECT event_type,
+      |    GREATEST(0, COALESCE(
+      |      MAX(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - epoch_us(ts), 0)) AS late_us
+      |  FROM p)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |  CAST(SUM(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_10m,
+      |  CAST(SUM(CASE WHEN late_us > 108000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_30h,
+      |  CAST(MAX(late_us) // 1000000 AS BIGINT) AS max_late_sec,
+      |  CAST(SUM(late_us) // 1000000 AS BIGINT) AS sum_late_sec
+      |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_partial_reagg" -> ((qPartialReagg _, Some(qPartialReaggSql))),
+    "q_late_profile" -> ((qLateProfile _, Some(qLateProfileSql))),
     "q_cohort_retention" -> ((qCohortRetention _, Some(qCohortRetentionSql))),
     "q_gap_fill" -> ((qGapFill _, Some(qGapFillSql))))
 }
