@@ -136,6 +136,38 @@ object SampleQ {
        |FROM c GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** Token-budget mixture PLANNING — the step before q_source_mix's
+    * keep-fractions exist: given target mixture WEIGHTS (src0:4 src1:3
+    * src2:2 else:1) and a global token budget (the corpus total — so
+    * up-weighted sources must repeat while weight-1 sources fit with
+    * room to spare), compute each source's token target, its
+    * available tokens (BPE-ish chars/4 estimate), and the repetition
+    * factor epochs_x100 = ceil(100 * target / available) — >100 means
+    * the source repeats across the run (the LLM-mixture "epochs over
+    * source" number). All arithmetic stays exact: integer sums, and
+    * double division only where both engines see identical operands
+    * (same correctly-rounded quotient, the q_weighted_sample rule).
+    *
+    * Plan: one partial-agg groupBy(source) to <= |sources| rows, then
+    * an unpartitioned window over those few rows — the global totals
+    * never touch per-doc data. */
+  private val tokenBudgetSql: String =
+    """WITH t AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(FLOOR((n_chars + 3) / 4.0)) AS BIGINT) AS avail_tokens,
+      |    CAST(CASE source WHEN 'src0' THEN 4 WHEN 'src1' THEN 3
+      |         WHEN 'src2' THEN 2 ELSE 1 END AS BIGINT) AS weight
+      |  FROM documents GROUP BY source),
+      |g AS (SELECT source, n_docs, avail_tokens, weight,
+      |    SUM(avail_tokens) OVER () AS total_avail,
+      |    SUM(weight) OVER () AS sum_w FROM t)
+      |SELECT source, n_docs, avail_tokens, weight,
+      |  CAST(FLOOR(FLOOR(1.0 * total_avail) * weight / sum_w) AS BIGINT) AS target_tokens,
+      |  CAST(CEIL(100.0 * FLOOR(FLOOR(1.0 * total_avail) * weight / sum_w)
+      |       / avail_tokens) AS BIGINT) AS epochs_x100,
+      |  CAST(FLOOR(FLOOR(1.0 * total_avail) * weight / sum_w) AS BIGINT)
+      |       > avail_tokens AS oversubscribed
+      |FROM g ORDER BY source""".stripMargin
+
   private def run(sql: String)(s: SparkSession, dir: String): DataFrame = {
     s.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
     s.sql(sql)
@@ -148,5 +180,6 @@ object SampleQ {
     "q_source_mix" -> ((run(mixSql) _, Some(mixSql))),
     "q_ntile_curriculum" -> ((run(ntileSql) _, Some(ntileSql))),
     "q_weighted_sample" -> ((run(weightedSql) _, Some(weightedSql))),
-    "q_consistent_shard" -> ((run(consistentShardSql) _, Some(consistentShardSql))))
+    "q_consistent_shard" -> ((run(consistentShardSql) _, Some(consistentShardSql))),
+    "q_token_budget" -> ((run(tokenBudgetSql) _, Some(tokenBudgetSql))))
 }
