@@ -176,6 +176,41 @@ object StreamingOps {
       .join(broadcast(benchFps.select(col("fp"))), Seq("fp"))
       .select(col("doc_id"), col("fp"))
 
+  /** STREAM-STREAM interval join: view->click attribution on two live
+    * feeds. Each view matches the same user's clicks that land within
+    * 24 hours after it — the ad-attribution / conversion-tracking shape,
+    * and the one streaming join Spark keeps state for on BOTH sides.
+    * Both inputs carry a watermark and the join condition bounds
+    * click_ts to [view_ts, view_ts + 24h], which is exactly what lets
+    * Spark evict: a buffered view can be dropped once the click
+    * watermark passes view_ts + 24h, a buffered click once the view
+    * watermark passes click_ts — without the time-range condition the
+    * two-sided state grows forever. Inner join => append mode, rows
+    * emitted as soon as both sides arrive.
+    *
+    * At scale the state store shards by user_id (the equi half of the
+    * condition); state per user is bounded by 24h+delay of that user's
+    * traffic, so hot users are a keyed-skew concern exactly like the
+    * batch join — same mitigation (salt the equi key, widen shards). */
+  def attributeStream(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+    val c = clicks
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+    v.join(c,
+        col("user_id") === col("click_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 24 HOURS"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        ((unix_micros(col("click_ts")) - unix_micros(col("view_ts"))) / 1000000L)
+          .cast("long").as("lag_sec"))
+  }
+
   /** Drive a streaming query over the static events parquet (memory sink,
     * synchronous) and return the sink table. */
   def runWindowedOverDir(spark: SparkSession, sfDir: String, queryName: String): DataFrame =
