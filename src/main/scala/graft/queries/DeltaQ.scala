@@ -224,8 +224,60 @@ object DeltaQ {
       |  MIN(v) AS min_v, MAX(v) AS max_v
       |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_compaction_plan — small-file compaction bin-packing
+  // ---------------------------------------------------------------------
+
+  /** Compaction bin target (bytes). */
+  val CompactTarget = 2097152L
+
+  /** Small-file COMPACTION PLAN — the table-maintenance pass every
+    * 100-TB lake runs: group each partition's files into target-size
+    * (2 MiB here; 128 MiB-1 GiB in production) output bins by a
+    * running-sum pack in file order. bin = floor(bytes_before / target),
+    * so every bin except a partition's last crosses the target exactly
+    * once and files stay CONTIGUOUS in file order (first_file/last_file
+    * describe a rewrite range — the plan a compactor can execute as
+    * one ordered scan per partition). The file manifest derives
+    * deterministically from documents (file = doc, size = n_chars KiB),
+    * so DuckDB re-plans it independently.
+    *
+    * Scale notes: the running sum is a per-PARTITION window (source),
+    * never a global sort; the output is the tiny (partition, bin)
+    * relation the rewrite job consumes. Planning cost is one manifest
+    * scan — at 100 TB the manifest is the table's file LISTING (millions
+    * of rows), not its data. */
+  def qCompactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("file_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents(s, dir)
+      .select(col("doc_id").as("file_id"), col("source"),
+        (col("n_chars").cast("long") * 1024L).as("size_bytes"))
+      .withColumn("cum_before", coalesce(sum(col("size_bytes")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div $CompactTarget"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("size_bytes")).as("bin_bytes"),
+        min(col("file_id")).as("first_file"), max(col("file_id")).as("last_file"))
+      .orderBy(col("source"), col("bin"))
+  }
+
+  val qCompactionPlanSql: String =
+    s"""WITH f AS (SELECT doc_id AS file_id, source,
+       |    CAST(n_chars AS BIGINT) * 1024 AS size_bytes FROM documents),
+       |c AS (SELECT file_id, source, size_bytes,
+       |    COALESCE(SUM(size_bytes) OVER (PARTITION BY source ORDER BY file_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM f)
+       |SELECT source, CAST(cum_before // $CompactTarget AS BIGINT) AS bin,
+       |  CAST(COUNT(*) AS BIGINT) AS n_files,
+       |  CAST(SUM(size_bytes) AS BIGINT) AS bin_bytes,
+       |  CAST(MIN(file_id) AS BIGINT) AS first_file,
+       |  CAST(MAX(file_id) AS BIGINT) AS last_file
+       |FROM c GROUP BY 1, 2 ORDER BY source, bin""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_snapshot_diff" -> ((qSnapshotDiff _, Some(qSnapshotDiffSql))),
     "q_prefix_jaccard" -> ((qPrefixJaccard _, Some(qPrefixJaccardSql))),
-    "q_col_stats" -> ((qColStats _, Some(qColStatsSql))))
+    "q_col_stats" -> ((qColStats _, Some(qColStatsSql))),
+    "q_compaction_plan" -> ((qCompactionPlan _, Some(qCompactionPlanSql))))
 }
