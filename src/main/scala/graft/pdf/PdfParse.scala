@@ -17,13 +17,16 @@ import scala.collection.mutable
   * fully-compressed PDF 1.5 files) are read too: type-2 xref entries
   * resolve through their container's /N+/First header into plain direct
   * values (streams inside object streams are forbidden by spec, so
-  * nothing is lost). Deliberately NOT a full interpreter: encryption
-  * and non-Flate filters on CONTENT streams are rejected with a clear
-  * error (resource streams — images etc. — are copied byte-verbatim
-  * whatever their filter, no decode needed). That covers every PDF this
-  * engine itself emits plus the classic, xref-stream and
-  * fully-compressed classes of scanner output the reference tool
-  * targets.
+  * nothing is lost). RC4-ENCRYPTED files (standard security handler
+  * V1/V2, R2/R3 — the "owner password only" class that opens without a
+  * prompt) decrypt transparently during parse via [[PdfCrypt]].
+  * Deliberately NOT a full interpreter: user-password-protected and
+  * AES-encrypted files, and non-Flate filters on CONTENT streams, are
+  * rejected with a clear error (resource streams — images etc. — are
+  * copied byte-verbatim whatever their filter, no decode needed). That
+  * covers every PDF this engine itself emits plus the classic,
+  * xref-stream, fully-compressed and RC4-protected classes of scanner
+  * output the reference tool targets.
   */
 object PdfParse {
 
@@ -158,6 +161,8 @@ object PdfParse {
 
   private final class P(val text: String, val bytes: Array[Byte]) {
     var pos: Int = 0
+    /** Generation of the last object parseObjectAt read (decrypt salt). */
+    var lastGen: Int = 0
 
     def eof: Boolean = pos >= text.length
     private def ch: Char = text.charAt(pos)
@@ -296,6 +301,7 @@ object PdfParse {
       skipWs()
       val gen = parseNumberToken()
       if (gen.isEmpty) return Left(s"no generation at $pos")
+      lastGen = gen.toDouble.toInt
       skipWs()
       expect("obj") match { case Left(e) => return Left(e); case _ => }
       val value = parseValue() match {
@@ -421,12 +427,13 @@ object PdfParse {
     }
     // pass 1: objects with direct /Length; pass 2: indirect /Length
     val objects = mutable.HashMap.empty[Int, PObjDef]
+    val gens = mutable.HashMap.empty[Int, Int] // per-object generation (decrypt salt)
     val pending = mutable.ArrayBuffer.empty[(Int, Long)]
     offsets.toSeq.sortBy(_._1).foreach { case (num, off) =>
       if (off < pdf.length) {
         val p = new P(text, pdf); p.pos = off.toInt
         p.parseObjectAt(_ => None) match {
-          case Right(o) => objects(o.num) = o
+          case Right(o) => objects(o.num) = o; gens(o.num) = p.lastGen
           case Left(e) if e.contains("unresolved indirect /Length") => pending += ((num, off))
           case Left(e) => return Left(s"object $num at $off: $e")
         }
@@ -436,8 +443,16 @@ object PdfParse {
       val p = new P(text, pdf); p.pos = off.toInt
       def lookup(r: PRef): Option[Int] = objects.get(r.num).map(_.value).collect { case n: PNum => n.toInt }
       p.parseObjectAt(lookup) match {
-        case Right(o) => objects(o.num) = o
+        case Right(o) => objects(o.num) = o; gens(o.num) = p.lastGen
         case Left(e) => return Left(s"object $num at $off: $e")
+      }
+    }
+    // decrypt BEFORE ObjStm extraction: container streams are encrypted
+    // as whole streams; their packed objects then unpack as plaintext
+    trailer.filter(_.get("Encrypt").isDefined).foreach { t =>
+      PdfCrypt.decryptInPlace(objects, gens, t) match {
+        case Left(e) => return Left(e)
+        case _ => ()
       }
     }
     // pass 3: extract type-2 (compressed) objects from their /ObjStm

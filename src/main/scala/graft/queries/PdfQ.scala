@@ -128,6 +128,58 @@ object PdfQ {
       | 1 AS overlaid
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** RC4 encryption round trip (PdfCrypt): Spark builds a source PDF,
+    * encrypts it (128-bit R=3, per-doc owner password, empty user
+    * password), checks the ciphertext actually HIDES the layer text and
+    * layer names from the raw-byte scanner, then re-parses — PdfParse
+    * decrypts transparently — and confirms the content stream text came
+    * back. The oracle predicts every column independently from the
+    * page-count rule: a broken key derivation, RC4, /U check or
+    * string-escape path flips `decrypted` (or errors the row) and
+    * hash-mismatches. */
+  def qPdfEncrypt(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet").select("doc_id").as[Long]
+      .map { id =>
+        val nPages = (id % 3).toInt + 1
+        val src = PdfRender.applyOcrPdf(
+          Hocr(pages = (0 until nPages).map(p => synthPage(id, p)).toVector))
+          .fold(e => sys.error(e), _.pdf)
+        val enc = graft.pdf.PdfCrypt.encrypt(
+          graft.pdf.PdfParse.parse(src).fold(e => sys.error(e), identity),
+          ownerPwd = s"owner-$id").fold(e => sys.error(e), identity)
+        val rawEnc = new String(enc, java.nio.charset.StandardCharsets.ISO_8859_1)
+        val hidden = if (!rawEnc.contains(s"(doc${id}pg0w0) Tj")) 1 else 0
+        // the raw-byte scanner still SEES the OCG skeleton (one garbage-
+        // named entry per page) but the plaintext names must be gone
+        val encNamed = PdfOps.detectPdfLayers(enc).getOrElse(Vector.empty)
+          .count(_.contains("OCR Text"))
+        val doc = graft.pdf.PdfParse.parse(enc).fold(e => sys.error(e), identity)
+        val pages = doc.pages.fold(e => sys.error(e), identity)
+        val body = pages.headOption.flatMap(p => p.contentObjs.headOption)
+          .map(o => doc.decodedStream(o).fold(e => sys.error(e), identity))
+          .map(b => new String(b, java.nio.charset.StandardCharsets.ISO_8859_1))
+          .getOrElse("")
+        val decrypted = if (body.contains(s"(doc${id}pg0w0) Tj")) 1 else 0
+        (id, pages.length, encNamed, hidden, decrypted)
+      }
+      .toDF("doc_id", "n_pages", "enc_named", "hidden", "decrypted")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Ciphertext hides the text operators and the OCG layer NAMES from
+    * the raw-byte scanner (enc_named = 0 — the scanner still counts the
+    * OCG skeleton, but every detected name is ciphertext); the
+    * parse-time decrypt must recover page structure and the exact
+    * content text. */
+  val qPdfEncryptSql: String =
+    """SELECT doc_id,
+      | CAST(doc_id % 3 AS INT) + 1 AS n_pages,
+      | 0 AS enc_named,
+      | 1 AS hidden,
+      | 1 AS decrypted
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def qPdfAssemble(s: SparkSession, dir: String): DataFrame = {
     val pageTable = s.read.parquet(s"$dir/documents.parquet")
       .selectExpr("doc_id", "explode(sequence(0, CAST(doc_id % 3 AS INT))) AS page_idx")
@@ -142,5 +194,6 @@ object PdfQ {
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_pdf_roundtrip" -> ((qPdfRoundtrip _, Some(qPdfRoundtripSql))),
     "q_pdf_modify" -> ((qPdfModify _, Some(qPdfModifySql))),
+    "q_pdf_encrypt" -> ((qPdfEncrypt _, Some(qPdfEncryptSql))),
     "q_pdf_assemble" -> ((qPdfAssemble _, None)))
 }

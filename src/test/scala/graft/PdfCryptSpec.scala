@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.charset.StandardCharsets.ISO_8859_1
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.hocr.{HLine, HPage, HWord, Hocr}
+import graft.model.BBox
+import graft.pdf.{PdfCrypt, PdfParse, PdfRender}
+
+/** RC4 standard-security-handler round trip: our writer emits, PdfCrypt
+  * encrypts (computing /O, /U and per-object keys from the public spec
+  * algorithms), PdfParse decrypts transparently during parse, and the
+  * page-import path runs end-to-end on the ciphertext. Plus the honesty
+  * bounds: a non-empty USER password and AES are rejected with clear
+  * errors, never garbage output. */
+class PdfCryptSpec extends AnyFunSuite {
+
+  private def page(words: Seq[String], pageNum: Int): HPage =
+    HPage(id = s"page_$pageNum", pageNumber = pageNum, bbox = BBox(0, 0, 612, 792),
+      lines = Vector(HLine(id = "l1", bbox = BBox(40, 80, 580, 98),
+        words = words.zipWithIndex.map { case (w, i) =>
+          HWord(id = s"w$i", text = w, bbox = BBox(40.0 + i * 90, 80.0, 120.0 + i * 90, 98.0))
+        }.toVector)))
+
+  private def source(words: String*): Array[Byte] =
+    PdfRender.applyOcrPdf(
+      Hocr(pages = Vector(page(words, 1))),
+      layerNameBase = "Scan Text").toOption.get.pdf
+
+  test("literal-string escape/unescape round-trips every byte value") {
+    val all = Array.tabulate(256)(_.toByte)
+    assert(PdfCrypt.unescapeLit(PdfCrypt.escapeLit(all)).sameElements(all))
+    val rng = new scala.util.Random(42)
+    (0 until 50).foreach { _ =>
+      val b = Array.fill(rng.nextInt(64) + 1)(rng.nextInt(256).toByte)
+      assert(PdfCrypt.unescapeLit(PdfCrypt.escapeLit(b)).sameElements(b))
+    }
+    // spec escapes parse too: octal, named, continuation, bare EOL
+    assert(PdfCrypt.unescapeLit("a\\012b").sameElements("a\nb".getBytes(ISO_8859_1)))
+    assert(PdfCrypt.unescapeLit("a\\nb\\(c\\)").sameElements("a\nb(c)".getBytes(ISO_8859_1)))
+    assert(PdfCrypt.unescapeLit("a\\\nb").sameElements("ab".getBytes(ISO_8859_1)))
+    assert(PdfCrypt.unescapeLit("a\rb").sameElements("a\nb".getBytes(ISO_8859_1)))
+    assert(PdfCrypt.unescapeLit("\\101\\53").sameElements("A+".getBytes(ISO_8859_1)))
+  }
+
+  test("128-bit R=3 encrypt -> transparent decrypt on parse -> content intact") {
+    val plain = source("uno", "dos")
+    val enc = PdfCrypt.encrypt(PdfParse.parse(plain).toOption.get,
+      ownerPwd = "owner-secret").toOption.get
+    // really ciphertext: the emitted layer text is gone from the raw bytes
+    assert(!new String(enc, ISO_8859_1).contains("(uno) Tj"))
+    assert(new String(enc, ISO_8859_1).contains("/Encrypt"))
+    val doc = PdfParse.parse(enc).toOption.get
+    val pages = doc.pages.toOption.get
+    assert(pages.length == 1)
+    assert(pages(0).mediaBox.contains((0.0, 0.0, 612.0, 792.0)))
+    val content = doc.decodedStream(pages(0).contentObjs.head).toOption.get
+    assert(new String(content, ISO_8859_1).contains("(uno) Tj"))
+  }
+
+  test("40-bit R=2 (V=1) path decrypts too") {
+    val plain = source("cuarenta")
+    val enc = PdfCrypt.encrypt(PdfParse.parse(plain).toOption.get,
+      ownerPwd = "o", bits = 40, r = 2).toOption.get
+    val doc = PdfParse.parse(enc).toOption.get
+    val content = doc.decodedStream(doc.pages.toOption.get.head.contentObjs.head).toOption.get
+    assert(new String(content, ISO_8859_1).contains("(cuarenta) Tj"))
+  }
+
+  test("page import (P-8) runs end-to-end on an encrypted source") {
+    val plain = source("originalword")
+    val enc = PdfCrypt.encrypt(PdfParse.parse(plain).toOption.get,
+      ownerPwd = "owner-secret").toOption.get
+    val out = PdfRender.modifyExistingPdf(enc,
+      Hocr(pages = Vector(page(Seq("addedword"), 1)))).toOption.get
+    val s = new String(out.pdf, ISO_8859_1)
+    // imported background (decrypted!) + the new layer, in plaintext out
+    assert(s.contains("(originalword) Tj") && s.contains("(addedword) Tj"))
+    assert(s.contains("/Tpl0 Do") && s.contains("/Subtype /Form"))
+  }
+
+  test("non-empty user password is rejected with a clear error") {
+    val plain = source("sealed")
+    val enc = PdfCrypt.encrypt(PdfParse.parse(plain).toOption.get,
+      ownerPwd = "owner", userPwd = "user-pwd").toOption.get
+    PdfParse.parse(enc) match {
+      case Left(e) => assert(e.contains("user password"))
+      case Right(_) => fail("user-password-protected PDF must not parse")
+    }
+  }
+
+  test("AES (V=4) is rejected with a clear error, not garbage") {
+    val plain = source("aes")
+    val enc = PdfCrypt.encrypt(PdfParse.parse(plain).toOption.get,
+      ownerPwd = "owner").toOption.get
+    // same-length splice: /V 2 /R 3 -> /V 4 /R 4 (offsets stay valid)
+    val s = new String(enc, ISO_8859_1)
+      .replace("/V 2 /R 3", "/V 4 /R 4")
+    PdfParse.parse(s.getBytes(ISO_8859_1)) match {
+      case Left(e) => assert(e.contains("unsupported encryption"))
+      case Right(_) => fail("AES-marked PDF must be rejected")
+    }
+  }
+}
