@@ -192,7 +192,8 @@ object StreamingOps {
     * condition); state per user is bounded by 24h+delay of that user's
     * traffic, so hot users are a keyed-skew concern exactly like the
     * batch join — same mitigation (salt the equi key, widen shards). */
-  def attributeStream(views: DataFrame, clicks: DataFrame): DataFrame = {
+  def attributeStream(views: DataFrame, clicks: DataFrame,
+      joinType: String = "inner"): DataFrame = {
     val v = views
       .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", "1 hour")
@@ -205,11 +206,26 @@ object StreamingOps {
     v.join(c,
         col("user_id") === col("click_user") &&
         col("click_ts") >= col("view_ts") &&
-        col("click_ts") <= col("view_ts") + expr("INTERVAL 24 HOURS"))
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 24 HOURS"),
+        joinType)
       .select(col("user_id"), col("view_id"), col("click_id"),
         ((unix_micros(col("click_ts")) - unix_micros(col("view_ts"))) / 1000000L)
           .cast("long").as("lag_sec"))
   }
+
+  /** The conversion-FAILURE stream: left-outer variant of
+    * [[attributeStream]]. A view with no click inside its 24-hour
+    * window emits once with null click columns — but only after the
+    * CLICK-side watermark passes view_ts + 24h + delay, because until
+    * then a matching click could still arrive. That deferred-null
+    * emission is the semantics alerting/abandonment pipelines need, and
+    * it is exactly what Spark's outer stream-stream join provides once
+    * both watermarks and the time-range bound are in place (the same
+    * two conditions that bound the join state). */
+  def unconvertedStream(views: DataFrame, clicks: DataFrame): DataFrame =
+    attributeStream(views, clicks, "left_outer")
+      .filter(col("click_id").isNull)
+      .select(col("user_id"), col("view_id"))
 
   /** Drive a streaming query over the static events parquet (memory sink,
     * synchronous) and return the sink table. */

@@ -76,4 +76,36 @@ class StreamJoinSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(batch == expected)
   }
+
+  test("left-outer: unconverted view emits null row only after the watermark closes its window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val vSrc = MemoryStream[(Long, Timestamp, Long)]
+    val cSrc = MemoryStream[(Long, Timestamp, Long)]
+    val q = StreamingOps.unconvertedStream(
+        vSrc.toDF().toDF("event_id", "ts", "user_id"),
+        cSrc.toDF().toDF("event_id", "ts", "user_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("unconverted").start()
+    // view 101 converts; view 102 never does
+    vSrc.addData((101L, ts("2024-01-01 10:00:00"), 1L), (102L, ts("2024-01-01 10:00:00"), 2L))
+    cSrc.addData((202L, ts("2024-01-01 10:30:00"), 1L))
+    q.processAllAvailable()
+    // too early: a click for view 102 could still arrive
+    assert(spark.table("unconverted").count() == 0)
+    // heartbeats advance BOTH watermarks 3 days past the window
+    vSrc.addData((901L, ts("2024-01-04 10:00:00"), 8L))
+    cSrc.addData((902L, ts("2024-01-04 10:00:00"), 9L))
+    q.processAllAvailable()
+    // one more batch: nulls emit after the watermark update takes effect
+    vSrc.addData((903L, ts("2024-01-04 10:01:00"), 8L))
+    cSrc.addData((904L, ts("2024-01-04 10:01:00"), 9L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("unconverted").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((2L, 102L))) // only the unconverted view; never the matched one
+  }
 }
