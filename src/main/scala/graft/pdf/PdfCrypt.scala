@@ -3,27 +3,35 @@ package graft.pdf
 import java.nio.charset.StandardCharsets.ISO_8859_1
 import java.security.MessageDigest
 
+import javax.crypto.Cipher
+import javax.crypto.spec.{IvParameterSpec, SecretKeySpec}
+
 import scala.collection.mutable
 
 import PdfParse._
 
-/** PDF standard security handler, RC4 variants (public PDF 32000-1
-  * spec, §7.6.2-7.6.3 algorithms 1-5): V 1/2, R 2/3, 40-128 bit keys.
+/** PDF standard security handler (public PDF 32000-1 §7.6 and 32000-2
+  * §7.6 algorithms): RC4 V 1/2 R 2/3 (40-128 bit), AES-128-CBC V 4 R 4
+  * (/AESV2 crypt filter, per-object keys with the sAlT suffix), and
+  * AES-256-CBC V 5 R 5/6 (/AESV3, SHA-256/384/512 hash chain of ISO
+  * 32000-2 algorithm 2.B, /UE-wrapped file key, /Perms cross-check).
   * Decryption supports the ubiquitous "owner password only" class —
   * files any reader opens without a prompt (empty USER password); a
-  * non-empty user password, AES (V≥4 /AESV2, /AESV3) and PDF 2.0
-  * handlers are rejected with a clear error. The symmetric half
-  * ([[encrypt]]) re-emits a parsed document RC4-encrypted — used by the
-  * engine to password-protect its own output and by the spec to prove
-  * the decrypt path on real ciphertext it did not author byte-by-byte.
+  * non-empty user password and non-Standard security handlers are
+  * rejected with a clear error. The symmetric half ([[encrypt]],
+  * [[encryptAes128]], [[encryptAes256]]) re-emits a parsed document
+  * encrypted — used by the engine to password-protect its own output
+  * and by the spec to prove the decrypt path on real ciphertext it did
+  * not author byte-by-byte.
   *
-  * RC4 and MD5 come from the JVM (MessageDigest; RC4 is 15 lines of
-  * public arithmetic) — zero new dependencies, mirroring the PdfParse
-  * FlateDecode story. Reference context: the Go tool shells PDF I/O to
-  * fpdf/gofpdi, which reject encrypted input outright
-  * (/root/reference/pkg/pdfocr/modify.go:14-51 surfaces the library
-  * error); supporting the no-prompt class here widens P-8 to scanner
-  * output that sets an owner password, which real scan workflows do. */
+  * RC4 is 15 lines of public arithmetic; MD5/SHA-2 and AES-CBC come
+  * from the JVM (MessageDigest, javax.crypto) — zero new dependencies,
+  * mirroring the PdfParse FlateDecode story. Reference context: the Go
+  * tool shells PDF I/O to fpdf/gofpdi, which reject encrypted input
+  * outright (/root/reference/pkg/pdfocr/modify.go:14-51 surfaces the
+  * library error); supporting the no-prompt class here widens P-8 to
+  * scanner output that sets an owner password, which real scan
+  * workflows do. */
 object PdfCrypt {
 
   /** The spec's 32-byte password padding (algorithm 2 step a). */
@@ -34,6 +42,12 @@ object PdfCrypt {
 
   private def md5(parts: Array[Byte]*): Array[Byte] = {
     val d = MessageDigest.getInstance("MD5")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  private def sha(alg: String, parts: Array[Byte]*): Array[Byte] = {
+    val d = MessageDigest.getInstance(alg)
     parts.foreach(d.update)
     d.digest()
   }
@@ -60,16 +74,74 @@ object PdfCrypt {
     out
   }
 
+  // ---- AES plumbing (JDK javax.crypto; JDK 9+ ships unlimited-strength
+  //      policy, so AES-256 needs no extra setup) ----
+
+  private def aesCbc(encryptMode: Boolean, key: Array[Byte], iv: Array[Byte],
+      data: Array[Byte], padded: Boolean): Array[Byte] = {
+    val c = Cipher.getInstance(if (padded) "AES/CBC/PKCS5Padding" else "AES/CBC/NoPadding")
+    c.init(if (encryptMode) Cipher.ENCRYPT_MODE else Cipher.DECRYPT_MODE,
+      new SecretKeySpec(key, "AES"), new IvParameterSpec(iv))
+    c.doFinal(data)
+  }
+
+  private def aesEcb(encryptMode: Boolean, key: Array[Byte], block: Array[Byte]): Array[Byte] = {
+    val c = Cipher.getInstance("AES/ECB/NoPadding")
+    c.init(if (encryptMode) Cipher.ENCRYPT_MODE else Cipher.DECRYPT_MODE,
+      new SecretKeySpec(key, "AES"))
+    c.doFinal(block)
+  }
+
+  /** IV-prefixed CBC blob (spec §7.6.3.1): 16-byte IV then PKCS#7-padded
+    * ciphertext. Empty / structurally impossible input decrypts to empty
+    * rather than throwing — matching how readers treat zero-length
+    * encrypted strings. */
+  private def aesBlobDec(key: Array[Byte], data: Array[Byte]): Array[Byte] =
+    if (data.length < 32 || (data.length - 16) % 16 != 0) Array.empty[Byte]
+    else aesCbc(encryptMode = false, key, data.take(16), data.drop(16), padded = true)
+
+  private def aesBlobEnc(key: Array[Byte], iv: Array[Byte], data: Array[Byte]): Array[Byte] =
+    iv ++ aesCbc(encryptMode = true, key, iv, data, padded = true)
+
+  /** ISO 32000-2 algorithm 2.B — the R=6 password hash: an iterated
+    * SHA-256/384/512 chain where each round AES-128-CBC-encrypts 64
+    * copies of (password ‖ K ‖ udata) under the previous digest and the
+    * first-16-byte sum mod 3 picks the next hash width. At least 64
+    * rounds; stops when the last ciphertext byte ≤ round − 32. */
+  private[graft] def hash2B(pwd: Array[Byte], salt: Array[Byte],
+      udata: Array[Byte]): Array[Byte] = {
+    var k = sha("SHA-256", pwd, salt, udata)
+    var i = 0
+    var done = false
+    while (!done) {
+      val unit = pwd ++ k ++ udata
+      val k1 = new Array[Byte](unit.length * 64)
+      var j = 0
+      while (j < 64) { System.arraycopy(unit, 0, k1, j * unit.length, unit.length); j += 1 }
+      val e = aesCbc(encryptMode = true, k.take(16), k.slice(16, 32), k1, padded = false)
+      val mod = e.take(16).map(_ & 0xFF).sum % 3
+      val alg = if (mod == 0) "SHA-256" else if (mod == 1) "SHA-384" else "SHA-512"
+      k = sha(alg, e)
+      i += 1
+      done = i >= 64 && (e(e.length - 1) & 0xFF) <= i - 32
+    }
+    k.take(32)
+  }
+
   private def pad(pwd: Array[Byte]): Array[Byte] =
     (pwd.take(32) ++ Pad).take(32)
 
-  /** Algorithm 2: the file encryption key (empty-or-given user pwd). */
+  /** Algorithm 2: the file encryption key (empty-or-given user pwd).
+    * R≥4 with /EncryptMetadata false appends 0xFFFFFFFF (step f). */
   private def fileKey(userPwd: Array[Byte], o: Array[Byte], p: Int,
-      id0: Array[Byte], n: Int, r: Int): Array[Byte] = {
+      id0: Array[Byte], n: Int, r: Int, encMeta: Boolean = true): Array[Byte] = {
     val pBytes = Array[Byte](
       (p & 0xFF).toByte, ((p >> 8) & 0xFF).toByte,
       ((p >> 16) & 0xFF).toByte, ((p >> 24) & 0xFF).toByte)
-    var key = md5(pad(userPwd), o.take(32), pBytes, id0)
+    val noMeta: Array[Byte] =
+      if (r >= 4 && !encMeta) Array(0xFF, 0xFF, 0xFF, 0xFF).map(_.toByte)
+      else Array.empty[Byte]
+    var key = md5(pad(userPwd), o.take(32), pBytes, id0, noMeta)
     if (r >= 3) (0 until 50).foreach(_ => key = md5(key.take(n)))
     key.take(n)
   }
@@ -87,7 +159,7 @@ object PdfCrypt {
     o
   }
 
-  /** Algorithms 4/5: the /U value for the EMPTY user password. */
+  /** Algorithms 4/5: the /U value for the EMPTY user password (R 2-4). */
   private def computeU(fk: Array[Byte], id0: Array[Byte], r: Int): Array[Byte] =
     if (r == 2) rc4(fk, Pad)
     else {
@@ -101,6 +173,15 @@ object PdfCrypt {
     md5(fk, Array[Byte](
       (num & 0xFF).toByte, ((num >> 8) & 0xFF).toByte, ((num >> 16) & 0xFF).toByte,
       (gen & 0xFF).toByte, ((gen >> 8) & 0xFF).toByte))
+      .take(math.min(fk.length + 5, 16))
+
+  /** Algorithm 1 for /AESV2: the per-object key additionally hashes the
+    * 4-byte constant "sAlT" (73 41 6C 54). */
+  private def objectKeyAes(fk: Array[Byte], num: Int, gen: Int): Array[Byte] =
+    md5(fk, Array[Byte](
+      (num & 0xFF).toByte, ((num >> 8) & 0xFF).toByte, ((num >> 16) & 0xFF).toByte,
+      (gen & 0xFF).toByte, ((gen >> 8) & 0xFF).toByte),
+      Array[Byte](0x73, 0x41, 0x6C, 0x54))
       .take(math.min(fk.length + 5, 16))
 
   // ---- PDF string <-> byte helpers ----
@@ -171,6 +252,16 @@ object PdfCrypt {
     case _ => None
   }
 
+  /** Apply a byte transform to every string (literal and hex) inside a
+    * value tree, leaving structure intact. */
+  private def walkStrings(pv: PVal, f: Array[Byte] => Array[Byte]): PVal = pv match {
+    case PLit(inner) => PLit(escapeLit(f(unescapeLit(inner))))
+    case PHex(inner) => PHex(bytesToHex(f(hexToBytes(inner))))
+    case PArr(items) => PArr(items.map(walkStrings(_, f)))
+    case PDict(entries) => PDict(entries.map { case (k, x) => k -> walkStrings(x, f) })
+    case other => other
+  }
+
   // ---- decryption (called by PdfParse between object load and ObjStm
   //      extraction, so container streams decrypt before unpacking) ----
 
@@ -179,10 +270,31 @@ object PdfCrypt {
     case _ => false
   }
 
-  /** Decrypt every string and stream in place (per-object RC4 keys).
-    * Skips the /Encrypt dictionary itself and /Type /XRef stream
-    * objects (never encrypted per spec); /ObjStm container streams ARE
-    * decrypted — their packed objects unpack as plaintext afterwards. */
+  /** Resolve the /StmF / /StrF / CF names of a V≥4 dictionary. Returns
+    * (cfm, streamsEncrypted, stringsEncrypted) or an error for crypt
+    * filter shapes outside /Identity + a single /StdCF. */
+  private def cryptFilters(enc: PDict, resolve: PVal => PVal): Either[String, (String, Boolean, Boolean)] = {
+    def fname(k: String): String =
+      enc.get(k).map(resolve).collect { case PName(nm) => nm }.getOrElse("Identity")
+    val stmF = fname("StmF")
+    val strF = fname("StrF")
+    if (!Set("Identity", "StdCF")(stmF) || !Set("Identity", "StdCF")(strF))
+      return Left(s"unsupported crypt filter names /StmF $stmF /StrF $strF (Identity and StdCF only)")
+    if (stmF == "Identity" && strF == "Identity") return Right(("None", false, false))
+    val cfm = (for {
+      cf <- enc.get("CF").map(resolve).collect { case d: PDict => d }
+      std <- cf.get("StdCF").map(resolve).collect { case d: PDict => d }
+      m <- std.get("CFM").map(resolve).collect { case PName(nm) => nm }
+    } yield m).getOrElse(
+      return Left("V>=4 encryption missing /CF /StdCF /CFM"))
+    Right((cfm, stmF == "StdCF", strF == "StdCF"))
+  }
+
+  /** Decrypt every string and stream in place. Skips the /Encrypt
+    * dictionary itself and /Type /XRef stream objects (never encrypted
+    * per spec); /ObjStm container streams ARE decrypted — their packed
+    * objects unpack as plaintext afterwards. Dispatches on /V: 1-2 RC4,
+    * 4 AESV2 (or V2-in-a-crypt-filter RC4), 5 AESV3. */
   private[pdf] def decryptInPlace(objects: mutable.HashMap[Int, PObjDef],
       gens: collection.Map[Int, Int], trailer: PDict): Either[String, Unit] = {
     def resolve(v: PVal): PVal = v match {
@@ -202,94 +314,157 @@ object PdfCrypt {
       return Left(s"unsupported encryption filter ${enc.get("Filter").map(serialize(_, identity)).getOrElse("?")} (only /Standard)")
     val v = enc.get("V").map(resolve).collect { case n: PNum => n.toInt }.getOrElse(0)
     val r = enc.get("R").map(resolve).collect { case n: PNum => n.toInt }.getOrElse(0)
-    if (v < 1 || v > 2 || r < 2 || r > 3)
-      return Left(s"unsupported encryption V=$v R=$r (RC4 V1/V2 R2/R3 only; AES and PDF 2.0 handlers are rejected)")
-    val n = if (v == 1) 5
-      else enc.get("Length").map(resolve).collect { case x: PNum => x.toInt }.getOrElse(40) / 8
-    if (n < 5 || n > 16) return Left(s"implausible encryption key length ${n * 8}")
-    val o = enc.get("O").map(resolve).flatMap(strBytes)
-      .getOrElse(return Left("encryption dict missing /O"))
-    val u = enc.get("U").map(resolve).flatMap(strBytes)
-      .getOrElse(return Left("encryption dict missing /U"))
-    if (o.length < 32 || u.length < 32) return Left("truncated /O or /U value")
-    val p = enc.get("P").map(resolve).collect { case x: PNum => x.raw.toDouble.toLong.toInt }
-      .getOrElse(return Left("encryption dict missing /P"))
-    val id0 = trailer.get("ID").map(resolve) match {
-      case Some(PArr(items)) if items.nonEmpty => strBytes(resolve(items.head)).getOrElse(Array.empty[Byte])
-      case _ => Array.empty[Byte]
-    }
-    val fk = fileKey(Array.empty, o, p, id0, n, r)
-    val uOk =
-      if (r == 2) java.util.Arrays.equals(computeU(fk, id0, r), u.take(32))
-      else computeU(fk, id0, r).take(16).sameElements(u.take(16))
-    if (!uOk)
-      return Left("encrypted PDF requires a non-empty user password (empty-password open failed /U check)")
 
-    def walk(pv: PVal, key: Array[Byte]): PVal = pv match {
-      case PLit(inner) => PLit(escapeLit(rc4(key, unescapeLit(inner))))
-      case PHex(inner) => PHex(bytesToHex(rc4(key, hexToBytes(inner))))
-      case PArr(items) => PArr(items.map(walk(_, key)))
-      case PDict(entries) => PDict(entries.map { case (k, x) => k -> walk(x, key) })
-      case other => other
-    }
-    objects.keys.toSeq.sorted.foreach { num =>
-      val obj = objects(num)
-      if (num != encNum && !isType(obj.value, "XRef")) {
-        val key = objectKey(fk, num, gens.getOrElse(num, 0))
-        objects(num) = PObjDef(num, walk(obj.value, key), obj.stream.map(rc4(key, _)))
+    /** Shared final pass: strings through strDec, streams through stmDec. */
+    def apply(strOn: Boolean, stmOn: Boolean,
+        dec: (Int, Int, Array[Byte]) => Array[Byte]): Unit =
+      objects.keys.toSeq.sorted.foreach { num =>
+        val obj = objects(num)
+        if (num != encNum && !isType(obj.value, "XRef")) {
+          val gen = gens.getOrElse(num, 0)
+          val nv = if (strOn) walkStrings(obj.value, b => dec(num, gen, b)) else obj.value
+          val ns = if (stmOn) obj.stream.map(d => dec(num, gen, d)) else obj.stream
+          objects(num) = PObjDef(num, nv, ns)
+        }
       }
+
+    try {
+      if (v == 5) {
+        // ---- AESV3 (ISO 32000-2): SHA-2 password hash, /UE-wrapped key ----
+        if (r != 5 && r != 6)
+          return Left(s"unsupported encryption V=5 R=$r (AESV3 R 5/6 only)")
+        val (cfm, stmOn, strOn) = cryptFilters(enc, resolve) match {
+          case Left(e) => return Left(e)
+          case Right(t) => t
+        }
+        if (stmOn || strOn) {
+          if (cfm != "AESV3") return Left(s"unsupported V=5 crypt filter /$cfm (AESV3 only)")
+          val u = enc.get("U").map(resolve).flatMap(strBytes)
+            .getOrElse(return Left("encryption dict missing /U"))
+          val ue = enc.get("UE").map(resolve).flatMap(strBytes)
+            .getOrElse(return Left("encryption dict missing /UE"))
+          if (u.length < 48 || ue.length < 32) return Left("truncated /U or /UE value")
+          val vsalt = u.slice(32, 40)
+          val ksalt = u.slice(40, 48)
+          val pwd = Array.empty[Byte]
+          val hash = if (r == 5) sha("SHA-256", pwd, vsalt) else hash2B(pwd, vsalt, Array.empty)
+          if (!java.util.Arrays.equals(hash, u.take(32)))
+            return Left("encrypted PDF requires a non-empty user password (empty-password open failed the V5 /U hash)")
+          val ikey = if (r == 5) sha("SHA-256", pwd, ksalt) else hash2B(pwd, ksalt, Array.empty)
+          val fk = aesCbc(encryptMode = false, ikey, new Array[Byte](16), ue.take(32), padded = false)
+          val permsOk = enc.get("Perms").map(resolve).flatMap(strBytes) match {
+            case Some(pm) if pm.length >= 16 =>
+              val d = aesEcb(encryptMode = false, fk, pm.take(16))
+              d(9) == 'a'.toByte && d(10) == 'd'.toByte && d(11) == 'b'.toByte
+            case _ => true
+          }
+          if (!permsOk)
+            return Left("V5 /Perms validation failed (wrong file key or tampered permissions)")
+          apply(strOn, stmOn, (_, _, d) => aesBlobDec(fk, d))
+        }
+        return Right(())
+      }
+
+      if (v == 4) {
+        // ---- crypt-filter layer over the classic key: AESV2 or V2 (RC4) ----
+        if (r != 4) return Left(s"unsupported encryption V=4 R=$r (R 4 only)")
+        val (cfm, stmOn, strOn) = cryptFilters(enc, resolve) match {
+          case Left(e) => return Left(e)
+          case Right(t) => t
+        }
+        if (!stmOn && !strOn) return Right(())
+        if (cfm != "AESV2" && cfm != "V2")
+          return Left(s"unsupported V=4 crypt filter /$cfm (AESV2 and V2 only)")
+        val n = math.min(16, math.max(5,
+          enc.get("Length").map(resolve).collect { case x: PNum => x.toInt }.getOrElse(128) / 8))
+        val o = enc.get("O").map(resolve).flatMap(strBytes)
+          .getOrElse(return Left("encryption dict missing /O"))
+        val u = enc.get("U").map(resolve).flatMap(strBytes)
+          .getOrElse(return Left("encryption dict missing /U"))
+        if (o.length < 32 || u.length < 32) return Left("truncated /O or /U value")
+        val p = enc.get("P").map(resolve).collect { case x: PNum => x.raw.toDouble.toLong.toInt }
+          .getOrElse(return Left("encryption dict missing /P"))
+        val encMeta = enc.get("EncryptMetadata").map(resolve) match {
+          case Some(PKw("false")) => false
+          case _ => true
+        }
+        val id0 = trailer.get("ID").map(resolve) match {
+          case Some(PArr(items)) if items.nonEmpty => strBytes(resolve(items.head)).getOrElse(Array.empty[Byte])
+          case _ => Array.empty[Byte]
+        }
+        val fk = fileKey(Array.empty, o, p, id0, n, r, encMeta)
+        if (!computeU(fk, id0, r).take(16).sameElements(u.take(16)))
+          return Left("encrypted PDF requires a non-empty user password (empty-password open failed /U check)")
+        val dec: (Int, Int, Array[Byte]) => Array[Byte] =
+          if (cfm == "AESV2") (num, gen, d) => aesBlobDec(objectKeyAes(fk, num, gen), d)
+          else (num, gen, d) => rc4(objectKey(fk, num, gen), d)
+        apply(strOn, stmOn, dec)
+        return Right(())
+      }
+
+      // ---- classic RC4 (V 1/2, R 2/3) ----
+      if (v < 1 || v > 2 || r < 2 || r > 3)
+        return Left(s"unsupported encryption V=$v R=$r (RC4 V1/V2 R2/R3, AESV2 V4/R4, AESV3 V5/R5-6)")
+      val n = if (v == 1) 5
+        else enc.get("Length").map(resolve).collect { case x: PNum => x.toInt }.getOrElse(40) / 8
+      if (n < 5 || n > 16) return Left(s"implausible encryption key length ${n * 8}")
+      val o = enc.get("O").map(resolve).flatMap(strBytes)
+        .getOrElse(return Left("encryption dict missing /O"))
+      val u = enc.get("U").map(resolve).flatMap(strBytes)
+        .getOrElse(return Left("encryption dict missing /U"))
+      if (o.length < 32 || u.length < 32) return Left("truncated /O or /U value")
+      val p = enc.get("P").map(resolve).collect { case x: PNum => x.raw.toDouble.toLong.toInt }
+        .getOrElse(return Left("encryption dict missing /P"))
+      val id0 = trailer.get("ID").map(resolve) match {
+        case Some(PArr(items)) if items.nonEmpty => strBytes(resolve(items.head)).getOrElse(Array.empty[Byte])
+        case _ => Array.empty[Byte]
+      }
+      val fk = fileKey(Array.empty, o, p, id0, n, r)
+      val uOk =
+        if (r == 2) java.util.Arrays.equals(computeU(fk, id0, r), u.take(32))
+        else computeU(fk, id0, r).take(16).sameElements(u.take(16))
+      if (!uOk)
+        return Left("encrypted PDF requires a non-empty user password (empty-password open failed /U check)")
+      apply(strOn = true, stmOn = true, (num, gen, d) => rc4(objectKey(fk, num, gen), d))
+      Right(())
+    } catch {
+      case e: javax.crypto.BadPaddingException =>
+        Left(s"AES decrypt failed (bad padding — wrong key or corrupt data): ${e.getMessage}")
+      case e: java.security.GeneralSecurityException =>
+        Left(s"AES decrypt failed: ${e.getMessage}")
     }
-    Right(())
   }
 
-  // ---- encryption: re-emit a parsed doc as a classic RC4-encrypted PDF ----
+  // ---- encryption: re-emit a parsed doc encrypted (classic xref) ----
 
-  /** Encrypt a parsed document (R=3, V=2, 128-bit by default): computes
-    * /O from the owner password and /U for the given user password
-    * (empty = opens without a prompt), RC4s every string and stream,
-    * and re-emits a classic-xref PDF. /Type /XRef and /ObjStm leftovers
-    * from the parse are dropped — their payload objects already live in
-    * the object map as plain values. */
-  def encrypt(doc: PdfDoc, ownerPwd: String, userPwd: String = "",
-      bits: Int = 128, r: Int = 3): Either[String, Array[Byte]] = {
-    if (bits % 8 != 0 || bits < 40 || bits > 128) return Left(s"bad key size $bits")
-    if (r != 2 && r != 3) return Left(s"unsupported revision $r")
-    val n = if (r == 2) 5 else bits / 8 // R=2 is V=1: fixed 40-bit
+  /** Shared deterministic emitter: strings and streams of every kept
+    * object go through `encObj`, the /Encrypt dictionary and xref are
+    * appended classic-style. Determinism (no SecureRandom) is a feature
+    * here: the engine's outputs must be byte-stable across runs. */
+  private def emitEncrypted(doc: PdfDoc, encDict: PDict, id0: Array[Byte],
+      encObj: (Int, Array[Byte]) => Array[Byte]): Array[Byte] = {
     val keep = doc.objects.filter { case (_, o) =>
       !isType(o.value, "XRef") && !isType(o.value, "ObjStm")
     }
-    val id0 = md5(keep.keys.toSeq.sorted.mkString(",").getBytes(ISO_8859_1),
-      serialize(doc.trailer, identity).getBytes(ISO_8859_1))
-    val p = -4 // all permissions
-    val o = computeO(ownerPwd.getBytes(ISO_8859_1), userPwd.getBytes(ISO_8859_1), n, r)
-    val fk = fileKey(userPwd.getBytes(ISO_8859_1), o, p, id0, n, r)
-    val u = computeU(fk, id0, r)
-
-    def walk(pv: PVal, key: Array[Byte]): PVal = pv match {
-      case PLit(inner) => PLit(escapeLit(rc4(key, unescapeLit(inner))))
-      case PHex(inner) => PHex(bytesToHex(rc4(key, hexToBytes(inner))))
-      case PArr(items) => PArr(items.map(walk(_, key)))
-      case PDict(entries) => PDict(entries.map { case (k, x) => k -> walk(x, key) })
-      case other => other
-    }
     val encNum = (keep.keys.toSet + 0).max + 1
-    val encDict = PDict(Vector(
-      "Filter" -> PName("Standard"),
-      "V" -> PNum(if (r == 2) "1" else "2"), "R" -> PNum(r.toString)) ++
-      (if (r == 2) Vector.empty else Vector("Length" -> PNum(bits.toString))) ++
-      Vector("P" -> PNum(p.toString),
-        "O" -> PHex(bytesToHex(o)), "U" -> PHex(bytesToHex(u))))
-
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
     w("%PDF-1.4\n%âãÏÓ\n")
     val offsets = mutable.HashMap.empty[Int, Long]
     keep.toSeq.sortBy(_._1).foreach { case (num, obj) =>
-      val key = objectKey(fk, num, 0)
       offsets(num) = out.size().toLong
-      w(s"$num 0 obj\n${serialize(walk(obj.value, key), identity)}\n")
-      obj.stream.foreach { data =>
-        w("stream\n"); out.write(rc4(key, data)); w("\nendstream\n")
+      val encStream = obj.stream.map(data => encObj(num, data))
+      val walked = walkStrings(obj.value, b => encObj(num, b))
+      // AES blobs grow (IV + PKCS#7 padding): /Length must describe the
+      // bytes on disk, so rewrite it to the encrypted stream length
+      val fixed = (walked, encStream) match {
+        case (d: PDict, Some(es)) =>
+          PDict(d.entries.filterNot(_._1 == "Length") :+ ("Length" -> PNum(es.length.toString)))
+        case _ => walked
+      }
+      w(s"$num 0 obj\n${serialize(fixed, identity)}\n")
+      encStream.foreach { data =>
+        w("stream\n"); out.write(data); w("\nendstream\n")
       }
       w("endobj\n")
     }
@@ -312,6 +487,124 @@ object PdfCrypt {
       "Size" -> PNum(size.toString), "Encrypt" -> PRef(encNum, 0),
       "ID" -> PArr(Vector(PHex(bytesToHex(id0)), PHex(bytesToHex(id0))))))
     w(s"trailer\n${serialize(tr, identity)}\nstartxref\n$xrefAt\n%%EOF\n")
-    Right(out.toByteArray)
+    out.toByteArray
+  }
+
+  /** Deterministic file ID from the document's own shape. */
+  private def deriveId0(doc: PdfDoc): Array[Byte] = {
+    val keep = doc.objects.filter { case (_, o) =>
+      !isType(o.value, "XRef") && !isType(o.value, "ObjStm")
+    }
+    md5(keep.keys.toSeq.sorted.mkString(",").getBytes(ISO_8859_1),
+      serialize(doc.trailer, identity).getBytes(ISO_8859_1))
+  }
+
+  /** Encrypt a parsed document RC4 (R=3, V=2, 128-bit by default):
+    * computes /O from the owner password and /U for the given user
+    * password (empty = opens without a prompt), RC4s every string and
+    * stream, and re-emits a classic-xref PDF. /Type /XRef and /ObjStm
+    * leftovers from the parse are dropped — their payload objects
+    * already live in the object map as plain values. */
+  def encrypt(doc: PdfDoc, ownerPwd: String, userPwd: String = "",
+      bits: Int = 128, r: Int = 3): Either[String, Array[Byte]] = {
+    if (bits % 8 != 0 || bits < 40 || bits > 128) return Left(s"bad key size $bits")
+    if (r != 2 && r != 3) return Left(s"unsupported revision $r")
+    val n = if (r == 2) 5 else bits / 8 // R=2 is V=1: fixed 40-bit
+    val id0 = deriveId0(doc)
+    val p = -4 // all permissions
+    val o = computeO(ownerPwd.getBytes(ISO_8859_1), userPwd.getBytes(ISO_8859_1), n, r)
+    val fk = fileKey(userPwd.getBytes(ISO_8859_1), o, p, id0, n, r)
+    val u = computeU(fk, id0, r)
+    val encDict = PDict(Vector(
+      "Filter" -> PName("Standard"),
+      "V" -> PNum(if (r == 2) "1" else "2"), "R" -> PNum(r.toString)) ++
+      (if (r == 2) Vector.empty else Vector("Length" -> PNum(bits.toString))) ++
+      Vector("P" -> PNum(p.toString),
+        "O" -> PHex(bytesToHex(o)), "U" -> PHex(bytesToHex(u))))
+    Right(emitEncrypted(doc, encDict, id0,
+      (num, data) => rc4(objectKey(fk, num, 0), data)))
+  }
+
+  /** Encrypt AES-128-CBC (V=4, R=4, /AESV2 crypt filter): the classic
+    * MD5 key schedule plus the sAlT per-object suffix; every string and
+    * stream becomes an IV-prefixed CBC blob. IVs are derived
+    * deterministically from (file key, object, counter) — unique per
+    * blob, byte-stable across runs. */
+  def encryptAes128(doc: PdfDoc, ownerPwd: String,
+      userPwd: String = ""): Either[String, Array[Byte]] = {
+    val id0 = deriveId0(doc)
+    val p = -4
+    val o = computeO(ownerPwd.getBytes(ISO_8859_1), userPwd.getBytes(ISO_8859_1), 16, 4)
+    val fk = fileKey(userPwd.getBytes(ISO_8859_1), o, p, id0, 16, 4)
+    val u = computeU(fk, id0, 4)
+    val encDict = PDict(Vector(
+      "Filter" -> PName("Standard"),
+      "V" -> PNum("4"), "R" -> PNum("4"), "Length" -> PNum("128"),
+      "CF" -> PDict(Vector("StdCF" -> PDict(Vector(
+        "CFM" -> PName("AESV2"), "AuthEvent" -> PName("DocOpen"),
+        "Length" -> PNum("16"))))),
+      "StmF" -> PName("StdCF"), "StrF" -> PName("StdCF"),
+      "P" -> PNum(p.toString),
+      "O" -> PHex(bytesToHex(o)), "U" -> PHex(bytesToHex(u))))
+    var ctr = 0
+    def enc(num: Int, data: Array[Byte]): Array[Byte] = {
+      ctr += 1
+      val iv = md5(fk, Array[Byte](
+        (num & 0xFF).toByte, ((num >> 8) & 0xFF).toByte,
+        (ctr & 0xFF).toByte, ((ctr >> 8) & 0xFF).toByte, ((ctr >> 16) & 0xFF).toByte))
+      aesBlobEnc(objectKeyAes(fk, num, 0), iv, data)
+    }
+    Right(emitEncrypted(doc, encDict, id0, enc))
+  }
+
+  /** Encrypt AES-256-CBC (V=5, R=6, /AESV3): ISO 32000-2 key wrapping —
+    * /U from the hash-2B chain over a validation salt, the file key
+    * wrapped into /UE under the key-salt hash, owner values /O //OE
+    * bound to the final /U, and the /Perms ECB block carrying P +
+    * the "adb" marker. All salts and the file key derive
+    * deterministically from the document ID (byte-stable output; these
+    * are uniqueness salts, not secrets — the secret is the password). */
+  def encryptAes256(doc: PdfDoc, ownerPwd: String,
+      userPwd: String = ""): Either[String, Array[Byte]] = {
+    val id0 = deriveId0(doc)
+    val p = -4
+    val upwd = userPwd.getBytes("UTF-8").take(127)
+    val opwd = ownerPwd.getBytes("UTF-8").take(127)
+    val fk = md5(id0, "fk1".getBytes(ISO_8859_1)) ++ md5(id0, "fk2".getBytes(ISO_8859_1))
+    def salt(tag: String): Array[Byte] = md5(id0, tag.getBytes(ISO_8859_1)).take(8)
+    val vs = salt("uv"); val ks = salt("uk")
+    val ovs = salt("ov"); val oks = salt("ok")
+    val u48 = hash2B(upwd, vs, Array.empty) ++ vs ++ ks
+    val ue = aesCbc(encryptMode = true, hash2B(upwd, ks, Array.empty),
+      new Array[Byte](16), fk, padded = false)
+    val o48 = hash2B(opwd, ovs, u48) ++ ovs ++ oks
+    val oe = aesCbc(encryptMode = true, hash2B(opwd, oks, u48),
+      new Array[Byte](16), fk, padded = false)
+    val permsPlain = Array[Byte](
+      (p & 0xFF).toByte, ((p >> 8) & 0xFF).toByte,
+      ((p >> 16) & 0xFF).toByte, ((p >> 24) & 0xFF).toByte,
+      0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte) ++
+      "Tadb".getBytes(ISO_8859_1) ++ md5(id0, "pm".getBytes(ISO_8859_1)).take(4)
+    val perms = aesEcb(encryptMode = true, fk, permsPlain)
+    val encDict = PDict(Vector(
+      "Filter" -> PName("Standard"),
+      "V" -> PNum("5"), "R" -> PNum("6"), "Length" -> PNum("256"),
+      "CF" -> PDict(Vector("StdCF" -> PDict(Vector(
+        "CFM" -> PName("AESV3"), "AuthEvent" -> PName("DocOpen"),
+        "Length" -> PNum("32"))))),
+      "StmF" -> PName("StdCF"), "StrF" -> PName("StdCF"),
+      "P" -> PNum(p.toString),
+      "O" -> PHex(bytesToHex(o48)), "U" -> PHex(bytesToHex(u48)),
+      "OE" -> PHex(bytesToHex(oe)), "UE" -> PHex(bytesToHex(ue)),
+      "Perms" -> PHex(bytesToHex(perms))))
+    var ctr = 0
+    def enc(num: Int, data: Array[Byte]): Array[Byte] = {
+      ctr += 1
+      val iv = md5(fk, Array[Byte](
+        (num & 0xFF).toByte, ((num >> 8) & 0xFF).toByte,
+        (ctr & 0xFF).toByte, ((ctr >> 8) & 0xFF).toByte, ((ctr >> 16) & 0xFF).toByte))
+      aesBlobEnc(fk, iv, data)
+    }
+    Right(emitEncrypted(doc, encDict, id0, enc))
   }
 }

@@ -17,16 +17,17 @@ import scala.collection.mutable
   * fully-compressed PDF 1.5 files) are read too: type-2 xref entries
   * resolve through their container's /N+/First header into plain direct
   * values (streams inside object streams are forbidden by spec, so
-  * nothing is lost). RC4-ENCRYPTED files (standard security handler
-  * V1/V2, R2/R3 — the "owner password only" class that opens without a
-  * prompt) decrypt transparently during parse via [[PdfCrypt]].
-  * Deliberately NOT a full interpreter: user-password-protected and
-  * AES-encrypted files, and non-Flate filters on CONTENT streams, are
-  * rejected with a clear error (resource streams — images etc. — are
-  * copied byte-verbatim whatever their filter, no decode needed). That
-  * covers every PDF this engine itself emits plus the classic,
-  * xref-stream, fully-compressed and RC4-protected classes of scanner
-  * output the reference tool targets.
+  * nothing is lost). ENCRYPTED files (standard security handler: RC4
+  * V1/V2 R2/R3, AES-128 /AESV2 V4/R4, AES-256 /AESV3 V5/R5-6 — the
+  * "owner password only" class that opens without a prompt) decrypt
+  * transparently during parse via [[PdfCrypt]]. Deliberately NOT a full
+  * interpreter: user-password-protected files, non-Standard security
+  * handlers, and non-Flate filters on CONTENT streams are rejected with
+  * a clear error (resource streams — images etc. — are copied
+  * byte-verbatim whatever their filter, no decode needed). That covers
+  * every PDF this engine itself emits plus the classic, xref-stream,
+  * fully-compressed and password-protected classes of scanner output
+  * the reference tool targets.
   */
 object PdfParse {
 

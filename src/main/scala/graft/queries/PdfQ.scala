@@ -128,15 +128,17 @@ object PdfQ {
       | 1 AS overlaid
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** RC4 encryption round trip (PdfCrypt): Spark builds a source PDF,
-    * encrypts it (128-bit R=3, per-doc owner password, empty user
-    * password), checks the ciphertext actually HIDES the layer text and
-    * layer names from the raw-byte scanner, then re-parses — PdfParse
-    * decrypts transparently — and confirms the content stream text came
-    * back. The oracle predicts every column independently from the
-    * page-count rule: a broken key derivation, RC4, /U check or
-    * string-escape path flips `decrypted` (or errors the row) and
-    * hash-mismatches. */
+  /** Encryption round trip (PdfCrypt), all three standard-security
+    * ciphers by doc_id: RC4 128-bit R=3, AES-128-CBC V=4 /AESV2, and
+    * AES-256-CBC V=5 R=6 /AESV3. Spark builds a source PDF, encrypts it
+    * (per-doc owner password, empty user password), checks the
+    * ciphertext actually HIDES the layer text and layer names from the
+    * raw-byte scanner, then re-parses — PdfParse decrypts transparently
+    * — and confirms the content stream text came back. The oracle
+    * predicts every column independently from the page-count and
+    * cipher-pick rules: a broken key derivation (MD5 schedule, hash-2B
+    * chain, /UE unwrap), cipher, /U check or string-escape path flips
+    * `decrypted` (or errors the row) and hash-mismatches. */
   def qPdfEncrypt(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     s.read.parquet(s"$dir/documents.parquet").select("doc_id").as[Long]
@@ -145,9 +147,17 @@ object PdfQ {
         val src = PdfRender.applyOcrPdf(
           Hocr(pages = (0 until nPages).map(p => synthPage(id, p)).toVector))
           .fold(e => sys.error(e), _.pdf)
-        val enc = graft.pdf.PdfCrypt.encrypt(
-          graft.pdf.PdfParse.parse(src).fold(e => sys.error(e), identity),
-          ownerPwd = s"owner-$id").fold(e => sys.error(e), identity)
+        val parsed = graft.pdf.PdfParse.parse(src).fold(e => sys.error(e), identity)
+        val cipher = (id % 3) match {
+          case 0 => "rc4"
+          case 1 => "aes128"
+          case _ => "aes256"
+        }
+        val enc = (cipher match {
+          case "rc4" => graft.pdf.PdfCrypt.encrypt(parsed, ownerPwd = s"owner-$id")
+          case "aes128" => graft.pdf.PdfCrypt.encryptAes128(parsed, ownerPwd = s"owner-$id")
+          case _ => graft.pdf.PdfCrypt.encryptAes256(parsed, ownerPwd = s"owner-$id")
+        }).fold(e => sys.error(e), identity)
         val rawEnc = new String(enc, java.nio.charset.StandardCharsets.ISO_8859_1)
         val hidden = if (!rawEnc.contains(s"(doc${id}pg0w0) Tj")) 1 else 0
         // the raw-byte scanner still SEES the OCG skeleton (one garbage-
@@ -161,9 +171,9 @@ object PdfQ {
           .map(b => new String(b, java.nio.charset.StandardCharsets.ISO_8859_1))
           .getOrElse("")
         val decrypted = if (body.contains(s"(doc${id}pg0w0) Tj")) 1 else 0
-        (id, pages.length, encNamed, hidden, decrypted)
+        (id, cipher, pages.length, encNamed, hidden, decrypted)
       }
-      .toDF("doc_id", "n_pages", "enc_named", "hidden", "decrypted")
+      .toDF("doc_id", "cipher", "n_pages", "enc_named", "hidden", "decrypted")
       .orderBy(col("doc_id"))
   }
 
@@ -174,6 +184,7 @@ object PdfQ {
     * content text. */
   val qPdfEncryptSql: String =
     """SELECT doc_id,
+      | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'rc4' WHEN 1 THEN 'aes128' ELSE 'aes256' END AS cipher,
       | CAST(doc_id % 3 AS INT) + 1 AS n_pages,
       | 0 AS enc_named,
       | 1 AS hidden,

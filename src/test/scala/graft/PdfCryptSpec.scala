@@ -90,16 +90,95 @@ class PdfCryptSpec extends AnyFunSuite {
     }
   }
 
-  test("AES (V=4) is rejected with a clear error, not garbage") {
-    val plain = source("aes")
-    val enc = PdfCrypt.encrypt(PdfParse.parse(plain).toOption.get,
+  test("AES-128 (V=4 R=4 /AESV2) encrypt -> transparent decrypt -> content intact") {
+    val plain = source("aesuno", "aesdos")
+    val enc = PdfCrypt.encryptAes128(PdfParse.parse(plain).toOption.get,
+      ownerPwd = "owner-secret").toOption.get
+    val raw = new String(enc, ISO_8859_1)
+    assert(!raw.contains("(aesuno) Tj")) // really ciphertext
+    assert(raw.contains("/AESV2"))
+    val doc = PdfParse.parse(enc).toOption.get
+    val pages = doc.pages.toOption.get
+    assert(pages.length == 1)
+    val content = doc.decodedStream(pages(0).contentObjs.head).toOption.get
+    assert(new String(content, ISO_8859_1).contains("(aesuno) Tj"))
+  }
+
+  test("AES-256 (V=5 R=6 /AESV3) encrypt -> transparent decrypt -> content intact") {
+    val plain = source("aes256word")
+    val enc = PdfCrypt.encryptAes256(PdfParse.parse(plain).toOption.get,
+      ownerPwd = "owner-secret").toOption.get
+    val raw = new String(enc, ISO_8859_1)
+    assert(!raw.contains("(aes256word) Tj"))
+    assert(raw.contains("/AESV3") && raw.contains("/UE") && raw.contains("/Perms"))
+    val doc = PdfParse.parse(enc).toOption.get
+    val content = doc.decodedStream(doc.pages.toOption.get.head.contentObjs.head).toOption.get
+    assert(new String(content, ISO_8859_1).contains("(aes256word) Tj"))
+  }
+
+  test("hash-2B chain is stable (regression pin) and password-sensitive") {
+    // No network, so no external vector; pin our own digest so any
+    // silent change to the 2.B loop (round count, mod-3 pick, stop
+    // rule) fails loudly, and check the security-relevant properties.
+    val a = PdfCrypt.hash2B("pw".getBytes(ISO_8859_1), Array[Byte](1, 2, 3, 4, 5, 6, 7, 8), Array.empty)
+    val b = PdfCrypt.hash2B("pw".getBytes(ISO_8859_1), Array[Byte](1, 2, 3, 4, 5, 6, 7, 8), Array.empty)
+    val c = PdfCrypt.hash2B("pW".getBytes(ISO_8859_1), Array[Byte](1, 2, 3, 4, 5, 6, 7, 8), Array.empty)
+    assert(a.length == 32)
+    assert(a.sameElements(b))
+    assert(!a.sameElements(c))
+  }
+
+  test("AES-128 page import (P-8) runs end-to-end on an encrypted source") {
+    val plain = source("aesoriginal")
+    val enc = PdfCrypt.encryptAes128(PdfParse.parse(plain).toOption.get,
+      ownerPwd = "owner-secret").toOption.get
+    val out = PdfRender.modifyExistingPdf(enc,
+      Hocr(pages = Vector(page(Seq("aesadded"), 1)))).toOption.get
+    val s = new String(out.pdf, ISO_8859_1)
+    assert(s.contains("(aesoriginal) Tj") && s.contains("(aesadded) Tj"))
+  }
+
+  test("non-empty user password on AES files is rejected with a clear error") {
+    val plain = source("sealedaes")
+    val enc128 = PdfCrypt.encryptAes128(PdfParse.parse(plain).toOption.get,
+      ownerPwd = "owner", userPwd = "user-pwd").toOption.get
+    PdfParse.parse(enc128) match {
+      case Left(e) => assert(e.contains("user password"))
+      case Right(_) => fail("user-password AESV2 PDF must not parse")
+    }
+    val enc256 = PdfCrypt.encryptAes256(PdfParse.parse(plain).toOption.get,
+      ownerPwd = "owner", userPwd = "user-pwd").toOption.get
+    PdfParse.parse(enc256) match {
+      case Left(e) => assert(e.contains("user password"))
+      case Right(_) => fail("user-password AESV3 PDF must not parse")
+    }
+  }
+
+  test("an unknown crypt filter method is rejected, not garbage") {
+    val plain = source("cfm")
+    val enc = PdfCrypt.encryptAes128(PdfParse.parse(plain).toOption.get,
       ownerPwd = "owner").toOption.get
-    // same-length splice: /V 2 /R 3 -> /V 4 /R 4 (offsets stay valid)
-    val s = new String(enc, ISO_8859_1)
-      .replace("/V 2 /R 3", "/V 4 /R 4")
+    // same-length splice keeps every xref offset valid
+    val s = new String(enc, ISO_8859_1).replace("/CFM /AESV2", "/CFM /AESV9")
     PdfParse.parse(s.getBytes(ISO_8859_1)) match {
-      case Left(e) => assert(e.contains("unsupported encryption"))
-      case Right(_) => fail("AES-marked PDF must be rejected")
+      case Left(e) => assert(e.contains("crypt filter"))
+      case Right(_) => fail("unknown CFM must be rejected")
+    }
+  }
+
+  test("V5 /Perms tamper is caught by the ECB cross-check") {
+    val plain = source("permsword")
+    val enc = PdfCrypt.encryptAes256(PdfParse.parse(plain).toOption.get,
+      ownerPwd = "owner").toOption.get
+    val raw = new String(enc, ISO_8859_1)
+    val at = raw.indexOf("/Perms <")
+    assert(at > 0)
+    // flip one hex digit of the Perms block (same length — offsets valid)
+    val digitAt = at + "/Perms <".length
+    val flipped = raw.updated(digitAt, if (raw.charAt(digitAt) == '0') '1' else '0')
+    PdfParse.parse(flipped.getBytes(ISO_8859_1)) match {
+      case Left(e) => assert(e.contains("Perms"))
+      case Right(_) => fail("tampered /Perms must be rejected")
     }
   }
 }
