@@ -309,6 +309,55 @@ object DedupQ {
       |       CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
       |FROM labels ORDER BY doc_id""".stripMargin
 
+  /** Canonical-document SELECTION — the dedup *resolution* step: given
+    * the near-dup clusters, keep exactly one member per cluster (the
+    * longest text, doc_id tie-break — "most complete version wins") and
+    * point every other member at it. This is what a production pipeline
+    * actually writes back: a keep/drop verdict per clustered doc, not
+    * just the cluster labels. Plan shape: cluster labels (pointer-jump
+    * CC) -> slim length projection join -> one partial-agg argmax per
+    * cluster (max(struct)) -> AQE-broadcast join back. No window over
+    * the full corpus; every shuffle carries only clustered docs. */
+  def qCanonicalDocs(s: SparkSession, dir: String): DataFrame = {
+    val clusters = qDedupCluster(s, dir)
+    val lens = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+    val joined = clusters.join(lens, "doc_id")
+    // argmax(n_chars, tie-break MIN doc_id) as a single partial-aggable
+    // max(struct(n_chars, -doc_id)) — no row_number window needed
+    val canon = joined.groupBy(col("cluster_rep").as("cr"))
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg"))).as("m"))
+      .select(col("cr"), (-col("m.neg")).as("canonical_id"))
+    joined.join(canon, col("cluster_rep") === col("cr"))
+      .select(col("doc_id"), col("cluster_rep"), col("cluster_size"),
+        col("n_chars"), col("canonical_id"),
+        when(col("doc_id") === col("canonical_id"), lit(1)).otherwise(lit(0)).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qCanonicalDocsSql: String =
+    s"""$bandsCte,
+      |$cappedCte,
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach AS (SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges) t
+      |          UNION
+      |          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |labels AS (SELECT src AS doc_id, MIN(dst) AS cluster_rep FROM reach GROUP BY src),
+      |sized AS (SELECT doc_id, cluster_rep,
+      |                 CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
+      |          FROM labels),
+      |j AS (SELECT s.doc_id, s.cluster_rep, s.cluster_size,
+      |             CAST(length(d.text) AS BIGINT) AS n_chars
+      |      FROM sized s JOIN documents d ON s.doc_id = d.doc_id),
+      |c AS (SELECT cluster_rep, doc_id AS canonical_id FROM (
+      |        SELECT cluster_rep, doc_id,
+      |               ROW_NUMBER() OVER (PARTITION BY cluster_rep ORDER BY n_chars DESC, doc_id) AS rk
+      |        FROM j) WHERE rk = 1)
+      |SELECT j.doc_id, j.cluster_rep, j.cluster_size, j.n_chars, c.canonical_id,
+      |       CAST(CASE WHEN j.doc_id = c.canonical_id THEN 1 ELSE 0 END AS INT) AS is_canonical
+      |FROM j JOIN c ON j.cluster_rep = c.cluster_rep ORDER BY j.doc_id""".stripMargin
+
   /** n-gram Jaccard similarity over a bounded doc subset (doc_id < 40):
     * |A ∩ B| via a shingle equi-join, |A ∪ B| = |A| + |B| - |A ∩ B|.
     * Ratio is int/int -> identical double on both engines. */
@@ -628,6 +677,7 @@ object DedupQ {
     "q_minhash_lsh" -> ((qMinhashLsh _, Some(qMinhashLshSql))),
     "q_lsh_bucket_profile" -> ((qLshBucketProfile _, Some(qLshBucketProfileSql))),
     "q_dedup_cluster" -> ((qDedupCluster _, Some(qDedupClusterSql))),
+    "q_canonical_docs" -> ((qCanonicalDocs _, Some(qCanonicalDocsSql))),
     "q_neardup_verified" -> ((qNeardupVerified _, Some(qNeardupVerifiedSql))),
     "q_simhash_neardup" -> ((qSimhashNeardup _, Some(qSimhashNeardupSql))),
     "q_ngram_jaccard" -> ((qNgramJaccard _, Some(qNgramJaccardSql))),

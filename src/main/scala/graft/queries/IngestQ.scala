@@ -70,6 +70,62 @@ object IngestQ {
       |  CAST(64 + doc_id % 10 AS BIGINT) AS length
       |FROM p ORDER BY doc_id, page_idx""".stripMargin
 
+  /** Multi-format sink/source parity: write the documents table through
+    * the ORC, CSV and JSON(JSONL) sinks, read each back through the
+    * matching source, and report per format: row count, id/char sums,
+    * and a text-parity flag (exact string equality against the parquet
+    * baseline, counted over a full outer join so BOTH dropped and
+    * phantom rows surface). The oracle predicts every row from the
+    * parquet table alone — a lossy writer (CSV quoting/escaping, JSON
+    * string escapes), a schema drift, or a dropped row flips parity or
+    * a sum and hash-mismatches. Scale shape: each format is a
+    * distributed write + scan; the parity check is an equi-join on the
+    * id; aggregates are partial. */
+  def qFormatParity(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val sfName = Paths.get(dir).getFileName.toString
+    val root = s"/tmp/graft_fmt_$sfName"
+    val base = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    base.write.mode("overwrite").orc(s"$root/orc")
+    base.write.mode("overwrite")
+      .option("header", "true").option("quoteAll", "true").option("escape", "\"")
+      .csv(s"$root/csv")
+    base.write.mode("overwrite").json(s"$root/json")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType)))
+    val readers = Seq(
+      "csv" -> s.read.schema(schema)
+        .option("header", "true").option("quote", "\"").option("escape", "\"")
+        .csv(s"$root/csv"),
+      "json" -> s.read.schema(schema).json(s"$root/json"),
+      "orc" -> s.read.schema(schema).orc(s"$root/orc"))
+    val b = base.select(col("doc_id").as("b_id"), col("text").as("b_text"))
+    readers.map { case (fmt, df) =>
+      df.join(b, col("doc_id") === col("b_id"), "full")
+        .agg(
+          count(col("doc_id")).as("n_rows"),
+          sum(col("doc_id")).as("sum_doc_id"),
+          sum(length(col("text"))).as("sum_chars"),
+          sum(when(col("doc_id").isNull || col("b_id").isNull
+            || col("text") =!= col("b_text"), 1L).otherwise(0L)).as("bad"))
+        .select(lit(fmt).as("format"), col("n_rows"), col("sum_doc_id"),
+          col("sum_chars"),
+          when(col("bad") === 0, lit(1)).otherwise(lit(0)).as("parity"))
+    }.reduce(_ unionAll _).orderBy(col("format"))
+  }
+
+  val qFormatParitySql: String =
+    """WITH a AS (SELECT COUNT(*) AS n_rows,
+      |                  CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+      |                  CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+      |           FROM documents)
+      |SELECT f.format, a.n_rows, a.sum_doc_id, a.sum_chars, 1 AS parity
+      |FROM a, (VALUES ('csv'), ('json'), ('orc')) AS f(format)
+      |ORDER BY f.format""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
-    "q_binary_ingest" -> ((qBinaryIngest _, Some(qBinaryIngestSql))))
+    "q_binary_ingest" -> ((qBinaryIngest _, Some(qBinaryIngestSql))),
+    "q_format_parity" -> ((qFormatParity _, Some(qFormatParitySql))))
 }

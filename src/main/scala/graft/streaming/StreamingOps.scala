@@ -250,6 +250,22 @@ object StreamingOps {
   def runSlidingOverDir(spark: SparkSession, sfDir: String, queryName: String): DataFrame =
     runStreamOverDir(spark, sfDir, queryName, slidingCounts)
 
+  /** Streaming Count-Min sketch maintenance: the CMS cell table kept as
+    * a streaming aggregation over the incoming document feed. State is
+    * BOUNDED at CmsDepth x CmsWidth keys no matter how long the stream
+    * runs — the entire point of sketching a feed where exact per-bigram
+    * state grows without bound (the batch q_cms_heavy's `exact` relation
+    * could not be streamed). Bigram extraction and cell arithmetic are
+    * SHARED with the batch query (MiningQ.cmsBigrams / cmsCellArray), so
+    * the streaming sketch is bit-identical to a batch sketch over the
+    * same data and estimates keep the one-sided CMS error law
+    * (estimate >= exact, always). Complete output mode: the sketch is
+    * small enough to re-emit in full every trigger. */
+  def cmsStream(docs: DataFrame): DataFrame =
+    graft.queries.MiningQ.cmsBigrams(docs)
+      .select(posexplode(graft.queries.MiningQ.cmsCellArray).as(Seq("j", "cell")))
+      .groupBy(col("j"), col("cell")).agg(count(lit(1)).as("cv"))
+
   private def runStreamOverDir(spark: SparkSession, sfDir: String, queryName: String,
       op: DataFrame => DataFrame): DataFrame = {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
