@@ -62,16 +62,17 @@ object DedupQ {
     * MinHash. NOT deduped: MinHash's min over a multiset equals min over
     * the set, so skipping the `distinct` costs nothing semantically and
     * removes an entire pre-aggregation shuffle of the shingle relation. */
-  private def wordShingles(s: SparkSession, dir: String): DataFrame = {
-    val base = documents(s, dir)
+  private def wordShinglesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(trim(norm(col("text"))), " ").as("w"))
-    base
       .select(col("doc_id"), col("w"),
         explode(sequence(lit(0), greatest(size(col("w")) - 3, lit(0)))).as("i"))
       .filter(col("i") <= size(col("w")) - 3)
       .select(col("doc_id"),
         concat_ws(" ", expr("w[i]"), expr("w[i+1]"), expr("w[i+2]")).as("s"))
-  }
+
+  private def wordShingles(s: SparkSession, dir: String): DataFrame =
+    wordShinglesOf(documents(s, dir).select(col("doc_id"), col("text")))
 
   /** Docs per (band, band_hash) bucket above which the bucket is excluded
     * from candidate generation — the skew guard: one degenerate bucket
@@ -87,8 +88,8 @@ object DedupQ {
     * its 16 keyed hashes in-register (no 16x row explode), and the single
     * groupBy(doc_id) gets map-side partial combine — each partition ships
     * at most one 16-column row per doc into the only shuffle. */
-  private def lshBands(s: SparkSession, dir: String): DataFrame = {
-    val hashed = wordShingles(s, dir).select(
+  private def lshBandsOf(docs: DataFrame): DataFrame = {
+    val hashed = wordShinglesOf(docs).select(
       col("doc_id") +:
         (0 until 16).map(j =>
           md5(concat(lit(j.toString), lit(":"), col("s")).cast("binary")).as(s"h$j")): _*)
@@ -99,6 +100,9 @@ object DedupQ {
         md5(concat_ws(",", (4 * b until 4 * b + 4).map(k => col(s"m$k")): _*).cast("binary"))
       }: _*)).as(Seq("band", "bh")))
   }
+
+  private def lshBands(s: SparkSession, dir: String): DataFrame =
+    lshBandsOf(documents(s, dir).select(col("doc_id"), col("text")))
 
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -177,8 +181,11 @@ object DedupQ {
 
   /** Shared DuckDB CTE prefix: documents -> band signatures (the oracle
     * spelling of [[lshBands]]), used by all three MinHash oracles. */
-  private val bandsCte: String =
-    s"""WITH RECURSIVE n AS (SELECT doc_id, regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w FROM documents),
+  /** The band-signature CTE chain over an arbitrary (doc_id, text)
+    * relation name — lets eval queries band a UNION corpus (base +
+    * planted variants) through the exact same oracle spelling. */
+  private def bandsCteBody(src: String): String =
+    s"""n AS (SELECT doc_id, regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w FROM $src),
       |sh AS (SELECT DISTINCT doc_id, w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2] AS s
       |       FROM n, UNNEST(generate_series(1, greatest(length(w) - 2, 0))) AS u(i)
       |       WHERE CAST(i AS INT) <= length(w) - 2),
@@ -188,6 +195,8 @@ object DedupQ {
       |bands AS (SELECT doc_id, CAST(FLOOR(j / 4) AS INT) AS band,
       |                 md5(STRING_AGG(m, ',' ORDER BY j)) AS bh
       |          FROM mh GROUP BY doc_id, CAST(FLOOR(j / 4) AS INT))""".stripMargin
+
+  private val bandsCte: String = "WITH RECURSIVE " + bandsCteBody("documents")
 
   private val cappedCte: String =
     s"""bsz AS (SELECT band, bh, COUNT(*) AS bn FROM bands GROUP BY band, bh),
@@ -308,6 +317,156 @@ object DedupQ {
       |SELECT doc_id, cluster_rep,
       |       CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
       |FROM labels ORDER BY doc_id""".stripMargin
+
+  /** LSH RECALL evaluation harness — measures the approximate pipeline
+    * against KNOWN ground truth, the QA step a production dedup ships
+    * with: variants are planted fixture-in-query (doc_id % 23 == 0 and
+    * length >= 60 gets a copy at +2,000,000 with chars 25-27 rewritten
+    * — a handful of word-3-gram shingles change, Jaccard stays high),
+    * the standard banding runs over base + variants, and each planted
+    * pair reports whether ANY capped band bucket caught it plus its
+    * exact shingle Jaccard. Recall is then `avg(found)`; the per-pair
+    * rows keep the misses inspectable (which Jaccard levels the 4x4
+    * banding starts dropping). Both engines derive the same planted
+    * relation and the same bands from the documents table alone. */
+  def qLshRecall(s: SparkSession, dir: String): DataFrame = {
+    val base = documents(s, dir).select(col("doc_id"), col("text"))
+    val planted = base.filter(col("doc_id") % 23 === 0 && length(col("text")) >= 60)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(expr("substr(text, 1, 24)"), lit("qzx"), expr("substr(text, 28)")).as("text"))
+    val corpus = base.unionAll(planted)
+    val bands = lshBandsOf(corpus)
+    val w = Window.partitionBy(col("band"), col("bh"))
+    val capped = bands.withColumn("bn", count(lit(1)).over(w))
+      .filter(col("bn") <= MaxLshBucket)
+      .select(col("doc_id"), col("band"), col("bh"))
+    val found = capped.as("a").join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("b.doc_id") === col("a.doc_id") + 2000000L)
+      .select(col("a.doc_id").as("doc_id")).distinct()
+      .withColumn("hit", lit(1))
+    val origIds = planted.select((col("doc_id") - 2000000L).as("doc_id"))
+    val shAll = wordShinglesOf(corpus).distinct().cache()
+    val shA = shAll.join(origIds, Seq("doc_id"))
+    val shB = shAll.filter(col("doc_id") >= 2000000L)
+      .select((col("doc_id") - 2000000L).as("doc_id"), col("s"))
+    val na = shA.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
+    val nb = shB.groupBy(col("doc_id")).agg(count(lit(1)).as("nb"))
+    val ni = shA.as("x")
+      .join(shB.as("y"), col("x.doc_id") === col("y.doc_id") && col("x.s") === col("y.s"))
+      .groupBy(col("x.doc_id").as("doc_id")).agg(count(lit(1)).as("ni"))
+    origIds.join(na, Seq("doc_id")).join(nb, Seq("doc_id")).join(ni, Seq("doc_id"))
+      .join(found, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("hit"), lit(0)).as("found"),
+        round(col("ni").cast("double") / (col("na") + col("nb") - col("ni")), 4).as("jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qLshRecallSql: String =
+    s"""WITH RECURSIVE srcu AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, substr(text, 1, 24) || 'qzx' || substr(text, 28)
+      |  FROM documents WHERE doc_id % 23 = 0 AND length(text) >= 60),
+      |${bandsCteBody("srcu")},
+      |bsz AS (SELECT band, bh, COUNT(*) AS bn FROM bands GROUP BY band, bh),
+      |capped AS (SELECT doc_id, b.band, b.bh FROM bands b JOIN bsz USING (band, bh)
+      |           WHERE bn <= $MaxLshBucket),
+      |found AS (SELECT DISTINCT a.doc_id
+      |          FROM capped a JOIN capped b
+      |            ON a.band = b.band AND a.bh = b.bh AND b.doc_id = a.doc_id + 2000000),
+      |orig AS (SELECT doc_id FROM documents WHERE doc_id % 23 = 0 AND length(text) >= 60),
+      |na AS (SELECT s.doc_id, COUNT(*) AS n FROM sh s JOIN orig o ON s.doc_id = o.doc_id GROUP BY s.doc_id),
+      |nb AS (SELECT doc_id - 2000000 AS doc_id, COUNT(*) AS n FROM sh WHERE doc_id >= 2000000 GROUP BY doc_id),
+      |ni AS (SELECT x.doc_id, COUNT(*) AS n
+      |       FROM sh x JOIN sh y ON y.doc_id = x.doc_id + 2000000 AND y.s = x.s
+      |                 JOIN orig o ON o.doc_id = x.doc_id
+      |       GROUP BY x.doc_id)
+      |SELECT o.doc_id,
+      |       CAST(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS found,
+      |       round(ni.n * 1.0 / (na.n + nb.n - ni.n), 4) AS jaccard
+      |FROM orig o
+      |JOIN na ON na.doc_id = o.doc_id
+      |JOIN nb ON nb.doc_id = o.doc_id
+      |JOIN ni ON ni.doc_id = o.doc_id
+      |LEFT JOIN found f ON f.doc_id = o.doc_id
+      |ORDER BY o.doc_id""".stripMargin
+
+  /** INCREMENTAL ingestion dedup — the asymmetric production shape the
+    * self-join queries don't cover: a standing corpus keeps an LSH band
+    * INDEX (here docs with doc_id % 10 != 0; in production a persisted,
+    * bucket-partitioned table built once), and each incoming batch
+    * (doc_id % 10 == 0) probes it — new docs never join each other, so
+    * daily cost is O(batch x bucket hit rate), not O(corpus^2) and not
+    * even O(corpus) after the index exists. Oversized INDEX buckets are
+    * capped exactly like the self-join path; candidates are verified
+    * with exact word-3-gram Jaccard restricted to candidate docs; the
+    * verdict is rolled up per NEW doc (candidate count, best match by
+    * Jaccard with min-id tie-break, is_dup at 0.5). Jaccard is int/int
+    * division rounded to 4 — deterministic across engines. */
+  def qIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val bands = cachedBands(s, dir)
+    val idx = bands.filter(col("doc_id") % 10 =!= 0)
+    val w = Window.partitionBy(col("band"), col("bh"))
+    val icap = idx.withColumn("bn", count(lit(1)).over(w))
+      .filter(col("bn") <= MaxLshBucket)
+      .select(col("doc_id").as("old_id"), col("band"), col("bh"))
+    val probe = bands.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("new_id"), col("band"), col("bh"))
+    val cand = probe.join(icap, Seq("band", "bh"))
+      .select(col("new_id"), col("old_id")).distinct().cache()
+    val docs = cand.select(col("new_id").as("doc_id"))
+      .unionAll(cand.select(col("old_id").as("doc_id"))).distinct()
+    val sh = wordShingles(s, dir).join(docs, Seq("doc_id")).distinct().cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("x"), col("new_id") === col("x.doc_id"))
+      .join(sh.as("y"), col("old_id") === col("y.doc_id") && col("x.s") === col("y.s"))
+      .groupBy(col("new_id"), col("old_id")).agg(count(lit(1)).as("ni"))
+    val ni0 = coalesce(col("ni"), lit(0L))
+    val scored = cand
+      .join(inter, Seq("new_id", "old_id"), "left")
+      .join(sizes.select(col("doc_id").as("new_id"), col("n").as("na")), Seq("new_id"))
+      .join(sizes.select(col("doc_id").as("old_id"), col("n").as("nb")), Seq("old_id"))
+      .select(col("new_id"), col("old_id"),
+        round(ni0.cast("double") / (col("na") + col("nb") - ni0), 4).as("j"))
+    scored.groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        max(struct(col("j"), (-col("old_id")).as("neg"))).as("m"))
+      .select(col("new_id").as("doc_id"), col("n_candidates"),
+        (-col("m.neg")).as("best_old_id"), col("m.j").as("best_jaccard"),
+        when(col("m.j") >= 0.5, lit(1)).otherwise(lit(0)).as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qIncrementalDedupSql: String =
+    s"""$bandsCte,
+      |idx AS (SELECT doc_id, band, bh FROM bands WHERE doc_id % 10 <> 0),
+      |isz AS (SELECT band, bh, COUNT(*) AS bn FROM idx GROUP BY band, bh),
+      |icap AS (SELECT doc_id AS old_id, i.band, i.bh
+      |         FROM idx i JOIN isz USING (band, bh) WHERE bn <= $MaxLshBucket),
+      |probe AS (SELECT doc_id AS new_id, band, bh FROM bands WHERE doc_id % 10 = 0),
+      |cand AS (SELECT DISTINCT new_id, old_id
+      |         FROM probe p JOIN icap i ON p.band = i.band AND p.bh = i.bh),
+      |cdocs AS (SELECT new_id AS doc_id FROM cand UNION SELECT old_id FROM cand),
+      |ssz AS (SELECT doc_id, COUNT(*) AS n FROM sh
+      |        WHERE doc_id IN (SELECT doc_id FROM cdocs) GROUP BY doc_id),
+      |inter AS (SELECT c.new_id, c.old_id, COUNT(*) AS ni
+      |          FROM cand c JOIN sh x ON x.doc_id = c.new_id
+      |                      JOIN sh y ON y.doc_id = c.old_id AND y.s = x.s
+      |          GROUP BY c.new_id, c.old_id),
+      |scored AS (SELECT c.new_id, c.old_id,
+      |                  round(COALESCE(i.ni, 0) * 1.0 / (a.n + b.n - COALESCE(i.ni, 0)), 4) AS j
+      |           FROM cand c LEFT JOIN inter i ON c.new_id = i.new_id AND c.old_id = i.old_id
+      |           JOIN ssz a ON a.doc_id = c.new_id JOIN ssz b ON b.doc_id = c.old_id),
+      |best AS (SELECT new_id, old_id, j,
+      |                ROW_NUMBER() OVER (PARTITION BY new_id ORDER BY j DESC, old_id ASC) AS rk,
+      |                COUNT(*) OVER (PARTITION BY new_id) AS n_candidates
+      |         FROM scored)
+      |SELECT new_id AS doc_id, CAST(n_candidates AS BIGINT) AS n_candidates,
+      |       old_id AS best_old_id, j AS best_jaccard,
+      |       CAST(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END AS INT) AS is_dup
+      |FROM best WHERE rk = 1 ORDER BY doc_id""".stripMargin
 
   /** Canonical-document SELECTION — the dedup *resolution* step: given
     * the near-dup clusters, keep exactly one member per cluster (the
@@ -678,6 +837,8 @@ object DedupQ {
     "q_lsh_bucket_profile" -> ((qLshBucketProfile _, Some(qLshBucketProfileSql))),
     "q_dedup_cluster" -> ((qDedupCluster _, Some(qDedupClusterSql))),
     "q_canonical_docs" -> ((qCanonicalDocs _, Some(qCanonicalDocsSql))),
+    "q_incremental_dedup" -> ((qIncrementalDedup _, Some(qIncrementalDedupSql))),
+    "q_lsh_recall" -> ((qLshRecall _, Some(qLshRecallSql))),
     "q_neardup_verified" -> ((qNeardupVerified _, Some(qNeardupVerifiedSql))),
     "q_simhash_neardup" -> ((qSimhashNeardup _, Some(qSimhashNeardupSql))),
     "q_ngram_jaccard" -> ((qNgramJaccard _, Some(qNgramJaccardSql))),
