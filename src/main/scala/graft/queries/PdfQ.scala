@@ -138,10 +138,19 @@ object PdfQ {
     * predicts every column independently from the page-count and
     * cipher-pick rules: a broken key derivation (MD5 schedule, hash-2B
     * chain, /UE unwrap), cipher, /U check or string-escape path flips
-    * `decrypted` (or errors the row) and hash-mismatches. */
+    * `decrypted` (or errors the row) and hash-mismatches.
+    *
+    * Doc subset (% 5): the round trip is a per-doc O(1) correctness
+    * proof, not a throughput test — 1 in 5 docs still exercises every
+    * cipher x page-count combination at both scales (100 rows at
+    * sf0.01, 1,000 at sf0.1; multiples of 5 cycle through all three
+    * doc_id % 3 cipher picks) while keeping the battery clear of the
+    * hash-2B KDF's deliberate cost (ISO 32000-2 mandates a >= 64-round
+    * AES+SHA chain per password operation — 6 chains per AES-256 doc). */
   def qPdfEncrypt(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.read.parquet(s"$dir/documents.parquet").select("doc_id").as[Long]
+    s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+      .filter(col("doc_id") % 5 === 0).as[Long]
       .map { id =>
         val nPages = (id % 3).toInt + 1
         val src = PdfRender.applyOcrPdf(
@@ -189,7 +198,7 @@ object PdfQ {
       | 0 AS enc_named,
       | 1 AS hidden,
       | 1 AS decrypted
-      |FROM documents ORDER BY doc_id""".stripMargin
+      |FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id""".stripMargin
 
   def qPdfAssemble(s: SparkSession, dir: String): DataFrame = {
     val pageTable = s.read.parquet(s"$dir/documents.parquet")
