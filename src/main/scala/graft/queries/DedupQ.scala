@@ -334,8 +334,11 @@ object DedupQ {
     val planted = base.filter(col("doc_id") % 23 === 0 && length(col("text")) >= 60)
       .select((col("doc_id") + 2000000L).as("doc_id"),
         concat(expr("substr(text, 1, 24)"), lit("qzx"), expr("substr(text, 28)")).as("text"))
-    val corpus = base.unionAll(planted)
-    val bands = lshBandsOf(corpus)
+    // band signatures are PER-DOC independent (minhash never looks across
+    // docs), so the union corpus's bands are exactly cachedBands ∪
+    // bands(variants): the base relation comes warm from the shared memo
+    // and only the ~1-in-23 variants hash fresh
+    val bands = cachedBands(s, dir).unionAll(lshBandsOf(planted))
     val w = Window.partitionBy(col("band"), col("bh"))
     val capped = bands.withColumn("bn", count(lit(1)).over(w))
       .filter(col("bn") <= MaxLshBucket)
@@ -346,8 +349,11 @@ object DedupQ {
       .select(col("a.doc_id").as("doc_id")).distinct()
       .withColumn("hit", lit(1))
     val origIds = planted.select((col("doc_id") - 2000000L).as("doc_id"))
-    val shAll = wordShinglesOf(corpus).distinct().cache()
-    val shA = shAll.join(origIds, Seq("doc_id"))
+    // exact Jaccard only needs the PLANTED pairs' shingle sets — shingle
+    // the ~2/23 of the corpus under evaluation, not all of it
+    val evalDocs = base.join(origIds, Seq("doc_id")).unionAll(planted)
+    val shAll = wordShinglesOf(evalDocs).distinct().cache()
+    val shA = shAll.filter(col("doc_id") < 2000000L)
     val shB = shAll.filter(col("doc_id") >= 2000000L)
       .select((col("doc_id") - 2000000L).as("doc_id"), col("s"))
     val na = shA.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
