@@ -523,6 +523,46 @@ object DedupQ {
       |       CAST(CASE WHEN j.doc_id = c.canonical_id THEN 1 ELSE 0 END AS INT) AS is_canonical
       |FROM j JOIN c ON j.cluster_rep = c.cluster_rep ORDER BY j.doc_id""".stripMargin
 
+  /** LEAKAGE-SAFE train/val/test split: the per-doc hash split
+    * (q_corpus_split) puts two near-identical docs on opposite sides of
+    * the train/test wall — the classic contamination bug. Here the
+    * split fate is keyed on the dup CLUSTER's representative id
+    * (singletons on their own id) with the exact q_corpus_split bucket
+    * arithmetic (SampleQ.bucketExpr), so cluster members always land in
+    * the same split and the assignment stays stable under corpus
+    * growth. Scale shape: cluster labels (pointer-jump CC over the
+    * banded candidates) + one left join + narrow codegen hash — no new
+    * shuffles beyond the clustering itself. */
+  def qLeakageSplit(s: SparkSession, dir: String): DataFrame = {
+    val clusters = qDedupCluster(s, dir).select(col("doc_id"), col("cluster_rep"))
+    val docs = documents(s, dir).select(col("doc_id"))
+    docs.join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_rep"), col("doc_id")).as("grp"))
+      .selectExpr("doc_id", "grp", "md5(CAST(grp AS STRING)) AS h")
+      .selectExpr("doc_id", "grp", s"CAST(${SampleQ.bucketExpr} AS BIGINT) AS bucket")
+      .selectExpr("doc_id", "grp",
+        "CASE WHEN bucket < 58982 THEN 'train' WHEN bucket < 62259 THEN 'val' ELSE 'test' END AS split")
+      .orderBy(col("doc_id"))
+  }
+
+  val qLeakageSplitSql: String =
+    s"""$bandsCte,
+      |$cappedCte,
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach AS (SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges) t
+      |          UNION
+      |          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |labels AS (SELECT src AS doc_id, MIN(dst) AS cluster_rep FROM reach GROUP BY src),
+      |grp AS (SELECT d.doc_id, COALESCE(l.cluster_rep, d.doc_id) AS grp
+      |        FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+      |hh AS (SELECT doc_id, grp, md5(CAST(grp AS STRING)) AS h FROM grp),
+      |bb AS (SELECT doc_id, grp, CAST(${SampleQ.bucketExpr} AS BIGINT) AS bucket FROM hh)
+      |SELECT doc_id, grp,
+      |       CASE WHEN bucket < 58982 THEN 'train' WHEN bucket < 62259 THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM bb ORDER BY doc_id""".stripMargin
+
   /** n-gram Jaccard similarity over a bounded doc subset (doc_id < 40):
     * |A ∩ B| via a shingle equi-join, |A ∪ B| = |A| + |B| - |A ∩ B|.
     * Ratio is int/int -> identical double on both engines. */
@@ -845,6 +885,7 @@ object DedupQ {
     "q_canonical_docs" -> ((qCanonicalDocs _, Some(qCanonicalDocsSql))),
     "q_incremental_dedup" -> ((qIncrementalDedup _, Some(qIncrementalDedupSql))),
     "q_lsh_recall" -> ((qLshRecall _, Some(qLshRecallSql))),
+    "q_leakage_split" -> ((qLeakageSplit _, Some(qLeakageSplitSql))),
     "q_neardup_verified" -> ((qNeardupVerified _, Some(qNeardupVerifiedSql))),
     "q_simhash_neardup" -> ((qSimhashNeardup _, Some(qSimhashNeardupSql))),
     "q_ngram_jaccard" -> ((qNgramJaccard _, Some(qNgramJaccardSql))),

@@ -125,7 +125,46 @@ object IngestQ {
       |FROM a, (VALUES ('csv'), ('json'), ('orc')) AS f(format)
       |ORDER BY f.format""".stripMargin
 
+  /** Corrupt-record QUARANTINE — the ingestion-reliability pattern: a
+    * JSONL feed with malformed lines (planted for doc_id % 17 == 0:
+    * unterminated string, missing brace) reads under PERMISSIVE mode
+    * with a _corrupt_record column, valid rows flow through and broken
+    * lines route to quarantine instead of failing the job (FAILFAST) or
+    * vanishing silently (DROPMALFORMED). The oracle predicts the
+    * valid/quarantined counts and the valid id sum from the documents
+    * table alone — a reader that drops, double-counts, or mis-parses a
+    * boundary line hash-mismatches. */
+  def qCorruptQuarantine(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val sfName = Paths.get(dir).getFileName.toString
+    val root = s"/tmp/graft_quarantine_$sfName"
+    s.read.parquet(s"$dir/documents.parquet")
+      .selectExpr(
+        """CASE WHEN doc_id % 17 = 0
+          | THEN concat('{"doc_id": ', CAST(doc_id AS STRING), ', "lang": "broken')
+          | ELSE to_json(struct(doc_id, lang, source)) END AS value""".stripMargin)
+      .write.mode("overwrite").text(root)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("_corrupt_record", StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(root)
+      .agg(
+        sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("n_valid"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_quarantined"),
+        sum(when(col("_corrupt_record").isNull, col("doc_id")).otherwise(0L)).as("sum_valid_ids"))
+  }
+
+  val qCorruptQuarantineSql: String =
+    """SELECT CAST(SUM(CASE WHEN doc_id % 17 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+      |       CAST(SUM(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+      |       CAST(SUM(CASE WHEN doc_id % 17 <> 0 THEN doc_id ELSE 0 END) AS BIGINT) AS sum_valid_ids
+      |FROM documents""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_binary_ingest" -> ((qBinaryIngest _, Some(qBinaryIngestSql))),
-    "q_format_parity" -> ((qFormatParity _, Some(qFormatParitySql))))
+    "q_format_parity" -> ((qFormatParity _, Some(qFormatParitySql))),
+    "q_corrupt_quarantine" -> ((qCorruptQuarantine _, Some(qCorruptQuarantineSql))))
 }

@@ -16,8 +16,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SampleQ {
 
   /** First 4 hex nibbles of md5(doc_id) as an integer bucket in
-    * [0, 65536) — the shared sampling coordinate. */
-  private val bucketExpr: String = {
+    * [0, 65536) — the shared sampling coordinate. Exposed to the
+    * cluster-aware split in DedupQ so every splitter in the engine uses
+    * ONE bucket arithmetic (column `h` must hold the md5 hex). */
+  private[queries] val bucketExpr: String = {
     def nib(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
     s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})"
   }
