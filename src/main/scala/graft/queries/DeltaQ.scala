@@ -275,8 +275,50 @@ object DeltaQ {
        |  CAST(MAX(file_id) AS BIGINT) AS last_file
        |FROM c GROUP BY 1, 2 ORDER BY source, bin""".stripMargin
 
+  /** UPSERT (MERGE INTO) in vanilla Spark — the table-maintenance verb
+    * lakehouse formats add natively, expressed as the one-shuffle
+    * full-outer join + coalesce every warehouse rewrite reduces to: an
+    * update batch (planted: doc_id % 11 == 0 relabels lang to 'xx') and
+    * an insert batch (doc_id % 41 == 0 arrives as a NEW row at
+    * +3,000,000) merge against the base table; each output row reports
+    * its op (updated / inserted / kept). Scale shape: ONE equi-key
+    * shuffle join (AQE-skew-splittable), no window, no collect; a real
+    * lakehouse MERGE adds file-level pruning on top, which
+    * q_compaction_plan / q_snapshot_diff model separately. */
+  def qUpsertMerge(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val base = docs.select(col("doc_id"), col("lang"), col("source"))
+    val updates = docs.filter(col("doc_id") % 11 === 0)
+      .select(col("doc_id"), lit("xx").as("lang"), col("source"))
+      .unionAll(docs.filter(col("doc_id") % 41 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("lang"), col("source")))
+    base.as("b").join(updates.as("u"), Seq("doc_id"), "full")
+      .select(col("doc_id"),
+        coalesce(col("u.lang"), col("b.lang")).as("lang"),
+        coalesce(col("u.source"), col("b.source")).as("source"),
+        when(col("b.lang").isNull, lit("inserted"))
+          .when(col("u.lang").isNotNull, lit("updated"))
+          .otherwise(lit("kept")).as("op"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qUpsertMergeSql: String =
+    """WITH upd AS (
+      |  SELECT doc_id, 'xx' AS lang, source FROM documents WHERE doc_id % 11 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, lang, source FROM documents WHERE doc_id % 41 = 0)
+      |SELECT COALESCE(b.doc_id, u.doc_id) AS doc_id,
+      |       COALESCE(u.lang, b.lang) AS lang,
+      |       COALESCE(u.source, b.source) AS source,
+      |       CASE WHEN b.doc_id IS NULL THEN 'inserted'
+      |            WHEN u.doc_id IS NOT NULL THEN 'updated'
+      |            ELSE 'kept' END AS op
+      |FROM documents b FULL OUTER JOIN upd u ON b.doc_id = u.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_snapshot_diff" -> ((qSnapshotDiff _, Some(qSnapshotDiffSql))),
+    "q_upsert_merge" -> ((qUpsertMerge _, Some(qUpsertMergeSql))),
     "q_prefix_jaccard" -> ((qPrefixJaccard _, Some(qPrefixJaccardSql))),
     "q_col_stats" -> ((qColStats _, Some(qColStatsSql))),
     "q_compaction_plan" -> ((qCompactionPlan _, Some(qCompactionPlanSql))))
