@@ -85,9 +85,10 @@ object SparkEntry {
       // the full text outputs of the same job (not SQL-expressible)
       "q_pages_text" -> ((s: SparkSession, dir: String) =>
         graft.pipeline.PagesPipeline.run(pagesTable(s, dir))),
-      // multimodal featurizer (binary columns; real decode for BMP/WAV
-      // and, via the JDK's ImageIO, JPEG/PNG/GIF/TIFF — only MP3/video
-      // remain stubbed, those codecs genuinely are absent)
+      // multimodal featurizer (binary columns; real decode for BMP/WAV,
+      // uncompressed Y4M video, and, via the JDK's ImageIO,
+      // JPEG/PNG/GIF/TIFF — only MP3 and compressed-video codecs remain
+      // stubbed, those genuinely are absent)
       "q_media_features" -> ((s: SparkSession, dir: String) =>
         graft.multimodal.Multimodal.qMediaFeatures(s, dir)),
       // ORACLE-checkable structural projection of the same featurizer
@@ -103,12 +104,18 @@ object SparkEntry {
       // energy-delta audio fingerprint near-dup, same recall-report form
       "q_audio_neardup" -> ((s: SparkSession, dir: String) =>
         graft.multimodal.Multimodal.qAudioNeardup(s, dir)),
+      // frame-aligned Y4M video near-dup, same recall-report form (REAL
+      // parsed frames — per-sampled-frame aHash, pigeonhole-blocked join)
+      "q_video_neardup" -> ((s: SparkSession, dir: String) =>
+        graft.multimodal.Multimodal.qVideoNeardup(s, dir)),
       // the full found-pair lists (hamming values decoder-dependent;
       // precision/recall laws live in the oracle rows + brute-force spec)
       "q_image_pairs" -> ((s: SparkSession, dir: String) =>
         graft.multimodal.Multimodal.qImagePairs(s, dir)),
       "q_audio_pairs" -> ((s: SparkSession, dir: String) =>
         graft.multimodal.Multimodal.qAudioPairs(s, dir)),
+      "q_video_pairs" -> ((s: SparkSession, dir: String) =>
+        graft.multimodal.Multimodal.qVideoPairs(s, dir)),
       // thumbnail resize over every image container, ORACLE-checked via
       // the id-arithmetic dims + canonical BMP byte-size formula
       "q_media_resize" -> ((s: SparkSession, dir: String) =>
@@ -142,5 +149,6 @@ object SparkEntry {
       "q_media_profile" -> graft.multimodal.Multimodal.qMediaProfileSql,
       "q_image_neardup" -> graft.multimodal.Multimodal.qImageNeardupSql,
       "q_audio_neardup" -> graft.multimodal.Multimodal.qAudioNeardupSql,
+      "q_video_neardup" -> graft.multimodal.Multimodal.qVideoNeardupSql,
       "q_media_resize" -> graft.multimodal.Multimodal.qMediaResizeSql)
 }

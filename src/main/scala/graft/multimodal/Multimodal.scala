@@ -87,11 +87,159 @@ object Multimodal {
     buf.array()
   }
 
+  /** A real YUV4MPEG2 (Y4M) uncompressed video: the plain-text stream
+    * header + FRAME-delimited raw C420 planes — a PUBLIC container with
+    * no codec, so video decode and frame sampling run on REAL parsed
+    * frames (H.264/VP9 etc. remain honestly absent; the opaque stub
+    * stays for those). Y planes are per-pixel splitmix noise keyed by
+    * (contentKey, frame, index) so distinct videos never collide under
+    * aHash; U/V planes sit at neutral 128. */
+  def genY4m(contentKey: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new java.io.ByteArrayOutputStream(
+      header.length + nFrames * (6 + w * h * 3 / 2))
+    out.write(header)
+    val frameHdr = "FRAME\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    var f = 0
+    while (f < nFrames) {
+      out.write(frameHdr)
+      val n = w * h
+      var rng = 0L
+      var i = 0
+      while (i < n) {
+        if (i % 8 == 0) rng = MediaOcr.hash64(s"y4m:$contentKey:$f:$i")
+        out.write(((rng >>> ((i % 8) * 8)) & 0xFF).toInt)
+        i += 1
+      }
+      var c = 0
+      val cn = 2 * (w / 2) * (h / 2)
+      while (c < cn) { out.write(128); c += 1 }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Walk a Y4M container calling `onFrame(frameIdx, yPlaneOffset)` per
+    * frame; returns (w, h, nFrames) or None on any structural mismatch
+    * (bad magic/header, non-C420, truncated plane). */
+  private def walkY4m(payload: Array[Byte])(onFrame: (Int, Int, Int, Int) => Unit): Option[(Int, Int, Int)] = {
+    val magic = "YUV4MPEG2 ".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    if (payload.length < magic.length || !payload.startsWith(magic)) return None
+    val hdrEnd = payload.indexOf('\n'.toByte)
+    if (hdrEnd < 0) return None
+    val hdr = new String(payload, 0, hdrEnd, java.nio.charset.StandardCharsets.US_ASCII)
+    val toks = hdr.split(' ').drop(1)
+    val w = toks.find(_.startsWith("W")).flatMap(t => t.drop(1).toIntOption).getOrElse(return None)
+    val h = toks.find(_.startsWith("H")).flatMap(t => t.drop(1).toIntOption).getOrElse(return None)
+    val cs = toks.find(_.startsWith("C")).getOrElse("C420")
+    if (!cs.startsWith("C420") || w <= 0 || h <= 0 || w % 2 != 0 || h % 2 != 0) return None
+    val ySize = w * h
+    val cSize = (w / 2) * (h / 2)
+    val fm = "FRAME".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    var off = hdrEnd + 1
+    var frames = 0
+    while (off < payload.length) {
+      if (off + fm.length > payload.length ||
+        !java.util.Arrays.equals(payload.slice(off, off + fm.length), fm)) return None
+      val nl = payload.indexOf('\n'.toByte, off)
+      if (nl < 0) return None
+      off = nl + 1
+      if (off + ySize + 2 * cSize > payload.length) return None
+      onFrame(frames, off, w, h)
+      off += ySize + 2 * cSize
+      frames += 1
+    }
+    if (frames == 0) None else Some((w, h, frames))
+  }
+
+  /** REAL Y4M decode: (w, h, nFrames, mean luma 0-1, 16-bin L1 luma
+    * histogram) over every frame's Y plane. */
+  def decodeY4m(payload: Array[Byte]): Option[(Int, Int, Int, Float, Array[Float])] = {
+    val hist = new Array[Long](16)
+    var sum = 0L
+    var n = 0L
+    val dims = walkY4m(payload) { (_, yOff, w, h) =>
+      var i = 0
+      val ySize = w * h
+      while (i < ySize) {
+        val v = payload(yOff + i) & 0xFF
+        hist(v / 16) += 1
+        sum += v
+        i += 1
+      }
+      n += ySize
+    }
+    dims.map { case (w, h, frames) =>
+      (w, h, frames, (sum.toDouble / n / 255.0).toFloat,
+        hist.map(x => (x.toDouble / n).toFloat))
+    }
+  }
+
+  /** Per-SAMPLED-frame 64-bit aHash of a Y4M video (frames 0, stride,
+    * 2*stride, …): the Y plane pools into 8x8 cell means thresholded at
+    * the frame mean — the exact image-aHash convention, so the blocked
+    * Hamming machinery applies per frame unchanged. */
+  def y4mFrameHashes(payload: Array[Byte], stride: Int = 2): Option[Vector[(Int, Long)]] = {
+    val acc = Vector.newBuilder[(Int, Long)]
+    walkY4m(payload) { (f, yOff, w, h) =>
+      if (f % stride == 0) {
+        val cellSum = Array.ofDim[Double](8, 8)
+        val cellCnt = Array.ofDim[Long](8, 8)
+        var total = 0.0
+        var y = 0
+        while (y < h) {
+          val cy = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val v = (payload(yOff + y * w + x) & 0xFF).toDouble
+            cellSum(cy)(x * 8 / w) += v
+            cellCnt(cy)(x * 8 / w) += 1
+            total += v
+            x += 1
+          }
+          y += 1
+        }
+        val mean = total / (w.toLong * h)
+        var bits = 0L
+        var cy = 0
+        while (cy < 8) {
+          var cx = 0
+          while (cx < 8) {
+            if (cellCnt(cy)(cx) > 0 && cellSum(cy)(cx) / cellCnt(cy)(cx) > mean)
+              bits |= 1L << (cy * 8 + cx)
+            cx += 1
+          }
+          cy += 1
+        }
+        acc += ((f, bits))
+      }
+    }.map(_ => acc.result())
+  }
+
+  /** Deterministic Y-plane perturbation of a Y4M video: flips `k` luma
+    * bytes per frame — the near-dup generator for video (each flip
+    * touches one 8x8 cell, so per-frame aHash Hamming stays <= k). */
+  def perturbY4m(payload: Array[Byte], seed: Long, k: Int): Array[Byte] = {
+    val out = payload.clone()
+    walkY4m(payload) { (f, yOff, w, h) =>
+      var i = 0
+      while (i < k) {
+        val pos = yOff + (MediaOcr.hash64(s"vpert:$seed:$f:$i") % (w * h)).toInt.abs
+        out(pos) = (~out(pos)).toByte
+        i += 1
+      }
+    }
+    out
+  }
+
   /** Deterministic synthetic media table (no external data): VALID
     * images — BMP, and PNG/JPEG re-encodes of the same deterministic
     * pixels through the JDK's ImageIO writers (image id mod 9: 0 BMP,
-    * 3 PNG, 6 JPEG) — and PCM WAV audio; video payloads are opaque
-    * codec-format stand-ins (splitmix bytes). */
+    * 3 PNG, 6 JPEG) — and PCM WAV audio; video (id mod 9: 2 and 5) is
+    * REAL uncompressed Y4M (2 + id%4 frames), with id mod 9 == 8 kept
+    * as an opaque codec-format stand-in (splitmix bytes) so the stub
+    * path stays exercised. */
   def genTable(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n.toLong).map { id =>
@@ -111,6 +259,8 @@ object Multimodal {
             case _  => bmp
           }
         case "audio" => genWav(id, 16000, 256 + (MediaOcr.hash64(s"len:$id") & 0x3FF).toInt)
+        case _ if id % 9 != 8 =>
+          genY4m(id, w, h, 2 + (id % 4).toInt)
         case _ =>
           val len = 256 + (MediaOcr.hash64(s"len:$id") & 0x3FF).toInt
           val b = new Array[Byte](len)
@@ -354,8 +504,9 @@ object Multimodal {
   /** The batched featurizer: mapPartitions over the typed Dataset — one
     * iterator pass per partition, no per-row task overhead, the batch
     * shape a real decoder (JNI/Arrow) would want. Dispatches on magic
-    * bytes: BMP and PCM WAV get REAL decodes; codec formats fall back to
-    * the deterministic byte-level stub (flagged decoded = 0). */
+    * bytes: BMP, PCM WAV and Y4M video get REAL decodes; codec formats
+    * fall back to the deterministic byte-level stub (flagged
+    * decoded = 0). */
   def featurize(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
@@ -364,7 +515,11 @@ object Multimodal {
           case Some((_, _, luma, hist)) =>
             MediaFeatures(row.media_id, row.kind, row.payload.length, hist,
               luma, 1, decoded = 1)
-          case None => decodeWav(row.payload) match {
+          case None => decodeY4m(row.payload) match {
+            case Some((_, _, frames, luma, hist)) =>
+              MediaFeatures(row.media_id, row.kind, row.payload.length, hist,
+                luma, frames, decoded = 1)
+            case None => decodeWav(row.payload) match {
             case Some((sr, n, rms, hist)) =>
               MediaFeatures(row.media_id, row.kind, row.payload.length, hist,
                 rms, math.max(1, n / math.max(1, sr)), decoded = 1) // "frames" = whole seconds
@@ -388,6 +543,7 @@ object Multimodal {
                 decoded = 0)
             }
           }
+          }
         }
       }
     }
@@ -410,9 +566,11 @@ object Multimodal {
     * re-derives with no knowledge of the decoders: payload sizes from
     * the BMP/WAV/container generator formulas (NULL for the
     * ImageIO-transcoded PNG/JPEG fixtures, whose encoder output length
-    * is codec-internal), frame counts, and the decoded flag (video
-    * stubs = 0, every image/audio = 1 — which pins that JPEG/PNG really
-    * route through the ImageIO path, not the stub). Pixel-level values
+    * is codec-internal; exact container-formula sizes for Y4M video),
+    * frame counts (REAL parsed frame counts for Y4M), and the decoded
+    * flag (only the opaque codec stand-in, media_id % 9 == 8, is 0 —
+    * which pins that JPEG/PNG route through ImageIO and Y4M through the
+    * real container walk, not the stub). Pixel-level values
     * (luma/histograms) stay in the rows-only qMediaFeatures, pinned by
     * the handcrafted-payload unit suite. */
   def qMediaProfile(spark: SparkSession, dir: String): DataFrame = {
@@ -439,9 +597,12 @@ object Multimodal {
       |    WHEN kind = 'image' AND media_id % 9 IN (3, 6) THEN NULL
       |    WHEN kind = 'image' THEN 54 + ((w * 3 + 3) // 4) * 4 * h
       |    WHEN kind = 'audio' THEN 44 + 2 * (256 + hmod)
+      |    WHEN media_id % 9 <> 8 THEN 37 + (2 + CAST(media_id % 4 AS INT)) * (6 + (w * h * 3) // 2)
       |    ELSE 256 + hmod END AS INT) AS n_bytes_raw,
-      |  CAST(CASE WHEN kind = 'video' THEN GREATEST(1, (256 + hmod) // 128) ELSE 1 END AS INT) AS n_frames,
-      |  CAST(CASE WHEN kind = 'video' THEN 0 ELSE 1 END AS INT) AS decoded
+      |  CAST(CASE WHEN kind = 'video' AND media_id % 9 <> 8 THEN 2 + CAST(media_id % 4 AS INT)
+      |            WHEN kind = 'video' THEN GREATEST(1, (256 + hmod) // 128)
+      |            ELSE 1 END AS INT) AS n_frames,
+      |  CAST(CASE WHEN kind = 'video' AND media_id % 9 = 8 THEN 0 ELSE 1 END AS INT) AS decoded
       |FROM g ORDER BY media_id""".stripMargin
   }
 
@@ -825,6 +986,66 @@ object Multimodal {
       |FROM range(200) WHERE range % 15 = 1
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** VIDEO near-dup over REAL parsed frames: per-sampled-frame Y4M
+    * aHashes through a frame-ALIGNED blocked Hamming join (a pair meets
+    * only via an equal (frame, block, value) bucket — never all-pairs),
+    * rolled up to (pair, frames_matched). Same pigeonhole guarantee as
+    * the image path, applied per frame. */
+  def videoNearDup(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    val hashes = media.flatMap(r =>
+        y4mFrameHashes(r.payload).toSeq.flatten.map { case (f, hsh) => (r.media_id, f, hsh) })
+      .toDF("media_id", "f", "ahash")
+    val blocks = hashes.select(col("media_id"), col("f"), col("ahash"),
+        explode(expr("sequence(0, 3)")).as("blk"))
+      .withColumn("blk_val", expr("(ahash >> (blk * 16)) & 65535"))
+    val a = blocks.as("a")
+    val b = blocks.as("b")
+    a.join(b, col("a.f") === col("b.f") && col("a.blk") === col("b.blk") &&
+        col("a.blk_val") === col("b.blk_val") && col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("a.f").as("f"), col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= MaxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(countDistinct(col("f")).as("frames_matched"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** The video near-dup corpus: every Y4M video with media_id % 18 == 2
+    * (all such ids are Y4M: 18k+2 ≡ 2 mod 9) gets a per-frame
+    * 2-byte-flip perturbed copy at id + 100000 — the re-muxed/slightly-
+    * degraded duplicate class. */
+  private def videoNeardupCorpus(spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    val base = genTable(spark, 200)
+    val variants = base.filter(r => r.kind == "video" && r.media_id % 18 == 2)
+      .map(r => r.copy(media_id = r.media_id + 100000,
+        payload = perturbY4m(r.payload, r.media_id, 2)))
+    base.unionByName(variants)
+  }
+
+  /** Driver query (ORACLE-checked recall report): the frame-aligned
+    * blocked join must recover exactly the planted perturbed videos
+    * (2 flipped lumas per frame -> per-frame Hamming <= 2 <= the
+    * threshold) and invent none — random-noise Y planes make spurious
+    * frame-hash collisions vanishingly unlikely, and deterministically
+    * absent on this corpus. frames_matched values stay in the rows-only
+    * q_video_pairs. */
+  def qVideoNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val planted = spark.range(0, 200).selectExpr("id AS id_a")
+      .filter(col("id_a") % 18 === 2)
+      .selectExpr("id_a", "id_a + 100000 AS id_b", "'perturbed_frames' AS pair_class")
+    recallReport(videoNearDup(videoNeardupCorpus(spark)).select(col("id_a"), col("id_b")), planted)
+  }
+
+  val qVideoNeardupSql: String =
+    """SELECT CAST(range AS BIGINT) AS id_a, CAST(range + 100000 AS BIGINT) AS id_b,
+      |  'perturbed_frames' AS pair_class, TRUE AS recovered
+      |FROM range(200) WHERE range % 18 = 2
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Rows-only full pair lists (hamming values are decoder-dependent —
     * not SQL-expressible; recall/precision laws live in the oracle rows
     * above and the brute-force spec). */
@@ -833,6 +1054,9 @@ object Multimodal {
 
   def qAudioPairs(spark: SparkSession, dir: String): DataFrame =
     audioNearDup(audioNeardupCorpus(spark))
+
+  def qVideoPairs(spark: SparkSession, dir: String): DataFrame =
+    videoNearDup(videoNeardupCorpus(spark))
 
   /** Thumbnail target: longest side after resize. */
   val ThumbMax = 8

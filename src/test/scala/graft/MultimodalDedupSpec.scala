@@ -109,6 +109,58 @@ class MultimodalDedupSpec extends AnyFunSuite {
     assert(got.exists(_._1 == 30L) && got.exists(_._1 == 60L))
   }
 
+  test("y4m: generate -> decode round-trips structure; frame hashes stable under perturbation") {
+    val v = Multimodal.genY4m(contentKey = 42L, w = 24, h = 16, nFrames = 4)
+    // container size is the exact formula the q_media_profile oracle uses
+    assert(v.length == 37 + 4 * (6 + 24 * 16 * 3 / 2))
+    val Some((w, h, nf, luma, hist)) = Multimodal.decodeY4m(v)
+    assert(w == 24 && h == 16 && nf == 4)
+    assert(luma > 0f && luma < 1f)
+    assert(Math.abs(hist.sum - 1.0f) < 1e-3)
+    // frame sampling: stride 2 over 4 frames -> frames 0 and 2
+    val Some(hashes) = Multimodal.y4mFrameHashes(v)
+    assert(hashes.map(_._1) == Vector(0, 2))
+    // 2-byte perturbation stays within the per-frame Hamming threshold;
+    // a different contentKey is far
+    val Some(pert) = Multimodal.y4mFrameHashes(Multimodal.perturbY4m(v, 42L, 2))
+    hashes.zip(pert).foreach { case ((f1, a), (f2, b)) =>
+      assert(f1 == f2)
+      assert(java.lang.Long.bitCount(a ^ b) <= 2, s"frame $f1")
+    }
+    val Some(other) = Multimodal.y4mFrameHashes(Multimodal.genY4m(43L, 24, 16, 4))
+    assert(java.lang.Long.bitCount(hashes.head._2 ^ other.head._2) > Multimodal.MaxHamming)
+    // structural honesty: truncated payload and bad magic decode to None
+    assert(Multimodal.decodeY4m(v.take(v.length - 5)).isEmpty)
+    assert(Multimodal.decodeY4m("JUNKHEADER\n".getBytes).isEmpty)
+  }
+
+  test("video blocked join == brute force over sampled frame hashes") {
+    import spark.implicits._
+    val media = (0 until 60).map { i =>
+      val id = i.toLong * 3 + 2 // video ids
+      // every 4th row is a perturbed copy of the NEXT row's content, so
+      // the set contains real near pairs (id, id+3) plus distinct noise
+      val payload =
+        if (i % 4 == 0 && i + 1 < 60)
+          Multimodal.perturbY4m(Multimodal.genY4m(3L * (i + 1) + 2, 20, 16, 3), id, 2)
+        else Multimodal.genY4m(id, 20, 16, 3)
+      Multimodal.MediaRow(id, "video", payload, 0, 0, 0)
+    }
+    val ds = spark.createDataset(media)
+    val joined = Multimodal.videoNearDup(ds)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute force: all pairs, all aligned sampled frames, Hamming <= MaxHamming
+    val hs = media.flatMap(r =>
+      Multimodal.y4mFrameHashes(r.payload).toSeq.flatten.map { case (f, h) => (r.media_id, f, h) })
+    val brute = (for {
+      (ia, fa, ha) <- hs
+      (ib, fb, hb) <- hs
+      if ia < ib && fa == fb && java.lang.Long.bitCount(ha ^ hb) <= Multimodal.MaxHamming
+    } yield ((ia, ib), fa)).groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct.size.toLong }
+    assert(joined == brute, s"blocked=${joined.size} brute=${brute.size}")
+    assert(joined.nonEmpty)
+  }
+
   test("imageio: png re-encode is pixel-lossless (stats + exact ahash bits)") {
     val bmp = Multimodal.genBmp(11L, 32, 24)
     val png = Multimodal.encodeImage(Multimodal.bmpToImage(bmp).get, "png")

@@ -189,9 +189,13 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       assert(Math.abs(f.features.sum - 1.0f) < 1e-3)
       assert(f.mean_luma >= 0f && f.mean_luma <= 1f)
       if (f.kind == "video") assert(f.n_frames >= 1)
-      // BMP images and PCM WAVs take the REAL decode path; video (codec
-      // stand-in bytes) takes the documented stub
-      assert(f.decoded == (if (f.kind == "video") 0 else 1), s"${f.kind} ${f.media_id}")
+      // BMP images, PCM WAVs and Y4M videos (media_id % 9 in {2, 5})
+      // take the REAL decode path; only the opaque codec stand-in
+      // (media_id % 9 == 8) takes the documented stub
+      val expectDecoded = if (f.kind == "video" && f.media_id % 9 == 8) 0 else 1
+      assert(f.decoded == expectDecoded, s"${f.kind} ${f.media_id}")
+      if (f.kind == "video" && f.media_id % 9 != 8)
+        assert(f.n_frames == 2 + (f.media_id % 4).toInt, s"y4m frames ${f.media_id}")
     }
     // determinism across runs
     val again = Multimodal.featurize(Multimodal.genTable(spark, 50)).collect()
