@@ -274,10 +274,15 @@ object CorpusQ {
     * identical text in both engines. Output carries the exact distinct
     * alongside, so the correctness row also PINS the estimator's
     * accuracy on this data. */
-  def qApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+  /** Per-(source, bucket) HLL registers from any (source, text)
+    * relation — the m=32 deterministic sketch kernel, shared by the
+    * batch estimator and the streaming sketch ([[graft.streaming
+    * .StreamingOps.hllStream]]): register update is a MAX, so the
+    * streaming aggregation is bit-identical to the batch one. */
+  def hllRegisters(docs: DataFrame): DataFrame = {
     val fp = md5(lower(regexp_replace(col("text"), "\\s+", " ")).cast("binary"))
     val v = expr("CAST(conv(substr(fp, 1, 15), 16, 10) AS BIGINT)")
-    val regs = documents(s, dir)
+    docs
       .select(col("source"), fp.as("fp"))
       .select(col("source"), col("fp"),
         shiftright(v, 55).as("bucket"),
@@ -285,6 +290,10 @@ object CorpusQ {
       .withColumn("rho",
         when(col("w") === 0L, lit(56)).otherwise(lit(56) - length(bin(col("w")))))
       .groupBy(col("source"), col("bucket")).agg(max(col("rho")).as("m"))
+  }
+
+  def qApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    val regs = hllRegisters(documents(s, dir).select(col("source"), col("text")))
     regs.groupBy(col("source"))
       .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 56 - m)")).as("s_present"),
         count(lit(1)).as("n_buckets"))

@@ -266,6 +266,17 @@ object StreamingOps {
       .select(posexplode(graft.queries.MiningQ.cmsCellArray).as(Seq("j", "cell")))
       .groupBy(col("j"), col("cell")).agg(count(lit(1)).as("cv"))
 
+  /** Streaming HyperLogLog registers: the per-(source, bucket) MAX-rho
+    * table of the batch q_approx_distinct kept as a streaming
+    * aggregation — register update is a MAX (monotone, mergeable), so
+    * the streaming sketch is bit-identical to the batch one over the
+    * same data and state is BOUNDED at sources x 32 registers however
+    * long the feed runs (exact streaming DISTINCT would need unbounded
+    * per-key state). Kernel shared via CorpusQ.hllRegisters; the batch
+    * estimator formula applies unchanged to the final registers. */
+  def hllStream(docs: DataFrame): DataFrame =
+    graft.queries.CorpusQ.hllRegisters(docs)
+
   private def runStreamOverDir(spark: SparkSession, sfDir: String, queryName: String,
       op: DataFrame => DataFrame): DataFrame = {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema

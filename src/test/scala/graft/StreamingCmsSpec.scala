@@ -63,4 +63,30 @@ class StreamingCmsSpec extends AnyFunSuite {
       .collect().map(r => streamed((r.getInt(0), r.getLong(1)))).min
     assert(est >= exact, s"CMS estimate $est must never undercount exact $exact")
   }
+
+  test("streaming HLL registers == batch across micro-batches; state bounded by sources x 32") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs = (0 until 80).map(i => (s"src${i % 3}", s"text body number $i"))
+    val source = MemoryStream[(String, String)]
+    val stream = source.toDF().toDF("source", "text")
+    val q = StreamingOps.hllStream(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hll_regs").start()
+    source.addData(docs.take(30): _*)
+    q.processAllAvailable()
+    source.addData(docs.drop(30): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("hll_regs")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val batch = StreamingOps.hllStream(docs.toDF("source", "text"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(streamed == batch, "streaming registers must equal the batch sketch")
+    assert(streamed.nonEmpty)
+    assert(streamed.size <= 3 * 32)
+  }
 }
