@@ -20,10 +20,13 @@ import scala.collection.mutable
   * nothing is lost). ENCRYPTED files (standard security handler: RC4
   * V1/V2 R2/R3, AES-128 /AESV2 V4/R4, AES-256 /AESV3 V5/R5-6 — the
   * "owner password only" class that opens without a prompt) decrypt
-  * transparently during parse via [[PdfCrypt]]. Deliberately NOT a full
-  * interpreter: user-password-protected files, non-Standard security
-  * handlers, and non-Flate filters on CONTENT streams are rejected with
-  * a clear error (resource streams — images etc. — are copied
+  * transparently during parse via [[PdfCrypt]]. CONTENT streams decode
+  * through the full standard filter set — Flate, ASCIIHex, ASCII85,
+  * RunLength, LZW ([[PdfFilters]]) — including filter chains.
+  * Deliberately NOT a full interpreter: user-password-protected files,
+  * non-Standard security handlers, predictored content streams, and
+  * image codecs (DCT/JPX/CCITT) as content filters are rejected with a
+  * clear error (resource streams — images etc. — are copied
   * byte-verbatim whatever their filter, no decode needed). That covers
   * every PDF this engine itself emits plus the classic, xref-stream,
   * fully-compressed and password-protected classes of scanner output
@@ -126,15 +129,50 @@ object PdfParse {
     }
 
     /** Decoded bytes of one content-stream object: raw if no /Filter,
-      * inflated if /FlateDecode; anything else is an error. */
+      * else the full filter CHAIN applied in order — FlateDecode,
+      * ASCIIHexDecode, ASCII85Decode, RunLengthDecode, LZWDecode
+      * (PdfFilters). Image codecs (DCT/JPX/CCITT) and predictored
+      * content streams are errors (image XObjects are copied verbatim
+      * elsewhere, never routed here). */
     def decodedStream(objNum: Int): Either[String, Array[Byte]] =
       objects.get(objNum) match {
         case Some(PObjDef(_, d: PDict, Some(data))) =>
-          resolve(d.get("Filter").getOrElse(PKw("null"))) match {
-            case PKw("null") => Right(data)
-            case PName("FlateDecode") => inflate(data)
-            case PArr(Vector(PName("FlateDecode"))) => inflate(data)
-            case f => Left(s"unsupported content-stream filter $f")
+          val hasPredictor = resolve(d.get("DecodeParms").getOrElse(PKw("null"))) match {
+            case pd: PDict => pd.get("Predictor").map(resolve).collect {
+              case n: PNum => n.toInt }.exists(_ > 1)
+            case PArr(items) => items.map(resolve).exists {
+              case pd: PDict => pd.get("Predictor").map(resolve).collect {
+                case n: PNum => n.toInt }.exists(_ > 1)
+              case _ => false
+            }
+            case _ => false
+          }
+          if (hasPredictor)
+            Left("predictored content stream unsupported (predictors are handled on xref streams only)")
+          else {
+            val names: Either[String, Vector[String]] =
+              resolve(d.get("Filter").getOrElse(PKw("null"))) match {
+                case PKw("null") => Right(Vector.empty)
+                case PName(n) => Right(Vector(n))
+                case PArr(items) =>
+                  items.map(resolve).foldLeft(Right(Vector.empty): Either[String, Vector[String]]) {
+                    case (Right(acc), PName(n)) => Right(acc :+ n)
+                    case (Right(_), other) => Left(s"non-name entry $other in /Filter array")
+                    case (l, _) => l
+                  }
+                case f => Left(s"unsupported /Filter value $f")
+              }
+            def applyOne(name: String, bytes: Array[Byte]): Either[String, Array[Byte]] = name match {
+              case "FlateDecode" => inflate(bytes)
+              case "ASCIIHexDecode" => PdfFilters.asciiHexDecode(bytes)
+              case "ASCII85Decode" => PdfFilters.ascii85Decode(bytes)
+              case "RunLengthDecode" => PdfFilters.runLengthDecode(bytes)
+              case "LZWDecode" => PdfFilters.lzwDecode(bytes)
+              case other => Left(s"unsupported content-stream filter /$other")
+            }
+            names.flatMap(_.foldLeft(Right(data): Either[String, Array[Byte]]) {
+              (acc, n) => acc.flatMap(applyOne(n, _))
+            })
           }
         case Some(_) => Left(s"object $objNum is not a stream")
         case None => Left(s"missing content stream object $objNum")

@@ -1,0 +1,152 @@
+package graft
+
+import java.nio.charset.StandardCharsets.ISO_8859_1
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.hocr.{HLine, HPage, HWord, Hocr}
+import graft.model.BBox
+import graft.pdf.{PdfFilters, PdfParse, PdfRender}
+
+/** The non-Flate content-stream filters: known-answer vectors from the
+  * public specs, random round-trips through our own encoders, filter
+  * CHAINS, and an end-to-end page import (P-8) from an LZW-compressed
+  * source — the class of old scanner output Flate-only parsing
+  * rejected. */
+class PdfFilterSpec extends AnyFunSuite {
+
+  private val rng = new scala.util.Random(7)
+  private def randomBytes(n: Int): Array[Byte] = {
+    val b = new Array[Byte](n); rng.nextBytes(b); b
+  }
+
+  test("ASCIIHex: known vector, whitespace, odd-digit padding, bad char") {
+    assert(PdfFilters.asciiHexDecode("48 65 6c\n6C 6F>".getBytes(ISO_8859_1))
+      .toOption.get.sameElements("Hello".getBytes(ISO_8859_1)))
+    // odd trailing digit reads as high nibble (spec: pad with 0)
+    assert(PdfFilters.asciiHexDecode("484>".getBytes(ISO_8859_1))
+      .toOption.get.sameElements(Array[Byte](0x48, 0x40)))
+    assert(PdfFilters.asciiHexDecode("4G>".getBytes(ISO_8859_1)).isLeft)
+    (0 until 20).foreach { _ =>
+      val b = randomBytes(rng.nextInt(100) + 1)
+      assert(PdfFilters.asciiHexDecode(PdfFilters.asciiHexEncode(b)).toOption.get.sameElements(b))
+    }
+  }
+
+  test("ASCII85: the classic 'Man ' vector, z-groups, partial groups, round-trips") {
+    assert(PdfFilters.ascii85Decode("9jqo^~>".getBytes(ISO_8859_1))
+      .toOption.get.sameElements("Man ".getBytes(ISO_8859_1)))
+    assert(PdfFilters.ascii85Decode("z~>".getBytes(ISO_8859_1))
+      .toOption.get.sameElements(Array[Byte](0, 0, 0, 0)))
+    assert(PdfFilters.ascii85Decode("x~>".getBytes(ISO_8859_1)).isLeft) // 'x' > 'u'
+    (0 until 30).foreach { _ =>
+      val b = randomBytes(rng.nextInt(120) + 1) // exercises all partial-group sizes
+      assert(PdfFilters.ascii85Decode(PdfFilters.ascii85Encode(b)).toOption.get.sameElements(b))
+    }
+    // all-zero group must round-trip through 'z'
+    val zeros = new Array[Byte](8)
+    assert(new String(PdfFilters.ascii85Encode(zeros), ISO_8859_1) == "zz~>")
+    assert(PdfFilters.ascii85Decode(PdfFilters.ascii85Encode(zeros)).toOption.get.sameElements(zeros))
+  }
+
+  test("RunLength: literal + repeat runs, EOD, round-trips") {
+    // 3 literal bytes then 4x 'A': [2, x,y,z, 253, 'A', 128]
+    val enc = Array[Byte](2, 1, 2, 3, (257 - 4).toByte, 'A', 128.toByte)
+    assert(PdfFilters.runLengthDecode(enc).toOption.get
+      .sameElements(Array[Byte](1, 2, 3, 'A', 'A', 'A', 'A')))
+    (0 until 20).foreach { _ =>
+      val b = randomBytes(rng.nextInt(300) + 1)
+      assert(PdfFilters.runLengthDecode(PdfFilters.runLengthEncode(b)).toOption.get.sameElements(b))
+    }
+  }
+
+  test("LZW: the PDF-spec known-answer vector and encoder round-trips") {
+    // PDF 32000-1 §7.4.4.2 example: '45 45 45 45 45 65 45 45 45 66'
+    // encodes to codes 256,45,258,258,65,259,66,257 = bytes below
+    val spec = Array(0x80, 0x0B, 0x60, 0x50, 0x22, 0x0C, 0x0C, 0x85, 0x01).map(_.toByte)
+    assert(PdfFilters.lzwDecode(spec).toOption.get
+      .sameElements(Array[Byte](45, 45, 45, 45, 45, 65, 45, 45, 45, 66)))
+    (0 until 10).foreach { _ =>
+      // long enough to cross the 9->10-bit width boundary (258 + n codes)
+      val b = randomBytes(rng.nextInt(600) + 300)
+      assert(PdfFilters.lzwDecode(PdfFilters.lzwEncode(b)).toOption.get.sameElements(b))
+    }
+    assert(PdfFilters.lzwDecode(Array[Byte](0xFF.toByte, 0xFF.toByte)).isLeft)
+  }
+
+  // ---- end to end: hand-built sources with exotic content filters ----
+
+  private def page(words: Seq[String], pageNum: Int): HPage =
+    HPage(id = s"page_$pageNum", pageNumber = pageNum, bbox = BBox(0, 0, 612, 792),
+      lines = Vector(HLine(id = "l1", bbox = BBox(40, 80, 580, 98),
+        words = words.zipWithIndex.map { case (w, i) =>
+          HWord(id = s"w$i", text = w, bbox = BBox(40.0 + i * 90, 80.0, 120.0 + i * 90, 98.0))
+        }.toVector)))
+
+  /** Minimal classic-xref source whose content stream carries the given
+    * filter names (already-encoded bytes supplied by the caller). */
+  private def filteredSource(filterEntry: String, encoded: Array[Byte]): Array[Byte] = {
+    val objs = Vector(
+      "<< /Type /Catalog /Pages 2 0 R >>".getBytes(ISO_8859_1),
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>".getBytes(ISO_8859_1),
+      "<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources << >> >>".getBytes(ISO_8859_1),
+      (s"<< /Length ${encoded.length} /Filter $filterEntry >>\nstream\n".getBytes(ISO_8859_1) ++
+        encoded ++ "\nendstream".getBytes(ISO_8859_1)))
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    w("%PDF-1.4\n")
+    val offsets = objs.zipWithIndex.map { case (body, i) =>
+      val off = out.size()
+      w(s"${i + 1} 0 obj\n"); out.write(body); w("\nendobj\n")
+      off
+    }
+    val xrefAt = out.size()
+    w(s"xref\n0 ${objs.length + 1}\n0000000000 65535 f \n")
+    offsets.foreach(off => w("%010d 00000 n \n".formatLocal(java.util.Locale.ROOT, off.toLong)))
+    w(s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
+  test("LZW content stream parses and page-imports end-to-end (P-8)") {
+    val content = "BT /F9 12 Tf (lzwword) Tj ET".getBytes(ISO_8859_1)
+    val src = filteredSource("/LZWDecode", PdfFilters.lzwEncode(content))
+    val doc = PdfParse.parse(src).toOption.get
+    val got = doc.decodedStream(doc.pages.toOption.get.head.contentObjs.head).toOption.get
+    assert(got.sameElements(content))
+    val out = PdfRender.modifyExistingPdf(src,
+      Hocr(pages = Vector(page(Seq("newocr"), 1)))).toOption.get
+    val s = new String(out.pdf, ISO_8859_1)
+    assert(s.contains("(lzwword) Tj") && s.contains("(newocr) Tj"))
+  }
+
+  test("filter CHAIN [/ASCII85Decode /FlateDecode] decodes in order") {
+    val content = "BT /F9 12 Tf (chained) Tj ET".getBytes(ISO_8859_1)
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(content); deflater.finish()
+    val buf = new Array[Byte](1024)
+    val n = deflater.deflate(buf); deflater.end()
+    val encoded = PdfFilters.ascii85Encode(java.util.Arrays.copyOf(buf, n))
+    val src = filteredSource("[/ASCII85Decode /FlateDecode]", encoded)
+    val doc = PdfParse.parse(src).toOption.get
+    val got = doc.decodedStream(doc.pages.toOption.get.head.contentObjs.head).toOption.get
+    assert(got.sameElements(content))
+  }
+
+  test("RunLength + ASCIIHex content streams decode; unknown filter stays a clear error") {
+    val content = "BT (rlword) Tj ET".getBytes(ISO_8859_1)
+    val srcRl = filteredSource("/RunLengthDecode", PdfFilters.runLengthEncode(content))
+    val docRl = PdfParse.parse(srcRl).toOption.get
+    assert(docRl.decodedStream(docRl.pages.toOption.get.head.contentObjs.head)
+      .toOption.get.sameElements(content))
+    val srcHex = filteredSource("/ASCIIHexDecode", PdfFilters.asciiHexEncode(content))
+    val docHex = PdfParse.parse(srcHex).toOption.get
+    assert(docHex.decodedStream(docHex.pages.toOption.get.head.contentObjs.head)
+      .toOption.get.sameElements(content))
+    val srcBad = filteredSource("/DCTDecode", content)
+    val docBad = PdfParse.parse(srcBad).toOption.get
+    docBad.decodedStream(docBad.pages.toOption.get.head.contentObjs.head) match {
+      case Left(e) => assert(e.contains("unsupported content-stream filter"))
+      case Right(_) => fail("DCT content filter must be rejected")
+    }
+  }
+}
