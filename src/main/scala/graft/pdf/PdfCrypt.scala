@@ -113,11 +113,19 @@ object PdfCrypt {
   }
 
   /** IV-prefixed CBC blob (spec §7.6.3.1): 16-byte IV then PKCS#7-padded
-    * ciphertext. Empty / structurally impossible input decrypts to empty
-    * rather than throwing — matching how readers treat zero-length
-    * encrypted strings. */
+    * ciphertext. STRINGS decode leniently — structurally impossible
+    * input decrypts to empty, matching how readers treat zero-length
+    * encrypted strings; STREAMS use [[aesBlobDecStrict]] so truncated
+    * ciphertext surfaces as a parse error instead of silently-empty
+    * content. */
   private def aesBlobDec(key: Array[Byte], data: Array[Byte]): Array[Byte] =
     if (data.length < 32 || (data.length - 16) % 16 != 0) Array.empty[Byte]
+    else aesCbc(encryptMode = false, key, data.take(16), data.drop(16), padded = true)
+
+  private def aesBlobDecStrict(key: Array[Byte], data: Array[Byte]): Array[Byte] =
+    if (data.length < 32 || (data.length - 16) % 16 != 0)
+      throw new javax.crypto.BadPaddingException(
+        s"AES stream ciphertext structurally invalid (${data.length} bytes: need 16-byte IV + non-empty 16-aligned blocks)")
     else aesCbc(encryptMode = false, key, data.take(16), data.drop(16), padded = true)
 
   private def aesBlobEnc(key: Array[Byte], iv: Array[Byte], data: Array[Byte]): Array[Byte] =
@@ -335,18 +343,29 @@ object PdfCrypt {
     val v = enc.get("V").map(resolve).collect { case n: PNum => n.toInt }.getOrElse(0)
     val r = enc.get("R").map(resolve).collect { case n: PNum => n.toInt }.getOrElse(0)
 
-    /** Shared final pass: strings through strDec, streams through stmDec. */
+    /** Shared final pass: strings through strDec, streams through
+      * stmDec. /EncryptMetadata false leaves the metadata STREAM
+      * plaintext per spec (the key derivation already accounted for it
+      * via the 0xFFFFFFFF step-f suffix). */
     def apply(strOn: Boolean, stmOn: Boolean,
-        dec: (Int, Int, Array[Byte]) => Array[Byte]): Unit =
+        strDec: (Int, Int, Array[Byte]) => Array[Byte],
+        stmDec: (Int, Int, Array[Byte]) => Array[Byte],
+        encMeta: Boolean = true): Unit =
       objects.keys.toSeq.sorted.foreach { num =>
         val obj = objects(num)
         if (num != encNum && !isType(obj.value, "XRef")) {
           val gen = gens.getOrElse(num, 0)
-          val nv = if (strOn) walkStrings(obj.value, b => dec(num, gen, b)) else obj.value
-          val ns = if (stmOn) obj.stream.map(d => dec(num, gen, d)) else obj.stream
+          val nv = if (strOn) walkStrings(obj.value, b => strDec(num, gen, b)) else obj.value
+          val skipStream = !encMeta && isType(obj.value, "Metadata")
+          val ns = if (stmOn && !skipStream) obj.stream.map(d => stmDec(num, gen, d)) else obj.stream
           objects(num) = PObjDef(num, nv, ns)
         }
       }
+
+    def readEncMeta(): Boolean = enc.get("EncryptMetadata").map(resolve) match {
+      case Some(PKw("false")) => false
+      case _ => true
+    }
 
     try {
       if (v == 5) {
@@ -380,7 +399,10 @@ object PdfCrypt {
           }
           if (!permsOk)
             return Left("V5 /Perms validation failed (wrong file key or tampered permissions)")
-          apply(strOn, stmOn, (_, _, d) => aesBlobDec(fk, d))
+          apply(strOn, stmOn,
+            (_, _, d) => aesBlobDec(fk, d),
+            (_, _, d) => aesBlobDecStrict(fk, d),
+            readEncMeta())
         }
         return Right(())
       }
@@ -404,10 +426,7 @@ object PdfCrypt {
         if (o.length < 32 || u.length < 32) return Left("truncated /O or /U value")
         val p = enc.get("P").map(resolve).collect { case x: PNum => x.raw.toDouble.toLong.toInt }
           .getOrElse(return Left("encryption dict missing /P"))
-        val encMeta = enc.get("EncryptMetadata").map(resolve) match {
-          case Some(PKw("false")) => false
-          case _ => true
-        }
+        val encMeta = readEncMeta()
         val id0 = trailer.get("ID").map(resolve) match {
           case Some(PArr(items)) if items.nonEmpty => strBytes(resolve(items.head)).getOrElse(Array.empty[Byte])
           case _ => Array.empty[Byte]
@@ -415,10 +434,15 @@ object PdfCrypt {
         val fk = fileKey(Array.empty, o, p, id0, n, r, encMeta)
         if (!computeU(fk, id0, r).take(16).sameElements(u.take(16)))
           return Left("encrypted PDF requires a non-empty user password (empty-password open failed /U check)")
-        val dec: (Int, Int, Array[Byte]) => Array[Byte] =
-          if (cfm == "AESV2") (num, gen, d) => aesBlobDec(objectKeyAes(fk, num, gen), d)
-          else (num, gen, d) => rc4(objectKey(fk, num, gen), d)
-        apply(strOn, stmOn, dec)
+        if (cfm == "AESV2")
+          apply(strOn, stmOn,
+            (num, gen, d) => aesBlobDec(objectKeyAes(fk, num, gen), d),
+            (num, gen, d) => aesBlobDecStrict(objectKeyAes(fk, num, gen), d),
+            encMeta)
+        else {
+          val rc4Dec = (num: Int, gen: Int, d: Array[Byte]) => rc4(objectKey(fk, num, gen), d)
+          apply(strOn, stmOn, rc4Dec, rc4Dec, encMeta)
+        }
         return Right(())
       }
 
@@ -445,7 +469,8 @@ object PdfCrypt {
         else computeU(fk, id0, r).take(16).sameElements(u.take(16))
       if (!uOk)
         return Left("encrypted PDF requires a non-empty user password (empty-password open failed /U check)")
-      apply(strOn = true, stmOn = true, (num, gen, d) => rc4(objectKey(fk, num, gen), d))
+      val rc4Dec = (num: Int, gen: Int, d: Array[Byte]) => rc4(objectKey(fk, num, gen), d)
+      apply(strOn = true, stmOn = true, rc4Dec, rc4Dec)
       Right(())
     } catch {
       case e: javax.crypto.BadPaddingException =>
@@ -462,7 +487,8 @@ object PdfCrypt {
     * appended classic-style. Determinism (no SecureRandom) is a feature
     * here: the engine's outputs must be byte-stable across runs. */
   private def emitEncrypted(doc: PdfDoc, encDict: PDict, id0: Array[Byte],
-      encObj: (Int, Array[Byte]) => Array[Byte]): Array[Byte] = {
+      encObj: (Int, Array[Byte]) => Array[Byte],
+      encryptStreamOf: PVal => Boolean = _ => true): Array[Byte] = {
     val keep = doc.objects.filter { case (_, o) =>
       !isType(o.value, "XRef") && !isType(o.value, "ObjStm")
     }
@@ -473,7 +499,8 @@ object PdfCrypt {
     val offsets = mutable.HashMap.empty[Int, Long]
     keep.toSeq.sortBy(_._1).foreach { case (num, obj) =>
       offsets(num) = out.size().toLong
-      val encStream = obj.stream.map(data => encObj(num, data))
+      val encStream = obj.stream.map(data =>
+        if (encryptStreamOf(obj.value)) encObj(num, data) else data)
       val walked = walkStrings(obj.value, b => encObj(num, b))
       // AES blobs grow (IV + PKCS#7 padding): /Length must describe the
       // bytes on disk, so rewrite it to the encrypted stream length
@@ -550,12 +577,12 @@ object PdfCrypt {
     * stream becomes an IV-prefixed CBC blob. IVs are derived
     * deterministically from (file key, object, counter) — unique per
     * blob, byte-stable across runs. */
-  def encryptAes128(doc: PdfDoc, ownerPwd: String,
-      userPwd: String = ""): Either[String, Array[Byte]] = {
+  def encryptAes128(doc: PdfDoc, ownerPwd: String, userPwd: String = "",
+      encryptMetadata: Boolean = true): Either[String, Array[Byte]] = {
     val id0 = deriveId0(doc)
     val p = -4
     val o = computeO(ownerPwd.getBytes(ISO_8859_1), userPwd.getBytes(ISO_8859_1), 16, 4)
-    val fk = fileKey(userPwd.getBytes(ISO_8859_1), o, p, id0, 16, 4)
+    val fk = fileKey(userPwd.getBytes(ISO_8859_1), o, p, id0, 16, 4, encryptMetadata)
     val u = computeU(fk, id0, 4)
     val encDict = PDict(Vector(
       "Filter" -> PName("Standard"),
@@ -565,16 +592,28 @@ object PdfCrypt {
         "Length" -> PNum("16"))))),
       "StmF" -> PName("StdCF"), "StrF" -> PName("StdCF"),
       "P" -> PNum(p.toString),
-      "O" -> PHex(bytesToHex(o)), "U" -> PHex(bytesToHex(u))))
+      "O" -> PHex(bytesToHex(o)), "U" -> PHex(bytesToHex(u))) ++
+      (if (encryptMetadata) Vector.empty
+       else Vector("EncryptMetadata" -> PKw("false"))))
+    val iv = ivSequence(fk)
+    Right(emitEncrypted(doc, encDict, id0,
+      (num, data) => aesBlobEnc(objectKeyAes(fk, num, 0), iv(num), data),
+      encryptStreamOf = v => encryptMetadata || !isType(v, "Metadata")))
+  }
+
+  /** Deterministic per-blob IV stream: md5 over (file key, object,
+    * running counter) — unique per blob, byte-stable across runs (the
+    * engine's outputs must be reproducible; these are uniqueness
+    * values, not secrets). Shared by both AES emitters so the scheme
+    * cannot drift. */
+  private def ivSequence(fk: Array[Byte]): Int => Array[Byte] = {
     var ctr = 0
-    def enc(num: Int, data: Array[Byte]): Array[Byte] = {
+    (num: Int) => {
       ctr += 1
-      val iv = md5(fk, Array[Byte](
+      md5(fk, Array[Byte](
         (num & 0xFF).toByte, ((num >> 8) & 0xFF).toByte,
         (ctr & 0xFF).toByte, ((ctr >> 8) & 0xFF).toByte, ((ctr >> 16) & 0xFF).toByte))
-      aesBlobEnc(objectKeyAes(fk, num, 0), iv, data)
     }
-    Right(emitEncrypted(doc, encDict, id0, enc))
   }
 
   /** Encrypt AES-256-CBC (V=5, R=6, /AESV3): ISO 32000-2 key wrapping —
@@ -617,14 +656,8 @@ object PdfCrypt {
       "O" -> PHex(bytesToHex(o48)), "U" -> PHex(bytesToHex(u48)),
       "OE" -> PHex(bytesToHex(oe)), "UE" -> PHex(bytesToHex(ue)),
       "Perms" -> PHex(bytesToHex(perms))))
-    var ctr = 0
-    def enc(num: Int, data: Array[Byte]): Array[Byte] = {
-      ctr += 1
-      val iv = md5(fk, Array[Byte](
-        (num & 0xFF).toByte, ((num >> 8) & 0xFF).toByte,
-        (ctr & 0xFF).toByte, ((ctr >> 8) & 0xFF).toByte, ((ctr >> 16) & 0xFF).toByte))
-      aesBlobEnc(fk, iv, data)
-    }
-    Right(emitEncrypted(doc, encDict, id0, enc))
+    val iv = ivSequence(fk)
+    Right(emitEncrypted(doc, encDict, id0,
+      (num, data) => aesBlobEnc(fk, iv(num), data)))
   }
 }

@@ -162,16 +162,31 @@ object PdfParse {
                   }
                 case f => Left(s"unsupported /Filter value $f")
               }
-            def applyOne(name: String, bytes: Array[Byte]): Either[String, Array[Byte]] = name match {
+            // /DecodeParms aligned per filter (a bare dict applies to a
+            // single filter; an array runs parallel to the /Filter array)
+            val parmsList: Vector[Option[PDict]] =
+              resolve(d.get("DecodeParms").getOrElse(PKw("null"))) match {
+                case pd: PDict => Vector(Some(pd))
+                case PArr(items) => items.map(resolve).map {
+                  case pd: PDict => Some(pd)
+                  case _ => None
+                }.toVector
+                case _ => Vector.empty
+              }
+            def applyOne(name: String, parms: Option[PDict],
+                bytes: Array[Byte]): Either[String, Array[Byte]] = name match {
               case "FlateDecode" => inflate(bytes)
               case "ASCIIHexDecode" => PdfFilters.asciiHexDecode(bytes)
               case "ASCII85Decode" => PdfFilters.ascii85Decode(bytes)
               case "RunLengthDecode" => PdfFilters.runLengthDecode(bytes)
-              case "LZWDecode" => PdfFilters.lzwDecode(bytes)
+              case "LZWDecode" =>
+                val early = parms.flatMap(_.get("EarlyChange").map(resolve))
+                  .collect { case n: PNum => n.toInt }.getOrElse(1)
+                PdfFilters.lzwDecode(bytes, earlyChange = early != 0)
               case other => Left(s"unsupported content-stream filter /$other")
             }
-            names.flatMap(_.foldLeft(Right(data): Either[String, Array[Byte]]) {
-              (acc, n) => acc.flatMap(applyOne(n, _))
+            names.flatMap(_.zipWithIndex.foldLeft(Right(data): Either[String, Array[Byte]]) {
+              case (acc, (n, i)) => acc.flatMap(applyOne(n, parmsList.lift(i).flatten, _))
             })
           }
         case Some(_) => Left(s"object $objNum is not a stream")

@@ -109,7 +109,7 @@ object IngestQ {
           sum(col("doc_id")).as("sum_doc_id"),
           sum(length(col("text"))).as("sum_chars"),
           sum(when(col("doc_id").isNull || col("b_id").isNull
-            || col("text") =!= col("b_text"), 1L).otherwise(0L)).as("bad"))
+            || !(col("text") <=> col("b_text")), 1L).otherwise(0L)).as("bad"))
         .select(lit(fmt).as("format"), col("n_rows"), col("sum_doc_id"),
           col("sum_chars"),
           when(col("bad") === 0, lit(1)).otherwise(lit(0)).as("parity"))

@@ -166,6 +166,51 @@ class PdfCryptSpec extends AnyFunSuite {
     }
   }
 
+  test("/EncryptMetadata false: metadata stream stays plaintext, content still decrypts") {
+    import graft.pdf.PdfParse._
+    val plain = source("metaword")
+    val doc = PdfParse.parse(plain).toOption.get
+    val xmp = "<x:xmpmeta>plain-xmp-payload</x:xmpmeta>".getBytes(ISO_8859_1)
+    val metaNum = doc.objects.keys.max + 1
+    val withMeta = PdfDoc(doc.objects + (metaNum -> PObjDef(metaNum,
+      PDict(Vector("Type" -> PName("Metadata"), "Subtype" -> PName("XML"),
+        "Length" -> PNum(xmp.length.toString))), Some(xmp))), doc.trailer)
+    val enc = PdfCrypt.encryptAes128(withMeta, ownerPwd = "owner",
+      encryptMetadata = false).toOption.get
+    val raw = new String(enc, ISO_8859_1)
+    // the metadata stream is verbatim plaintext in the ciphertext file
+    assert(raw.contains("plain-xmp-payload"))
+    assert(raw.contains("/EncryptMetadata false"))
+    assert(!raw.contains("(metaword) Tj")) // content IS encrypted
+    // parse succeeds (the plaintext metadata stream must NOT be AES-decrypted)
+    val re = PdfParse.parse(enc).toOption.get
+    val content = re.decodedStream(re.pages.toOption.get.head.contentObjs.head).toOption.get
+    assert(new String(content, ISO_8859_1).contains("(metaword) Tj"))
+    val metaBack = re.objects.values.find(o =>
+      o.value match { case d: PDict => d.get("Type").contains(PName("Metadata")); case _ => false })
+    assert(metaBack.get.stream.get.sameElements(xmp))
+  }
+
+  test("truncated AES stream ciphertext is a clear parse error, not silent empty content") {
+    val plain = source("truncword")
+    val enc = PdfCrypt.encryptAes128(PdfParse.parse(plain).toOption.get,
+      ownerPwd = "owner").toOption.get
+    // same-length splice: corrupt the FINAL ciphertext byte of a stream
+    // (the CBC padding block), keeping every offset and /Length valid —
+    // the strict AES stream decoder must surface the bad padding as a
+    // parse error, never as silently-garbled or empty content
+    val raw = new String(enc, ISO_8859_1)
+    val end = raw.indexOf("\nendstream")
+    assert(end > 0)
+    val damaged = raw.substring(0, end - 1) +
+      ((raw.charAt(end - 1) ^ 0x55) & 0xFF).toChar + raw.substring(end)
+    assert(damaged.length == raw.length)
+    PdfParse.parse(damaged.getBytes(ISO_8859_1)) match {
+      case Left(e) => assert(e.toLowerCase.contains("aes"))
+      case Right(d) => fail(s"damaged AES stream must not parse cleanly: ${d.objects.size}")
+    }
+  }
+
   test("V5 /Perms tamper is caught by the ECB cross-check") {
     val plain = source("permsword")
     val enc = PdfCrypt.encryptAes256(PdfParse.parse(plain).toOption.get,

@@ -71,6 +71,12 @@ class PdfFilterSpec extends AnyFunSuite {
       val b = randomBytes(rng.nextInt(600) + 300)
       assert(PdfFilters.lzwDecode(PdfFilters.lzwEncode(b)).toOption.get.sameElements(b))
     }
+    // EarlyChange=0 shifts the width-bump point: an EC0 stream crossing
+    // the boundary only decodes under the matching flag
+    val long = randomBytes(400)
+    val ec0 = PdfFilters.lzwEncode(long, earlyChange = false)
+    assert(PdfFilters.lzwDecode(ec0, earlyChange = false).toOption.get.sameElements(long))
+    assert(!PdfFilters.lzwDecode(ec0).toOption.exists(_.sameElements(long)))
     assert(PdfFilters.lzwDecode(Array[Byte](0xFF.toByte, 0xFF.toByte)).isLeft)
   }
 
@@ -105,6 +111,18 @@ class PdfFilterSpec extends AnyFunSuite {
     offsets.foreach(off => w("%010d 00000 n \n".formatLocal(java.util.Locale.ROOT, off.toLong)))
     w(s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
     out.toByteArray
+  }
+
+  test("LZW /DecodeParms /EarlyChange 0 decodes through the stream dict") {
+    // long enough to cross the 9->10-bit boundary so the flag matters
+    val content = ("BT /F9 12 Tf (early0word) Tj ET " + "Q q " * 200).getBytes(ISO_8859_1)
+    val enc = PdfFilters.lzwEncode(content, earlyChange = false)
+    // the builder injects this after "/Filter ", yielding both the
+    // Filter and DecodeParms entries in the stream dict
+    val src = filteredSource("/LZWDecode /DecodeParms << /EarlyChange 0 >>", enc)
+    val doc = PdfParse.parse(src).toOption.get
+    val got = doc.decodedStream(doc.pages.toOption.get.head.contentObjs.head).toOption.get
+    assert(got.sameElements(content))
   }
 
   test("LZW content stream parses and page-imports end-to-end (P-8)") {
