@@ -211,8 +211,46 @@ object PdfQ {
       .orderBy(col("doc_id"))
   }
 
+  /** ORACLE companion to the rows-only q_pdf_assemble (the flagship
+    * partial-prediction pattern): per doc, the page-count arithmetic
+    * and the STRUCTURAL CONSISTENCY invariants that must hold whichever
+    * way the per-doc P-6 Latin-1 gate decides (the which-docs-fail set
+    * depends on the classifier vocabulary, deliberately not re-derived
+    * in SQL — the failing rows stay inspectable in q_pdf_assemble):
+    * a successful doc emits a non-empty PDF whose re-detected OCG layer
+    * names count exactly n_pages; a gated doc emits nothing. Any
+    * drift in the emitter, the layer naming, or the raw-byte scanner
+    * flips `consistent` and hash-mismatches. */
+  def qPdfAssembleCheck(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pageTable = s.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "explode(sequence(0, CAST(doc_id % 3 AS INT))) AS page_idx")
+      .selectExpr("CAST(doc_id AS STRING) AS doc_id", "page_idx",
+        "concat('img://page/', doc_id, '/', page_idx) AS media_ref")
+    PdfAssemble.run(pageTable)
+      .select(col("doc_id"), col("pdf"), col("n_pages"), col("err"))
+      .as[(String, Array[Byte], Int, String)]
+      .map { case (docId, pdf, nPages, err) =>
+        val named = PdfOps.detectPdfLayers(pdf).getOrElse(Vector.empty)
+          .count(_.contains("OCR Text"))
+        val consistent =
+          if (err == null) pdf.nonEmpty && named == nPages
+          else pdf.isEmpty && named == 0
+        (docId, nPages, if (consistent) 1 else 0)
+      }
+      .toDF("doc_id", "n_pages", "consistent")
+      .orderBy(col("doc_id"))
+  }
+
+  val qPdfAssembleCheckSql: String =
+    """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+      | CAST(doc_id % 3 AS INT) + 1 AS n_pages,
+      | 1 AS consistent
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_pdf_roundtrip" -> ((qPdfRoundtrip _, Some(qPdfRoundtripSql))),
+    "q_pdf_assemble_check" -> ((qPdfAssembleCheck _, Some(qPdfAssembleCheckSql))),
     "q_pdf_modify" -> ((qPdfModify _, Some(qPdfModifySql))),
     "q_pdf_encrypt" -> ((qPdfEncrypt _, Some(qPdfEncryptSql))),
     "q_pdf_assemble" -> ((qPdfAssemble _, None)))
