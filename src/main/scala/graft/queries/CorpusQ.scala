@@ -292,6 +292,55 @@ object CorpusQ {
       .groupBy(col("source"), col("bucket")).agg(max(col("rho")).as("m"))
   }
 
+  /** The dataset "data card" — the one-table datasheet a corpus release
+    * ships with: per SOURCE and as a grand TOTAL (one rollup — a single
+    * Expand + one partial-agg shuffle, never two scans): doc/char/token
+    * counts, distinct languages, exact-dup membership (docs whose
+    * normalized-text fingerprint appears more than once CORPUS-wide —
+    * counted per source via one window over the fp key), and the
+    * short-doc tail. All exact integers; one SQL-shaped rule set shared
+    * with the oracle, so the datasheet itself is hash-verified. */
+  def qDatasetCard(s: SparkSession, dir: String): DataFrame = {
+    val normT = lower(regexp_replace(col("text"), "\\s+", " "))
+    val base = documents(s, dir).select(
+      col("source"), col("lang"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(split(trim(normT), " ")).cast("long").as("n_toks"),
+      md5(normT.cast("binary")).as("fp"))
+    val w = Window.partitionBy(col("fp"))
+    val flagged = base.withColumn("dup",
+      when(count(lit(1)).over(w) > 1, 1L).otherwise(0L))
+    flagged.rollup(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_toks")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("dup")).as("n_dup_docs"),
+        sum(when(col("n_chars") < 100L, 1L).otherwise(0L)).as("n_short_docs"))
+      .select(coalesce(col("source"), lit("TOTAL")).as("source"),
+        col("n_docs"), col("n_chars"), col("n_tokens"), col("n_langs"),
+        col("n_dup_docs"), col("n_short_docs"))
+      .orderBy(col("source"))
+  }
+
+  val qDatasetCardSql: String =
+    """WITH b AS (
+      |  SELECT source, lang,
+      |         CAST(length(text) AS BIGINT) AS n_chars,
+      |         CAST(length(regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_toks,
+      |         md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |f AS (SELECT *, CASE WHEN COUNT(*) OVER (PARTITION BY fp) > 1 THEN 1 ELSE 0 END AS dup FROM b)
+      |SELECT COALESCE(source, 'TOTAL') AS source,
+      |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      |       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+      |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      |       CAST(SUM(dup) AS BIGINT) AS n_dup_docs,
+      |       CAST(SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_short_docs
+      |FROM f GROUP BY GROUPING SETS ((source), ())
+      |ORDER BY source""".stripMargin
+
   def qApproxDistinct(s: SparkSession, dir: String): DataFrame = {
     val regs = hllRegisters(documents(s, dir).select(col("source"), col("text")))
     regs.groupBy(col("source"))
@@ -568,6 +617,7 @@ object CorpusQ {
     "q_source_variance" -> ((qSourceVariance _, Some(qSourceVarianceSql))),
     "q_source_overlap" -> ((qSourceOverlap _, Some(qSourceOverlapSql))),
     "q_approx_distinct" -> ((qApproxDistinct _, Some(qApproxDistinctSql))),
+    "q_dataset_card" -> ((qDatasetCard _, Some(qDatasetCardSql))),
     "q_length_percentiles" -> ((qLengthPercentiles _, Some(qLengthPercentilesSql))),
     "q_pii_redact" -> ((qPiiRedact _, Some(qPiiRedactSql))),
     "q_repetition_signals" -> ((qRepetitionSignals _, Some(qRepetitionSignalsSql))),
