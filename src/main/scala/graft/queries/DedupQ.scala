@@ -88,18 +88,29 @@ object DedupQ {
     * its 16 keyed hashes in-register (no 16x row explode), and the single
     * groupBy(doc_id) gets map-side partial combine — each partition ships
     * at most one 16-column row per doc into the only shuffle. */
-  private def lshBandsOf(docs: DataFrame): DataFrame = {
+  /** The 16-column MinHash signature (doc_id, m0..m15) — the banding-
+    * independent core, shared by the standard 4x4 bands and the tuning
+    * sweep's alternative bandings. */
+  private def minhash16(docs: DataFrame): DataFrame = {
     val hashed = wordShinglesOf(docs).select(
       col("doc_id") +:
         (0 until 16).map(j =>
           md5(concat(lit(j.toString), lit(":"), col("s")).cast("binary")).as(s"h$j")): _*)
-    val mh = hashed.groupBy(col("doc_id"))
+    hashed.groupBy(col("doc_id"))
       .agg(min(col("h0")).as("m0"), (1 until 16).map(j => min(col(s"h$j")).as(s"m$j")): _*)
+  }
+
+  /** Band the signature into nBands bands of 16/nBands rows each. */
+  private def bandsFromSig(mh: DataFrame, nBands: Int): DataFrame = {
+    val r = 16 / nBands
     mh.select(col("doc_id"),
-      posexplode(array((0 until 4).map { b =>
-        md5(concat_ws(",", (4 * b until 4 * b + 4).map(k => col(s"m$k")): _*).cast("binary"))
+      posexplode(array((0 until nBands).map { b =>
+        md5(concat_ws(",", (r * b until r * b + r).map(k => col(s"m$k")): _*).cast("binary"))
       }: _*)).as(Seq("band", "bh")))
   }
+
+  private def lshBandsOf(docs: DataFrame): DataFrame =
+    bandsFromSig(minhash16(docs), 4)
 
   private def lshBands(s: SparkSession, dir: String): DataFrame =
     lshBandsOf(documents(s, dir).select(col("doc_id"), col("text")))
@@ -184,17 +195,25 @@ object DedupQ {
   /** The band-signature CTE chain over an arbitrary (doc_id, text)
     * relation name — lets eval queries band a UNION corpus (base +
     * planted variants) through the exact same oracle spelling. */
-  private def bandsCteBody(src: String): String =
+  /** mh-signature CTE chain (n, sh, mh) over a (doc_id, text) relation
+    * name, plus a banding CTE named `bandsName` with `rowsPerBand`
+    * MinHash rows per band — the oracle spelling of [[bandsFromSig]]. */
+  private def mhCteBody(src: String): String =
     s"""n AS (SELECT doc_id, regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w FROM $src),
       |sh AS (SELECT DISTINCT doc_id, w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2] AS s
       |       FROM n, UNNEST(generate_series(1, greatest(length(w) - 2, 0))) AS u(i)
       |       WHERE CAST(i AS INT) <= length(w) - 2),
       |mh AS (SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || ':' || s)) AS m
       |       FROM sh, UNNEST(generate_series(0, 15)) AS jj(j)
-      |       GROUP BY doc_id, j),
-      |bands AS (SELECT doc_id, CAST(FLOOR(j / 4) AS INT) AS band,
+      |       GROUP BY doc_id, j)""".stripMargin
+
+  private def bandsCteOf(bandsName: String, rowsPerBand: Int): String =
+    s"""$bandsName AS (SELECT doc_id, CAST(FLOOR(j / $rowsPerBand) AS INT) AS band,
       |                 md5(STRING_AGG(m, ',' ORDER BY j)) AS bh
-      |          FROM mh GROUP BY doc_id, CAST(FLOOR(j / 4) AS INT))""".stripMargin
+      |          FROM mh GROUP BY doc_id, CAST(FLOOR(j / $rowsPerBand) AS INT))""".stripMargin
+
+  private def bandsCteBody(src: String): String =
+    mhCteBody(src) + ",\n" + bandsCteOf("bands", 4)
 
   private val bandsCte: String = "WITH RECURSIVE " + bandsCteBody("documents")
 
@@ -397,6 +416,71 @@ object DedupQ {
       |JOIN ni ON ni.doc_id = o.doc_id
       |LEFT JOIN found f ON f.doc_id = o.doc_id
       |ORDER BY o.doc_id""".stripMargin
+
+  /** LSH banding TUNING sweep — the parameter table a production dedup
+    * publishes before fixing (bands x rows): recall of the planted
+    * near-dup pairs (the q_lsh_recall fixture) under 2x8, 4x4 and 8x2
+    * bandings of the SAME 16-hash MinHash signature. More bands = wider
+    * nets (higher recall at the same signature cost, more candidates);
+    * the oracle re-derives every banding from the documents table, so
+    * the sweep itself is hash-verified. One signature pass feeds all
+    * three bandings. */
+  def qLshTuning(s: SparkSession, dir: String): DataFrame = {
+    val base = documents(s, dir).select(col("doc_id"), col("text"))
+    val planted = base.filter(col("doc_id") % 23 === 0 && length(col("text")) >= 60)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(expr("substr(text, 1, 24)"), lit("qzx"), expr("substr(text, 28)")).as("text"))
+    val mh = minhash16(base.unionAll(planted)).cache()
+    val nPlanted = planted.count()
+    Seq(2, 4, 8).map { nBands =>
+      val bands = bandsFromSig(mh, nBands)
+      val w = Window.partitionBy(col("band"), col("bh"))
+      val capped = bands.withColumn("bn", count(lit(1)).over(w))
+        .filter(col("bn") <= MaxLshBucket)
+        .select(col("doc_id"), col("band"), col("bh"))
+      val found = capped.as("a").join(capped.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("b.doc_id") === col("a.doc_id") + 2000000L)
+        .select(col("a.doc_id")).distinct().count()
+      (s"${nBands}x${16 / nBands}", nPlanted, found)
+    }.foldLeft(Option.empty[DataFrame]) { (acc, row) =>
+      import s.implicits._
+      val df = Seq(row).toDF("banding", "n_planted", "n_found")
+      Some(acc.map(_.unionAll(df)).getOrElse(df))
+    }.get.orderBy(col("banding"))
+  }
+
+  val qLshTuningSql: String = {
+    val one = (nBands: Int) => {
+      val r = 16 / nBands
+      s"""SELECT '${nBands}x$r' AS banding,
+        | (SELECT COUNT(*) FROM orig) AS n_planted,
+        | (SELECT COUNT(DISTINCT a.doc_id)
+        |  FROM capped$nBands a JOIN capped$nBands b
+        |    ON a.band = b.band AND a.bh = b.bh AND b.doc_id = a.doc_id + 2000000) AS n_found""".stripMargin
+    }
+    val bandCtes = Seq(2, 4, 8).map { nBands =>
+      val r = 16 / nBands
+      s"""${bandsCteOf(s"bands$nBands", r)},
+        |bsz$nBands AS (SELECT band, bh, COUNT(*) AS bn FROM bands$nBands GROUP BY band, bh),
+        |capped$nBands AS (SELECT doc_id, x.band, x.bh FROM bands$nBands x JOIN bsz$nBands USING (band, bh)
+        |            WHERE bn <= $MaxLshBucket)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE srcu AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, substr(text, 1, 24) || 'qzx' || substr(text, 28)
+      |  FROM documents WHERE doc_id % 23 = 0 AND length(text) >= 60),
+      |${mhCteBody("srcu")},
+      |orig AS (SELECT doc_id FROM documents WHERE doc_id % 23 = 0 AND length(text) >= 60),
+      |$bandCtes
+      |${one(2)}
+      |UNION ALL
+      |${one(4)}
+      |UNION ALL
+      |${one(8)}
+      |ORDER BY banding""".stripMargin
+  }
 
   /** INCREMENTAL ingestion dedup — the asymmetric production shape the
     * self-join queries don't cover: a standing corpus keeps an LSH band
@@ -886,6 +970,7 @@ object DedupQ {
     "q_incremental_dedup" -> ((qIncrementalDedup _, Some(qIncrementalDedupSql))),
     "q_lsh_recall" -> ((qLshRecall _, Some(qLshRecallSql))),
     "q_leakage_split" -> ((qLeakageSplit _, Some(qLeakageSplitSql))),
+    "q_lsh_tuning" -> ((qLshTuning _, Some(qLshTuningSql))),
     "q_neardup_verified" -> ((qNeardupVerified _, Some(qNeardupVerifiedSql))),
     "q_simhash_neardup" -> ((qSimhashNeardup _, Some(qSimhashNeardupSql))),
     "q_ngram_jaccard" -> ((qNgramJaccard _, Some(qNgramJaccardSql))),
