@@ -186,7 +186,7 @@ object Extract {
     run(corpus)
       .select(col("doc_id"),
         concat_ws(" ", expr("transform(span_seq, sp -> sp.text)")).as("text"))
-      .withColumn("fp", md5(lower(regexp_replace(col("text"), "\\s+", " ")).cast("binary")))
+      .withColumn("fp", graft.queries.DedupQ.exactFp(col("text")))
       .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")).cast("long"))
       .withColumn("rep", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
       .select(col("doc_id"), col("fp"), col("n_tokens"),

@@ -280,7 +280,7 @@ object CorpusQ {
     * .StreamingOps.hllStream]]): register update is a MAX, so the
     * streaming aggregation is bit-identical to the batch one. */
   def hllRegisters(docs: DataFrame): DataFrame = {
-    val fp = md5(lower(regexp_replace(col("text"), "\\s+", " ")).cast("binary"))
+    val fp = graft.queries.DedupQ.exactFp(col("text"))
     val v = expr("CAST(conv(substr(fp, 1, 15), 16, 10) AS BIGINT)")
     docs
       .select(col("source"), fp.as("fp"))
@@ -306,7 +306,7 @@ object CorpusQ {
       col("source"), col("lang"),
       length(col("text")).cast("long").as("n_chars"),
       size(split(trim(normT), " ")).cast("long").as("n_toks"),
-      md5(normT.cast("binary")).as("fp"))
+      graft.queries.DedupQ.exactFp(col("text")).as("fp"))
     val w = Window.partitionBy(col("fp"))
     val flagged = base.withColumn("dup",
       when(count(lit(1)).over(w) > 1, 1L).otherwise(0L))
@@ -347,7 +347,7 @@ object CorpusQ {
       .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 56 - m)")).as("s_present"),
         count(lit(1)).as("n_buckets"))
       .join(documents(s, dir).groupBy(col("source"))
-        .agg(countDistinct(md5(lower(regexp_replace(col("text"), "\\s+", " ")).cast("binary"))).as("n_exact")),
+        .agg(countDistinct(graft.queries.DedupQ.exactFp(col("text"))).as("n_exact")),
         Seq("source"))
       .select(col("source"), col("n_exact"), expr(EstimateExpr).as("n_est"))
       .orderBy(col("source"))

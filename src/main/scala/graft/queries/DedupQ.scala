@@ -26,6 +26,14 @@ object DedupQ {
 
   private def norm(c: Column): Column = lower(regexp_replace(c, "\\s+", " "))
 
+  /** THE exact-dup content fingerprint — ONE definition for every
+    * consumer (batch exact dedup, streaming dedupStream, the
+    * extract->curate composition, the HLL registers, the dataset card),
+    * so batch and stream cannot drift. Oracle spelling:
+    * `md5(lower(regexp_replace(text, '\s+', ' ', 'g')))`. */
+  def exactFp(text: Column): Column =
+    md5(norm(text).cast("binary"))
+
   /** Exact dedup: canonical representative (min doc_id) per content hash
     * + group size. groupBy (NOT a window over fp): hash aggregation gets
     * map-side partial combine, so each partition ships one row per

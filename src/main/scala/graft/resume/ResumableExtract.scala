@@ -13,8 +13,12 @@ import graft.pipeline.Extract
   * The doc space is split into `buckets` by xxhash64(doc_id); buckets are
   * processed in waves. Each wave commits its output via DYNAMIC partition
   * overwrite (idempotent: a re-run of a half-written bucket replaces the
-  * partial files), then appends one lineage row per bucket:
-  *   (bucket, n_docs, n_spans, wall_ms, attempt, committed_at).
+  * partial files; the mode is set per WRITE, never on the shared
+  * session), then appends one lineage row per bucket:
+  *   (bucket, n_docs, n_spans, wave, wave_wall_ms, attempt, committed_at).
+  * wave_wall_ms is the WAVE's wall time (buckets in a wave run as one
+  * job and are not separable); aggregate cost per wave via
+  * max(wave_wall_ms) GROUP BY wave, attempt — never SUM over buckets.
   * The lineage append happens strictly AFTER the data commit, so a kill
   * at any point leaves either (data+lineage) or (overwritable partial
   * data, no lineage) — never a lineage row without data.
@@ -35,7 +39,7 @@ import graft.pipeline.Extract
 object ResumableExtract {
 
   final case class LineageRow(
-      bucket: Int, n_docs: Long, n_spans: Long, wall_ms: Long,
+      bucket: Int, n_docs: Long, n_spans: Long, wave: Int, wave_wall_ms: Long,
       attempt: String, committed_at: Long)
 
   def dataDir(outDir: String): String = s"$outDir/data"
@@ -101,7 +105,6 @@ object ResumableExtract {
       attempt: String,
       failAfterWaves: Int): Unit = {
     import spark.implicits._
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val done = completedBuckets(spark, outDir)
     val bucketOf = bucketExpr(buckets)
     val remaining = (0 until buckets).filterNot(done)
@@ -112,7 +115,9 @@ object ResumableExtract {
       val t0 = System.nanoTime()
       val part = partForWave(wave)
       val out = Extract.run(part).withColumn("bucket", bucketOf)
-      out.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(dataDir(outDir))
+      out.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").parquet(dataDir(outDir))
       val wallMs = (System.nanoTime() - t0) / 1000000
       // per-bucket metrics from the committed data (cheap: one scan of
       // the wave's partitions only)
@@ -122,10 +127,10 @@ object ResumableExtract {
         .agg(count(lit(1)).as("n_docs"), sum(size(col("span_seq"))).as("n_spans"))
         .collect()
         .map(r => LineageRow(r.getInt(0), r.getLong(1), r.getLong(2),
-          wallMs, attempt, System.currentTimeMillis()))
+          wi, wallMs, attempt, System.currentTimeMillis()))
       val present = stats.map(_.bucket).toSet
       val all = stats ++ wave.filterNot(present)
-        .map(b => LineageRow(b, 0L, 0L, wallMs, attempt, System.currentTimeMillis()))
+        .map(b => LineageRow(b, 0L, 0L, wi, wallMs, attempt, System.currentTimeMillis()))
       spark.createDataset(all.toSeq).write.mode(SaveMode.Append).parquet(lineageDir(outDir))
     }
   }

@@ -16,8 +16,13 @@ import graft.pdf.PdfOps
   * content) rows; this module shapes that into the engine's page table.
   *
   * Semantics preserved from the reference:
-  *   - document = the containing directory (one doc's pages live
-  *     together, as the CLI's per-document glob does);
+  *   - document = the containing DIRECTORY (one doc's pages live
+  *     together, as the CLI's per-document glob does). Document
+  *     identity is the full parent PATH — two directories that share a
+  *     NAME under different shards stay distinct documents; the
+  *     `doc_id` column carries the directory name (unique under the
+  *     single-root layout this engine materializes) while grouping
+  *     always keys on the path;
   *   - page order = LEXICOGRAPHIC path order within the document (C-6:
   *     filepath.Glob returns sorted paths) — materialized as an explicit
   *     `page_idx` column via a per-doc window, so downstream ordering
@@ -26,10 +31,13 @@ import graft.pdf.PdfOps
   *     the %PDF- header).
   *
   * Scale notes: the binaryFile scan is a real distributed source
-  *   (partitioned by file, filter pushdown on path/length); the only
-  *   shuffle is the per-doc window over slim (path) rows. One parquet/
-  *   Iceberg materialization of this table is the production first step
-  *   — the engine's corpus format — after which everything is columnar. */
+  *   (partitioned by file, filter pushdown on path/length) that PRUNES
+  *   the content column — the page-index pass scans (path) only, so the
+  *   window shuffle carries slim listing rows and the raw bytes NEVER
+  *   cross the wire (they join back map-side via the broadcast listing;
+  *   an ingest batch's file listing is small by construction — a batch
+  *   too large to broadcast its listing is split, which production
+  *   ingestion does anyway). */
 object BinaryIngest {
 
   private val detectType = udf((b: Array[Byte]) =>
@@ -41,13 +49,21 @@ object BinaryIngest {
   /** Directory tree of per-page binary files -> the page table
     * (doc_id, page_idx, path, media_type, length, content). */
   def pages(spark: SparkSession, dir: String, glob: String = "*"): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("path"))
-    spark.read.format("binaryFile")
+    def scan = spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
       .option("recursiveFileLookup", "true")
       .load(dir)
-      .withColumn("doc_id", element_at(split(col("path"), "/"), -2))
+    // page indices from a CONTENT-FREE listing scan (binaryFile prunes
+    // unselected columns, so this pass never reads file bytes); doc
+    // identity = the full parent path, never just its last segment
+    val parent = regexp_replace(col("path"), "/[^/]+$", "")
+    val w = Window.partitionBy(col("doc_dir")).orderBy(col("path"))
+    val listing = scan.select(col("path"), parent.as("doc_dir"))
       .withColumn("page_idx", (row_number().over(w) - 1).cast("int"))
+      .withColumn("doc_id", element_at(split(col("doc_dir"), "/"), -1))
+      .select(col("path"), col("doc_id"), col("page_idx"))
+    scan
+      .join(broadcast(listing), Seq("path"))
       .withColumn("media_type", detectType(col("content")))
       .select(col("doc_id"), col("page_idx"), col("path"),
         col("media_type"), col("length"), col("content"))

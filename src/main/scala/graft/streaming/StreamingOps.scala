@@ -55,7 +55,13 @@ object StreamingOps {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.end <= 30 * 60 * 1000 =>
-                  cur = Some(S(s.n + 1, s.start, t))
+                  // min/max, not overwrite: a within-watermark LATE event
+                  // (t <= s.end, arriving in a later micro-batch) must
+                  // extend membership without SHRINKING the session — an
+                  // overwrite here mis-set end (and the event-time
+                  // timeout) to the late event's stamp, wrongly splitting
+                  // the session on the next on-time arrival
+                  cur = Some(S(s.n + 1, math.min(s.start, t), math.max(s.end, t)))
                 case Some(s) =>
                   closed ::= SessionOut(user, s.n, s.start, s.end)
                   cur = Some(S(1, t, t))
@@ -111,7 +117,7 @@ object StreamingOps {
   def dedupStream(docs: DataFrame): DataFrame =
     docs
       .withColumn("ts", col("ts").cast("timestamp"))
-      .withColumn("fp", md5(lower(regexp_replace(col("text"), "\\s+", " ")).cast("binary")))
+      .withColumn("fp", graft.queries.DedupQ.exactFp(col("text")))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("fp")
 
@@ -281,20 +287,26 @@ object StreamingOps {
       op: DataFrame => DataFrame): DataFrame = {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // file-stream sources require a DIRECTORY; stage the (read-only)
-    // events file into a temp dir via symlink
+    // events file into a temp dir via symlink — removed after the
+    // one-shot query so repeated verification runs don't litter /tmp
     val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    val link = dir.resolve("events.parquet")
     java.nio.file.Files.createSymbolicLink(
-      dir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir.toString)
-    val q = op(stream).writeStream
-      .outputMode(OutputMode.Complete)
-      .format("memory").queryName(queryName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    spark.table(queryName)
+      link, java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString)
+      val q = op(stream).writeStream
+        .outputMode(OutputMode.Complete)
+        .format("memory").queryName(queryName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(queryName)
+    } finally {
+      java.nio.file.Files.deleteIfExists(link)
+      java.nio.file.Files.deleteIfExists(dir)
+    }
   }
 }

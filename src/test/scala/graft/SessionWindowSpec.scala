@@ -51,6 +51,39 @@ class SessionWindowSpec extends AnyFunSuite {
       "exactly-gap event must merge into the native session (inclusive)")
   }
 
+  test("custom sessionizer: a within-watermark LATE event must not shrink the session") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, min: Long) =
+      StreamingOps.Event(id, ts(min), 5L, "e", 0.0, "{}")
+    val source = MemoryStream[StreamingOps.Event]
+    val q = StreamingOps.sessionize(source.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_sessions").start()
+    source.addData(ev(1, 600), ev(2, 620)) // session [600, 620]
+    q.processAllAvailable()
+    // LATE but within the 2h watermark horizon: must JOIN the session
+    // without moving its end back to 605 (the pre-fix overwrite bug,
+    // which then split the session on the next on-time event)
+    source.addData(ev(3, 605))
+    q.processAllAvailable()
+    source.addData(ev(4, 640)) // true gap from 620 is 20 min -> same session
+    q.processAllAvailable()
+    // flush via a sentinel user far in the future (two batches: advance
+    // watermark, then fire timeouts)
+    source.addData(StreamingOps.Event(-1L, ts(5000), -1L, "s", 0.0, "{}"))
+    q.processAllAvailable()
+    source.addData(StreamingOps.Event(-2L, ts(5100), -1L, "s", 0.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("late_sessions").filter(col("user_id") === 5L)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((4, ts(600).getTime, ts(640).getTime)),
+      s"expected ONE intact session of 4 events, got ${got.toSeq}")
+  }
+
   test("streaming session_window == batch on the same events across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
