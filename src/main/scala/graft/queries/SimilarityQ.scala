@@ -33,12 +33,16 @@ object SimilarityQ {
     * correctness baseline; the LSH-bucketed variant below is the scale
     * path. Query side is tiny -> broadcast; candidates stream. */
   def qAnnCosine(s: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(s, dir).select(col("vec_id"), col("embedding").as("v"),
+    val e = embeddings(s, dir)
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"), col("embedding").as("v"),
       qdot(col("embedding"), col("embedding")).as("nrm"))
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    // plain broadcast cross join: queries and candidates are DISJOINT by
+    // the vec_id cutoffs (a self-pair predicate here would be dead code)
     val joined = e.filter(col("vec_id") >= 5).as("c")
-      .join(broadcast(q), col("vec_id") =!= col("qid"))
+      .crossJoin(broadcast(q))
       .select(col("qid"), col("vec_id").as("cid"),
         qdot(col("qv"), col("v")).cast("double").as("dp"),
         col("qnrm").cast("double").as("qq"),
@@ -52,8 +56,10 @@ object SimilarityQ {
   }
 
   val qAnnCosineSql: String =
-    """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
-      |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      |          WHERE vec_id < 5 AND embedding IS NOT NULL AND len(embedding) > 0),
+      |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      |      WHERE vec_id >= 5 AND embedding IS NOT NULL AND len(embedding) > 0),
       |el AS (SELECT qid, cid,
       |   CAST(ROUND(CAST(UNNEST(qv) AS DOUBLE) * 1000) AS BIGINT) AS qx,
       |   CAST(ROUND(CAST(UNNEST(cv) AS DOUBLE) * 1000) AS BIGINT) AS cx FROM q, c),
@@ -108,9 +114,7 @@ object SimilarityQ {
       .orderBy(col("bucket"))
 
   val qAnnLshBucketsSql: String = {
-    val sigBits = (0 until 8).map { h =>
-      s"""(CASE WHEN SUM((CASE WHEN instr('0123456789abcdef', substr(md5('$h' || ':' || CAST(u.d AS VARCHAR)), 1, 1)) - 1 >= 8 THEN 1 ELSE -1 END) * CAST(ROUND(CAST(u.x AS DOUBLE) * 1000) AS BIGINT)) > 0 THEN ${1 << h} ELSE 0 END)"""
-    }.mkString(" + ")
+    val sigBits = sigBitsSql
     s"""WITH u AS (
        |  SELECT vec_id, UNNEST(embedding) AS x, UNNEST(generate_series(0, len(embedding) - 1)) AS d
        |  FROM embeddings
@@ -129,13 +133,23 @@ object SimilarityQ {
     * oracle — never a silent semantic divergence between engines. */
   val MaxEmbedBucket = 256
 
-  /** One SQL body for BOTH engines (only the array-unnest clause and the
-    * string-cast name differ), so the skew guard and the quantized-cosine
-    * arithmetic can never drift between Spark and the oracle. */
-  private def embedNeardupCore(uClause: String, str: String): String = {
-    val sigBits = (0 until 8).map { h =>
-      s"""(CASE WHEN SUM((CASE WHEN instr('0123456789abcdef', substr(md5('$h' || ':' || CAST(u.d AS $str)), 1, 1)) - 1 >= 8 THEN 1 ELSE -1 END) * CAST(ROUND(CAST(u.x AS DOUBLE) * 1000) AS BIGINT)) > 0 THEN ${1 << h} ELSE 0 END)"""
-    }.mkString(" + ")
+  /** The 8-hyperplane sign-bit SQL formula — ONE spelling for every
+    * oracle that buckets embeddings (q_ann_lsh_buckets and the
+    * embed-neardup family), so the signature arithmetic cannot drift
+    * between copies. Expects the exploded relation aliased `u` with
+    * columns (vec_id, x, d). */
+  // def, not val: consumed by vals declared EARLIER in this object
+  // (object vals initialize in declaration order — a val here would
+  // still be null when qAnnLshBucketsSql is built)
+  private def sigBitsSql: String = (0 until 8).map { h =>
+    s"""(CASE WHEN SUM((CASE WHEN instr('0123456789abcdef', substr(md5('$h' || ':' || CAST(u.d AS VARCHAR)), 1, 1)) - 1 >= 8 THEN 1 ELSE -1 END) * CAST(ROUND(CAST(u.x AS DOUBLE) * 1000) AS BIGINT)) > 0 THEN ${1 << h} ELSE 0 END)"""
+  }.mkString(" + ")
+
+  /** One SQL body for BOTH engines, so the skew guard and the
+    * quantized-cosine arithmetic can never drift between Spark and the
+    * oracle. */
+  private def embedNeardupCore(uClause: String): String = {
+    val sigBits = sigBitsSql
     s"""WITH u AS (
        |  $uClause
        |),
@@ -194,8 +208,7 @@ object SimilarityQ {
   }
 
   val qEmbedNeardupSql: String = embedNeardupCore(
-    "SELECT vec_id, UNNEST(embedding) AS x, UNNEST(generate_series(0, len(embedding) - 1)) AS d FROM embeddings",
-    "VARCHAR")
+    "SELECT vec_id, UNNEST(embedding) AS x, UNNEST(generate_series(0, len(embedding) - 1)) AS d FROM embeddings")
 
   /** IVF coarse quantizer — the other classic ANN scale path (alongside
     * LSH): every vector is assigned to its nearest of K=16 deterministic
@@ -225,8 +238,10 @@ object SimilarityQ {
   }
 
   val qIvfAssignSql: String =
-    """WITH q AS (SELECT vec_id, embedding FROM embeddings),
-      |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+    """WITH q AS (SELECT vec_id, embedding FROM embeddings
+      |          WHERE embedding IS NOT NULL AND len(embedding) > 0),
+      |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      |      WHERE vec_id < 16 AND embedding IS NOT NULL AND len(embedding) > 0),
       |el AS (SELECT q.vec_id, c.cid,
       |   CAST(ROUND(CAST(UNNEST(q.embedding) AS DOUBLE) * 1000) AS BIGINT) AS qx,
       |   CAST(ROUND(CAST(UNNEST(c.cv) AS DOUBLE) * 1000) AS BIGINT) AS cx FROM q, c),
@@ -268,10 +283,12 @@ object SimilarityQ {
   }
 
   val qIvfProbeSql: String =
-    """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+    """WITH e0 AS (SELECT vec_id, embedding FROM embeddings
+      |           WHERE embedding IS NOT NULL AND len(embedding) > 0),
+      |c AS (SELECT vec_id AS cid, embedding AS cv FROM e0 WHERE vec_id < 16),
       |ael AS (SELECT q.vec_id, c.cid,
       |   CAST(ROUND(CAST(UNNEST(q.embedding) AS DOUBLE) * 1000) AS BIGINT) AS qx,
-      |   CAST(ROUND(CAST(UNNEST(c.cv) AS DOUBLE) * 1000) AS BIGINT) AS cx FROM embeddings q, c),
+      |   CAST(ROUND(CAST(UNNEST(c.cv) AS DOUBLE) * 1000) AS BIGINT) AS cx FROM e0 q, c),
       |adots AS (SELECT vec_id, cid,
       |   CAST(SUM(qx * cx) AS DOUBLE) AS dp, CAST(SUM(qx * qx) AS DOUBLE) AS qq, CAST(SUM(cx * cx) AS DOUBLE) AS cc
       | FROM ael GROUP BY vec_id, cid),
@@ -279,9 +296,9 @@ object SimilarityQ {
       |   SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dp / (sqrt(qq) * sqrt(cc)) DESC, cid) AS rn
       |   FROM adots) t WHERE rn = 1),
       |qs AS (SELECT e.vec_id AS qid, e.embedding AS qv, a.centroid
-      |       FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id WHERE e.vec_id < 5),
+      |       FROM e0 e JOIN assign a ON a.vec_id = e.vec_id WHERE e.vec_id < 5),
       |cands AS (SELECT e.vec_id AS cand_id, e.embedding AS cv, a.centroid
-      |          FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id WHERE e.vec_id >= 5),
+      |          FROM e0 e JOIN assign a ON a.vec_id = e.vec_id WHERE e.vec_id >= 5),
       |el AS (SELECT qs.qid, cands.cand_id,
       |   CAST(ROUND(CAST(UNNEST(qs.qv) AS DOUBLE) * 1000) AS BIGINT) AS qx,
       |   CAST(ROUND(CAST(UNNEST(cands.cv) AS DOUBLE) * 1000) AS BIGINT) AS cx
@@ -309,12 +326,16 @@ object SimilarityQ {
     * map-side join + partial agg over the exploded vectors — no
     * shuffled expansion. */
   def qKmeansRefine(s: SparkSession, dir: String): DataFrame = {
-    val a0 = qIvfAssign(s, dir).select(col("vec_id"), col("centroid").as("c0"))
+    // both relations are multi-referenced (a0 feeds sums AND the final
+    // join; ql feeds sums, qnrm AND dots) — without the cache the full
+    // IVF assignment ran ~3x and the 64x explode ~4x per query run
+    val a0 = qIvfAssign(s, dir).select(col("vec_id"), col("centroid").as("c0")).cache()
     val ql = embeddings(s, dir)
       .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
       .select(col("vec_id"), col("d"),
         round(col("x").cast("double") * 1000).cast("long").as("qx"))
+      .cache()
     val sums = ql.join(a0, Seq("vec_id"))
       .groupBy(col("c0").as("cid"), col("d")).agg(sum(col("qx")).as("sx"))
     val snrm = sums.groupBy(col("cid"))
@@ -339,8 +360,10 @@ object SimilarityQ {
   }
 
   val qKmeansRefineSql: String =
-    """WITH q AS (SELECT vec_id, embedding FROM embeddings),
-      |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+    """WITH q AS (SELECT vec_id, embedding FROM embeddings
+      |          WHERE embedding IS NOT NULL AND len(embedding) > 0),
+      |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      |      WHERE vec_id < 16 AND embedding IS NOT NULL AND len(embedding) > 0),
       |el0 AS (SELECT q.vec_id, c.cid,
       |   CAST(ROUND(CAST(UNNEST(q.embedding) AS DOUBLE) * 1000) AS BIGINT) AS qx,
       |   CAST(ROUND(CAST(UNNEST(c.cv) AS DOUBLE) * 1000) AS BIGINT) AS cx FROM q, c),
