@@ -98,16 +98,30 @@ object CorpusGen {
     * into it) parallelizes by itself. Extract.run accepts this layout
     * directly and reconstructs global span order from
     * part_idx * PartSize + local position. */
+  /** Fingerprint of the SYNTHESIS SEMANTICS: a hash over a probe doc's
+    * generated spans (kinds, texts, media_refs). Any change to the
+    * generator chain (CorpusGen arithmetic, MediaOcr vocabulary,
+    * wrapHtml templates) changes this value — so the materialized-cache
+    * path below self-invalidates instead of relying on a hand-bumped
+    * version suffix that is easy to forget (a stale cache whose SCHEMA
+    * still matches would silently feed Bench and q_extract_presplit
+    * old-generator data). */
+  private lazy val generatorFingerprint: String = {
+    val probe = (0L until 4L).flatMap(id =>
+      genDoc(id, s"fingerprint probe text number $id with several words present")
+        .spans.map(sp => s"${sp.kind}|${sp.text}|${sp.media_ref}")).mkString("\n")
+    f"${graft.layout.MediaOcr.hash64(probe)}%016x".take(12)
+  }
+
   /** Materialize the pre-split corpus for a scale dir once under /tmp,
-    * returning its path (idempotent; rebuilds when absent or from an
-    * older generator version). Shared by Bench (the timed layout) and
-    * q_extract_presplit (the battery/correctness entry over the same
-    * layout). `_v2` is the generator-version suffix — busts stale caches
-    * whose SCHEMA still matches when synthesis semantics change; bump on
-    * any CorpusGen/MediaOcr output change. */
+    * returning its path (idempotent; rebuilds when absent or when the
+    * generator SEMANTICS changed — the path carries
+    * [[generatorFingerprint]], not a hand-maintained version). Shared by
+    * Bench (the timed layout) and q_extract_presplit (the battery/
+    * correctness entry over the same layout). */
   def materializedPreSplit(spark: SparkSession, sfDir: String): String = {
     val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
-    val path = s"/tmp/graft_corpus_${sfName}_v2"
+    val path = s"/tmp/graft_corpus_${sfName}_$generatorFingerprint"
     val usable = java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")) &&
       (try {
         val cols = spark.read.parquet(path).columns

@@ -60,9 +60,13 @@ object Extract {
     * (PushedFilters: n_spans > threshold skips nearly every row group);
     * otherwise it falls back to size(spans), which cannot push down. */
   def extractSpans(input: DataFrame, spreadThreshold: Int = DefaultSpreadThreshold): DataFrame = {
-    val withN =
-      if (input.columns.contains("n_spans")) input
-      else input.withColumn("n_spans", size(col("spans")))
+    // PRE-SPLIT layout: every row is already a bounded <= PartSize unit,
+    // so extraction fuses into the (parallel) scan with NO repartition
+    // and `order` is the reconstructed GLOBAL position — without this
+    // dispatch, pos would be part-local and duplicate across parts
+    if (input.columns.contains("part_idx"))
+      return extracted(preSplitExploded(input))
+    val withN = withNSpans(input)
     val small = withN.filter(col("n_spans") <= spreadThreshold)
       .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
     val big = withN.filter(col("n_spans") > spreadThreshold)
@@ -70,6 +74,36 @@ object Extract {
       .repartition(col("doc_id"), col("pos"))
     extracted(small).unionAll(extracted(big))
   }
+
+  private def withNSpans(input: DataFrame): DataFrame =
+    if (input.columns.contains("n_spans")) input
+    else input.withColumn("n_spans", size(col("spans")))
+
+  private def preSplitExploded(input: DataFrame): DataFrame =
+    input
+      .select(col("doc_id"), col("n_spans"), col("part_idx"),
+        posexplode(col("spans")).as(Seq("p", "span")))
+      .select(col("doc_id"), col("n_spans"),
+        (col("part_idx").cast("int") * PartSize + col("p")).as("pos"), col("span"))
+
+  /** Single-shuffle stitch (the common case). */
+  private def stitchSmall(ex: DataFrame): DataFrame =
+    ex.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(
+        col("order"), col("kind"), col("text"), col("media_ref")))).as("seq0"))
+      .select(col("doc_id"), reorderFields(col("seq0")).as("span_seq"))
+
+  /** Two-phase stitch for the skew tail: partial sorted runs per
+    * (doc_id, order/RunSize), then a final merge of pre-sorted runs. */
+  private def stitchBig(ex: DataFrame): DataFrame =
+    ex.groupBy(col("doc_id"), floor(col("order") / RunSize).as("run_id"))
+      .agg(array_sort(collect_list(struct(
+        col("order"), col("kind"), col("text"), col("media_ref")))).as("run"))
+      .groupBy(col("doc_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("run_id"), col("run")))),
+        (r: Column) => r.getField("run"))).as("seq0"))
+      .select(col("doc_id"), reorderFields(col("seq0")).as("span_seq"))
 
   /** Spans per partial-stitch run on the mega-doc path. */
   val RunSize = 1024
@@ -105,17 +139,11 @@ object Extract {
   def run(input: DataFrame, spreadThreshold: Int = DefaultSpreadThreshold): DataFrame = {
     if (input.columns.contains("part_idx"))
       return runPreSplit(input, spreadThreshold)
-    val withN =
-      if (input.columns.contains("n_spans")) input
-      else input.withColumn("n_spans", size(col("spans")))
+    val withN = withNSpans(input)
 
     val small = withN.filter(col("n_spans") <= spreadThreshold)
       .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
-    val smallOut = extracted(small)
-      .groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(
-        col("order"), col("kind"), col("text"), col("media_ref")))).as("seq0"))
-      .select(col("doc_id"), reorderFields(col("seq0")).as("span_seq"))
+    val smallOut = stitchSmall(extracted(small))
 
     // spread at RUN granularity: the partial-stitch groupBy below keys on
     // exactly (doc_id, floor(pos/RunSize)), so Catalyst reuses this
@@ -125,15 +153,7 @@ object Extract {
     val big = withN.filter(col("n_spans") > spreadThreshold)
       .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
       .repartition(col("doc_id"), floor(col("pos") / RunSize))
-    val bigOut = extracted(big)
-      .groupBy(col("doc_id"), floor(col("order") / RunSize).as("run_id"))
-      .agg(array_sort(collect_list(struct(
-        col("order"), col("kind"), col("text"), col("media_ref")))).as("run"))
-      .groupBy(col("doc_id"))
-      .agg(flatten(transform(
-        array_sort(collect_list(struct(col("run_id"), col("run")))),
-        (r: Column) => r.getField("run"))).as("seq0"))
-      .select(col("doc_id"), reorderFields(col("seq0")).as("span_seq"))
+    val bigOut = stitchBig(extracted(big))
 
     smallOut.unionAll(bigOut)
   }
@@ -149,28 +169,9 @@ object Extract {
     * there is no raw-byte repartition anywhere; mega-docs hit the same
     * two-phase stitch, whose partial runs coincide with part rows. */
   private def runPreSplit(input: DataFrame, spreadThreshold: Int): DataFrame = {
-    val exploded = input
-      .select(col("doc_id"), col("n_spans"), col("part_idx"),
-        posexplode(col("spans")).as(Seq("p", "span")))
-      .select(col("doc_id"), col("n_spans"),
-        (col("part_idx").cast("int") * PartSize + col("p")).as("pos"), col("span"))
-
-    val smallOut = extracted(exploded.filter(col("n_spans") <= spreadThreshold))
-      .groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(
-        col("order"), col("kind"), col("text"), col("media_ref")))).as("seq0"))
-      .select(col("doc_id"), reorderFields(col("seq0")).as("span_seq"))
-
-    val bigOut = extracted(exploded.filter(col("n_spans") > spreadThreshold))
-      .groupBy(col("doc_id"), floor(col("order") / RunSize).as("run_id"))
-      .agg(array_sort(collect_list(struct(
-        col("order"), col("kind"), col("text"), col("media_ref")))).as("run"))
-      .groupBy(col("doc_id"))
-      .agg(flatten(transform(
-        array_sort(collect_list(struct(col("run_id"), col("run")))),
-        (r: Column) => r.getField("run"))).as("seq0"))
-      .select(col("doc_id"), reorderFields(col("seq0")).as("span_seq"))
-
+    val exploded = preSplitExploded(input)
+    val smallOut = stitchSmall(extracted(exploded.filter(col("n_spans") <= spreadThreshold)))
+    val bigOut = stitchBig(extracted(exploded.filter(col("n_spans") > spreadThreshold)))
     smallOut.unionAll(bigOut)
   }
 
@@ -187,7 +188,11 @@ object Extract {
       .select(col("doc_id"),
         concat_ws(" ", expr("transform(span_seq, sp -> sp.text)")).as("text"))
       .withColumn("fp", graft.queries.DedupQ.exactFp(col("text")))
-      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")).cast("long"))
+      .withColumn("n_tokens",
+        // split("") yields [""] (size 1) — an all-empty extraction must
+        // report ZERO tokens, not one
+        when(trim(col("text")) === "", lit(0L))
+          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long")))
       .withColumn("rep", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
       .select(col("doc_id"), col("fp"), col("n_tokens"),
         when(col("doc_id") =!= col("rep"), "dup_extracted")

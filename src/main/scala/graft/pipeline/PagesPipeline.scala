@@ -24,23 +24,20 @@ import graft.layout.{Assembly, MediaOcr, RuneIndex}
   */
 object PagesPipeline {
 
-  final case class PageResult(
-      pageText: String, hocrPageJson: String, extractedText: String)
+  final case class PageResult(pageText: String, extractedText: String)
 
   /** Per-page work: classify -> G-13 assembly -> per-page stitch.
-    * Returns (pageText, rendered single-page hOCR, reading-order text).
-    * The rendered fragment roundtrips through the byte-parity renderer so
-    * the reduce can reassemble the full document from parsed fragments —
-    * mirroring how page-level results cross the wire as data, not as
-    * JVM objects. */
+    * Returns (pageText, reading-order text) — exactly the fields the
+    * reduce consumes. (An earlier version also rendered the full hOCR
+    * page fragment per page; nothing read it, and Spark cannot prune
+    * fields out of an opaque UDF, so the render cost was paid on every
+    * benchmarked page for nothing. The byte-parity renderer keeps its
+    * own round-trip pins in HocrRenderSpec.) */
   private val processPageUdf = udf((mediaRef: String, pageNum: Int) => {
     val ocr = MediaOcr.classify(mediaRef)
     val page = Assembly.createHocrPage(ocr.page, new RuneIndex(ocr.text), pageNum)
     val singlePage = Hocr(pages = Vector(page))
-    PageResult(
-      ocr.text,
-      HocrRender.render(Assembly.createHocrDocument(None, Vector(page))),
-      HocrText.extractText(singlePage))
+    PageResult(ocr.text, HocrText.extractText(singlePage))
   })
 
   /** Full job: (doc_id, page_idx, media_ref) ->

@@ -18,17 +18,24 @@ import graft.layout.{Assembly, MediaOcr, RuneIndex}
 object SpanExtract {
 
   def extractSpanText(kind: String, text: String, mediaRef: String): String = kind match {
+    // NULL span fields degrade like parse failures do (yield ""), never
+    // NPE the task: nullable parquet from an external writer must not
+    // kill the batch job or the shared streaming query
     case "html" =>
-      Boilerplate.extractMainText(text)
+      if (text == null) "" else Boilerplate.extractMainText(text)
     case "pdf_layout" =>
-      HocrParse.parseHocrString(text) match {
+      if (text == null) ""
+      else HocrParse.parseHocrString(text) match {
         case Right(h) => HocrText.extractText(h)
         case Left(_)  => ""
       }
     case "media" =>
-      val r = MediaOcr.classify(mediaRef)
-      val page = Assembly.createHocrPage(r.page, new RuneIndex(r.text), 1)
-      HocrText.extractText(Hocr(pages = Vector(page)))
+      if (mediaRef == null) ""
+      else {
+        val r = MediaOcr.classify(mediaRef)
+        val page = Assembly.createHocrPage(r.page, new RuneIndex(r.text), 1)
+        HocrText.extractText(Hocr(pages = Vector(page)))
+      }
     case _ => text
   }
 }
