@@ -182,6 +182,18 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** One level observation: timed seconds plus the same-moment
+    * calibrations that tell the reader whether the host was throttled
+    * while it ran. `clean` = both the pre- and post-run burns sat at
+    * the unthrottled hardware floor (0.22-0.27 s on this host; a
+    * depleted window reads 1.1 s+ — the two populations never overlap,
+    * see BASELINE.md round-3/4 runs). */
+  private final case class Obs(t: Double, burnBefore: Double, burnAfter: Double,
+                               kernel: Double, gcFrac: Double) {
+    def burnMax: Double = math.max(burnBefore, burnAfter)
+    def clean(thresh: Double): Boolean = burnMax <= thresh
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -192,22 +204,47 @@ object Bench {
     // each with its same-moment burn calibration.
     var nDocs = 0L
     burnSec(4); kernelSec(4) // JIT-warm both calibration loops
-    val gcFracs = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
-    // one measured level: session up, warm, same-moment burn + kernel
-    // calibration, timed extraction, GC fraction. Returns (t, burn,
-    // kernel, gcFrac).
-    def level(cores: Int): (Double, Double, Double, Double) = {
+    // Burn-clean threshold: the register-only burn measures 0.22-0.27 s
+    // per level on an unthrottled window (flat across all levels and all
+    // rounds — it is a hardware constant, independent of thread count
+    // because 16 threads still fit the ~20 effective cores) and 1.1 s+
+    // once burst credits deplete. 0.40 s separates the two populations
+    // with margin in both directions.
+    val BurnClean = 0.40
+    // Total sleep budget for clean-window waits (ms). The round-3 driver
+    // run landed every 16-level observation on a depleted window and the
+    // min-per-level statistic had nothing clean to pick; waiting out a
+    // depleted window (bounded) is cheaper than publishing a corrupted
+    // ratio. Budget is global so a permanently-throttled host degrades
+    // to the old behavior instead of hanging.
+    var sleepBudgetMs = 360000L
+    def waitForCleanWindow(cores: Int): Double = {
+      var b = burnSec(cores)
+      while (b > BurnClean && sleepBudgetMs > 0) {
+        val nap = math.min(45000L, sleepBudgetMs)
+        Thread.sleep(nap)
+        sleepBudgetMs -= nap
+        b = burnSec(cores)
+      }
+      b
+    }
+    // one measured level: session up, warm, clean-window gate (bounded
+    // wait until the burn calibration reads unthrottled), same-moment
+    // kernel calibration, timed extraction, post-run burn (catches a
+    // throttle that landed MID-run), GC fraction.
+    def level(cores: Int): Obs = {
       val (s, l) = newSession(cores)
       val corpus = corpusPath(s, sfDir)
       warm(s, corpus)
-      val b = burnSec(cores)
+      val b0 = waitForCleanWindow(cores)
       val kk = kernelSec(cores)
       val (gc0, tt0) = (l.gcTime.sum(), l.taskTime.sum())
       val (t, n) = timedExtract(s, corpus)
+      val b1 = burnSec(cores)
       val gcf = (l.gcTime.sum() - gc0).toDouble / math.max(1L, l.taskTime.sum() - tt0)
       nDocs = n
       s.stop()
-      (t, b, kk, gcf)
+      Obs(t, b0, b1, kk, gcf)
     }
     // ALTERNATE which level runs first in each pair: the host's burst
     // credits deplete DURING the long timed runs, so a fixed 4-then-16
@@ -216,42 +253,70 @@ object Bench {
     // 0.817/0.713/0.597, monotonically worse). With alternation the
     // min-per-level statistic picks each level's least-throttled
     // observation from either position, cancelling the order bias.
-    val pairs = (1 to 3).map { i =>
+    val NPairs = 5
+    val pairOrder = (1 to NPairs).map(i => if (i % 2 == 1) "4-first" else "16-first")
+    val pairsBuf = scala.collection.mutable.ArrayBuffer.empty[(Obs, Obs)]
+    (1 to NPairs).foreach { i =>
       val fourFirst = i % 2 == 1
       val (r4, r16) =
         if (fourFirst) { val a = level(4); val b = level(16); (a, b) }
         else { val b = level(16); val a = level(4); (a, b) }
-      gcFracs += ((r4._4, r16._4))
-      (r4._1, r16._1, r4._2, r16._2, r4._3, r16._3)
+      pairsBuf += ((r4, r16))
     }
-    val effs = pairs.map { case (t4, t16, _, _, _, _) => (nDocs / t16) / (4.0 * (nDocs / t4)) }
-    // Primary statistic: min time per LEVEL across pairs. The host's
-    // burst-credit throttle depletes during the long N runs (one pair
-    // even measured efficiency > 1, which is physically impossible), so
-    // no single pair is trustworthy; the per-level minima are each
-    // level's least-throttled observation and their ratio is the best
-    // estimate of true scaling. All pairs are reported for transparency.
-    val sec8 = pairs.map(_._1).min
-    val sec16 = pairs.map(_._2).min
+    // Bounded per-level retry: if a level has NO burn-clean observation
+    // after the alternated pairs (the exact round-3 failure mode — every
+    // 16-level run landed throttled), re-run that level up to twice,
+    // each behind the clean-window gate. Extra observations join the
+    // per-level pool; they do not form pairs.
+    val extra4 = scala.collection.mutable.ArrayBuffer.empty[Obs]
+    val extra16 = scala.collection.mutable.ArrayBuffer.empty[Obs]
+    def allObs4 = pairsBuf.map(_._1) ++ extra4
+    def allObs16 = pairsBuf.map(_._2) ++ extra16
+    var retries = 0
+    while (!allObs4.exists(_.clean(BurnClean)) && retries < 2) { extra4 += level(4); retries += 1 }
+    while (!allObs16.exists(_.clean(BurnClean)) && retries < 4) { extra16 += level(16); retries += 1 }
+    val obs4 = allObs4.toVector
+    val obs16 = allObs16.toVector
+
+    val pairs = pairsBuf.toVector
+    val gcFracs = pairs.map { case (a, b) => (a.gcFrac, b.gcFrac) }
+    val effs = pairs.map { case (a, b) => (nDocs / b.t) / (4.0 * (nDocs / a.t)) }
+    // Primary statistic: min time per LEVEL across burn-CLEAN
+    // observations. The burn calibration is an independent register-only
+    // probe of host state (it cannot see the extraction time), so
+    // gating on it discards only measurements the hypervisor provably
+    // corrupted — the round-3 driver run's own burn columns showed 2 of
+    // 3 pairs depleted (1.13 s vs the 0.22 s floor) and one
+    // physically-impossible efficiency of 2.14. If a level has zero
+    // clean observations even after the bounded retries, fall back to
+    // all observations (old behavior); `scaling_efficiency_all_obs`
+    // always carries the unfiltered number for transparency.
+    def minClean(obs: Vector[Obs]): Double = {
+      val clean = obs.filter(_.clean(BurnClean))
+      (if (clean.nonEmpty) clean else obs).map(_.t).min
+    }
+    val sec8 = minClean(obs4)
+    val sec16 = minClean(obs16)
     val eff = Math.min(1.0, sec8 / (4.0 * sec16))
+    val effAllObs = Math.min(1.0, obs4.map(_.t).min / (4.0 * obs16.map(_.t).min))
     val tp8 = nDocs / sec8
     val tp32 = nDocs / sec16
     // capacity-normalized efficiency per pair: what the extraction ratio
     // looks like relative to what the HOST could deliver at that moment.
     // cap ratio = (4 threads of burn work / b4) vs (16 threads / b16):
     // ideal host -> 4.0; a throttled 16-level shows < 4. Transparency
-    // metric only — the headline `scaling_efficiency` stays raw.
-    val capRatios = pairs.map { case (_, _, b4, b16, _, _) => (16.0 / b16) / (4.0 / b4) }
-    val normEffs = pairs.zip(capRatios).map { case ((t4, t16, _, _, _, _), cap) =>
-      if (cap <= 0) 0.0 else Math.min(1.0, (t4 / t16) / cap)
+    // metric only.
+    val capRatios = pairs.map { case (a, b) => (16.0 / b.burnBefore) / (4.0 / a.burnBefore) }
+    val normEffs = pairs.zip(capRatios).map { case ((a, b), cap) =>
+      if (cap <= 0) 0.0 else Math.min(1.0, (a.t / b.t) / cap)
     }
     // the extraction-kernel ceiling: same work, plain threads, no Spark.
     // kernelRatio is the best ANY single-JVM plan can scale 4->16 doing
     // this bandwidth-bound work on this host; planEff ~ 1.0 means the
     // Spark plan adds no scaling loss beyond the kernel itself.
-    val kernelRatios = pairs.map { case (_, _, _, _, k4, k16) => k4 / k16 }
-    val planEffs = pairs.zip(kernelRatios).map { case ((t4, t16, _, _, _, _), kr) =>
-      if (kr <= 0) 0.0 else Math.min(1.0, (t4 / t16) / kr)
+    val kernelRatios = pairs.map { case (a, b) => a.kernel / b.kernel }
+    val planEffs = pairs.zip(kernelRatios).map { case ((a, b), kr) =>
+      if (kr <= 0) 0.0 else Math.min(1.0, (a.t / b.t) / kr)
     }
 
     // ---- battery session at 32 cores ----
@@ -287,9 +352,11 @@ object Bench {
     // 1,500 chars even with sbt's trailing `[success]` line, so it always
     // fits the capture whole; the per-query maps ride the detail line
     // (still on stdout for humans/ledger, loss-tolerant).
+    val obsJson = (lvl: Vector[Obs]) =>
+      lvl.map(o => f"""{"t":${o.t}%.2f,"burn_before":${o.burnBefore}%.2f,"burn_after":${o.burnAfter}%.2f,"kernel":${o.kernel}%.2f,"clean":${o.clean(BurnClean)}}""").mkString("[", ",", "]")
     println(
-      s"""{"detail":"per_query","queries":$qs,"queries_shuffle_write_bytes":$qshuf,"pair_order":["4-first","16-first","4-first"],"scaling_pairs":[${pairs.map { case (a, b, _, _, _, _) => f"[$a%.2f,$b%.2f]" }.mkString(",")}],"scaling_efficiencies":[${effs.map(e => f"$e%.3f").mkString(",")}],"burn_sec_pairs":[${pairs.map { case (_, _, b4, b16, _, _) => f"[$b4%.2f,$b16%.2f]" }.mkString(",")}],"kernel_sec_pairs":[${pairs.map { case (_, _, _, _, k4, k16) => f"[$k4%.2f,$k16%.2f]" }.mkString(",")}],"gc_task_fraction_pairs":[${gcFracs.map { case (a, b) => f"[$a%.3f,$b%.3f]" }.mkString(",")}]}""")
+      s"""{"detail":"per_query","queries":$qs,"queries_shuffle_write_bytes":$qshuf,"pair_order":[${pairOrder.map("\"" + _ + "\"").mkString(",")}],"scaling_pairs":[${pairs.map { case (a, b) => f"[${a.t}%.2f,${b.t}%.2f]" }.mkString(",")}],"scaling_efficiencies":[${effs.map(e => f"$e%.3f").mkString(",")}],"burn_sec_pairs":[${pairs.map { case (a, b) => f"[${a.burnBefore}%.2f,${b.burnBefore}%.2f]" }.mkString(",")}],"kernel_sec_pairs":[${pairs.map { case (a, b) => f"[${a.kernel}%.2f,${b.kernel}%.2f]" }.mkString(",")}],"gc_task_fraction_pairs":[${gcFracs.map { case (a, b) => f"[$a%.3f,$b%.3f]" }.mkString(",")}],"obs_N4":${obsJson(obs4)},"obs_4N16":${obsJson(obs16)}}""")
     println(
-      s"""{"metric":"extract_docs_per_sec_4N16","value":${f"$tp32%.2f"},"unit":"docs/sec","sf":"$sfDir","n_docs":$nDocs,"n_queries":${results.size},"total_query_sec":${f"$total%.2f"},"extract_sec_N4":${f"$sec8%.3f"},"extract_sec_4N16":${f"$sec32%.3f"},"throughput_N4":${f"$tp8%.2f"},"throughput_4N16":${f"$tp32%.2f"},"scaling_efficiency":${f"$eff%.3f"},"cpu_capacity_ratios":[${capRatios.map(c => f"$c%.2f").mkString(",")}],"capacity_normalized_efficiencies":[${normEffs.map(e => f"$e%.3f").mkString(",")}],"kernel_scaling_ratios":[${kernelRatios.map(k => f"$k%.2f").mkString(",")}],"plan_efficiencies_vs_kernel":[${planEffs.map(e => f"$e%.3f").mkString(",")}],"shuffle_partitions":{"N4":4,"4N16":16},"spill_bytes_mem":$spillMem,"spill_bytes_disk":$spillDisk,"shuffle_read_bytes":$shufRead,"shuffle_write_bytes":$shufWrite}""")
+      s"""{"metric":"extract_docs_per_sec_4N16","value":${f"$tp32%.2f"},"unit":"docs/sec","sf":"$sfDir","n_docs":$nDocs,"n_queries":${results.size},"total_query_sec":${f"$total%.2f"},"extract_sec_N4":${f"$sec8%.3f"},"extract_sec_4N16":${f"$sec32%.3f"},"throughput_N4":${f"$tp8%.2f"},"throughput_4N16":${f"$tp32%.2f"},"scaling_efficiency":${f"$eff%.3f"},"scaling_efficiency_all_obs":${f"$effAllObs%.3f"},"burn_clean_threshold_sec":$BurnClean,"n_obs":{"N4":${obs4.size},"4N16":${obs16.size}},"n_clean_obs":{"N4":${obs4.count(_.clean(BurnClean))},"4N16":${obs16.count(_.clean(BurnClean))}},"level_retries":$retries,"clean_wait_sleep_ms_used":${360000L - sleepBudgetMs},"cpu_capacity_ratios":[${capRatios.map(c => f"$c%.2f").mkString(",")}],"capacity_normalized_efficiencies":[${normEffs.map(e => f"$e%.3f").mkString(",")}],"kernel_scaling_ratios":[${kernelRatios.map(k => f"$k%.2f").mkString(",")}],"plan_efficiencies_vs_kernel":[${planEffs.map(e => f"$e%.3f").mkString(",")}],"shuffle_partitions":{"N4":4,"4N16":16},"spill_bytes_mem":$spillMem,"spill_bytes_disk":$spillDisk,"shuffle_read_bytes":$shufRead,"shuffle_write_bytes":$shufWrite}""")
   }
 }

@@ -605,7 +605,18 @@ object PdfCrypt {
     * running counter) — unique per blob, byte-stable across runs (the
     * engine's outputs must be reproducible; these are uniqueness
     * values, not secrets). Shared by both AES emitters so the scheme
-    * cannot drift. */
+    * cannot drift.
+    *
+    * SECURITY TRADE, documented per the repo's determinism rule:
+    * predictable (key-derived) CBC IVs give an adversary who can submit
+    * chosen plaintexts a distinguishing oracle, a guarantee strictly
+    * weaker than random-IV CBC. This engine's outputs must be
+    * bit-reproducible (the correctness gate hashes them), so
+    * SecureRandom is not an option here; a deployment that needs
+    * IND-CPA-grade confidentiality over reproducibility should swap
+    * this one function for a SecureRandom IV source — every consumer
+    * already treats the IV as an opaque per-blob prefix. The same trade
+    * applies to the id0-derived /U //O salts. */
   private def ivSequence(fk: Array[Byte]): Int => Array[Byte] = {
     var ctr = 0
     (num: Int) => {
@@ -620,16 +631,25 @@ object PdfCrypt {
     * /U from the hash-2B chain over a validation salt, the file key
     * wrapped into /UE under the key-salt hash, owner values /O //OE
     * bound to the final /U, and the /Perms ECB block carrying P +
-    * the "adb" marker. All salts and the file key derive
-    * deterministically from the document ID (byte-stable output; these
-    * are uniqueness salts, not secrets — the secret is the password). */
+    * the "adb" marker. Salts derive deterministically from the document
+    * ID (byte-stable output; uniqueness values, not secrets); the FILE
+    * KEY derives from the OWNER PASSWORD through a dedicated hash-2B
+    * chain over an id0 salt — a holder of the file alone cannot
+    * recompute it (the secret is the password; recovery is only via the
+    * /UE//OE unwrap with a correct password). Deterministic-IV caveat:
+    * see [[ivSequence]]. */
   def encryptAes256(doc: PdfDoc, ownerPwd: String,
       userPwd: String = ""): Either[String, Array[Byte]] = {
     val id0 = deriveId0(doc)
     val p = -4
     val upwd = userPwd.getBytes("UTF-8").take(127)
     val opwd = ownerPwd.getBytes("UTF-8").take(127)
-    val fk = md5(id0, "fk1".getBytes(ISO_8859_1)) ++ md5(id0, "fk2".getBytes(ISO_8859_1))
+    // password-bound file key: without a password the 32 bytes are not
+    // recomputable from anything the file carries (id0 is public in the
+    // trailer /ID — the previous md5(id0)-only derivation gave zero
+    // confidentiality). hash2B is the spec's own >= 64-round KDF; the
+    // "fk" tag domain-separates this chain from the /U //O chains.
+    val fk = hash2B(opwd, md5(id0, "fk".getBytes(ISO_8859_1)).take(8), Array.empty)
     def salt(tag: String): Array[Byte] = md5(id0, tag.getBytes(ISO_8859_1)).take(8)
     val vs = salt("uv"); val ks = salt("uk")
     val ovs = salt("ov"); val oks = salt("ok")

@@ -50,15 +50,20 @@ object PdfFilters {
     var n = 0
     var i = 0
     var done = false
-    def flush(k: Int): Unit = {
+    def flush(k: Int): Option[String] = {
       // pad with 'u' (84) to a full group, emit k-1 bytes
       var j = k
       while (j < 5) { grp(j) = 84; j += 1 }
       var v = 0L
       j = 0
       while (j < 5) { v = v * 85 + grp(j); j += 1 }
+      // a 5-digit base-85 group can encode up to 85^5-1 > 2^32-1; values
+      // above 2^32-1 (e.g. "s8W-!") are invalid per spec — error, never
+      // silently truncate to wrong bytes
+      if (v > 0xFFFFFFFFL) return Some(f"ASCII85 group value 0x$v%x exceeds 2^32-1")
       var b = 0
       while (b < k - 1) { out += ((v >>> (24 - 8 * b)) & 0xFF).toByte; b += 1 }
+      None
     }
     while (i < data.length && !done) {
       val c = (data(i) & 0xFF).toChar
@@ -70,12 +75,12 @@ object PdfFilters {
       } else if (c >= '!' && c <= 'u') {
         grp(n) = c - '!'
         n += 1
-        if (n == 5) { flush(5); n = 0 }
+        if (n == 5) { flush(5).foreach(e => return Left(e)); n = 0 }
       } else return Left(s"bad ASCII85 char '$c'")
       i += 1
     }
     if (n == 1) return Left("single trailing ASCII85 char")
-    if (n > 1) flush(n)
+    if (n > 1) flush(n).foreach(e => return Left(e))
     Right(out.result())
   }
 

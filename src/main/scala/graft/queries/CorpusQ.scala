@@ -415,8 +415,11 @@ object CorpusQ {
     pairs
       .join(sizes.select(col("source").as("source_a"), col("n").as("n_a")), Seq("source_a"))
       .join(sizes.select(col("source").as("source_b"), col("n").as("n_b")), Seq("source_b"))
+      // integer basis points, not round(double, 6): hashed float division
+      // is the exact cross-engine drift class the Relational.scala header
+      // bans (DeltaQ's jacc_bp convention)
       .select(col("source_a"), col("source_b"), col("n_shared"), col("n_a"), col("n_b"),
-        round(col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard"))
+        expr("(n_shared * 10000) div (n_a + n_b - n_shared)").as("jacc_bp"))
       .orderBy(col("source_a"), col("source_b"))
   }
 
@@ -430,9 +433,9 @@ object CorpusQ {
       |p AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
       |      FROM g a JOIN g b ON a.fp = b.fp AND a.source < b.source
       |      GROUP BY a.source, b.source)
-      |SELECT source_a, source_b, n_shared,
-      |  sa.n AS n_a, sb.n AS n_b,
-      |  ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 6) AS jaccard
+      |SELECT source_a, source_b, CAST(n_shared AS BIGINT) AS n_shared,
+      |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+      |  CAST((n_shared * 10000) // (sa.n + sb.n - n_shared) AS BIGINT) AS jacc_bp
       |FROM p JOIN sizes sa ON sa.source = p.source_a
       |       JOIN sizes sb ON sb.source = p.source_b
       |ORDER BY source_a, source_b""".stripMargin

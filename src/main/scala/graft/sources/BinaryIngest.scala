@@ -20,9 +20,10 @@ import graft.pdf.PdfOps
   *     together, as the CLI's per-document glob does). Document
   *     identity is the full parent PATH — two directories that share a
   *     NAME under different shards stay distinct documents; the
-  *     `doc_id` column carries the directory name (unique under the
-  *     single-root layout this engine materializes) while grouping
-  *     always keys on the path;
+  *     `doc_id` column carries the directory name, and its uniqueness
+  *     across parent paths is ENFORCED (a colliding batch fails loudly
+  *     instead of silently merging documents) while grouping always
+  *     keys on the path;
   *   - page order = LEXICOGRAPHIC path order within the document (C-6:
   *     filepath.Glob returns sorted paths) — materialized as an explicit
   *     `page_idx` column via a per-doc window, so downstream ordering
@@ -58,9 +59,23 @@ object BinaryIngest {
     // identity = the full parent path, never just its last segment
     val parent = regexp_replace(col("path"), "/[^/]+$", "")
     val w = Window.partitionBy(col("doc_dir")).orderBy(col("path"))
+    // the doc_id column carries the directory NAME for readability, so a
+    // name shared by two directories under different shards would
+    // silently merge distinct documents downstream — ENFORCED unique
+    // here (advisor finding, round 3): any doc_id mapping to more than
+    // one doc_dir fails the ingest loudly. Listing-sized window; the
+    // check never touches content bytes.
+    val wId = Window.partitionBy(col("doc_id"))
     val listing = scan.select(col("path"), parent.as("doc_dir"))
       .withColumn("page_idx", (row_number().over(w) - 1).cast("int"))
       .withColumn("doc_id", element_at(split(col("doc_dir"), "/"), -1))
+      .withColumn("_uniq", assert_true(
+        size(collect_set(col("doc_dir")).over(wId)) === 1,
+        concat(lit("BinaryIngest: directory name '"), col("doc_id"),
+          lit("' appears under multiple parent paths — same-named documents " +
+            "in one ingest batch would merge; ingest the shards separately " +
+            "or disambiguate the directory names"))))
+      .filter(col("_uniq").isNull) // assert_true: NULL on pass, throws on fail
       .select(col("path"), col("doc_id"), col("page_idx"))
     scan
       .join(broadcast(listing), Seq("path"))

@@ -53,6 +53,21 @@ class BinaryIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("same-named directories under different shards fail loudly, never merge") {
+    val d = Files.createTempDirectory("ingest_collide").toString
+    for (shard <- Seq("shard1", "shard2")) {
+      val doc = Paths.get(d, shard, "docX"); Files.createDirectories(doc)
+      Files.write(doc.resolve("p000.bin"), Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte))
+    }
+    val ex = intercept[Exception] {
+      BinaryIngest.pages(spark, d, glob = "*.bin").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("docX")),
+      s"collision error must name the colliding directory: ${messages(ex)}")
+  }
+
   test("recursive lookup, glob filter, PDF and unknown magic") {
     val rows = BinaryIngest.pages(spark, root, glob = "*.bin")
       .collect().map(r => (r.getString(0), r.getInt(1), r.getString(3)))

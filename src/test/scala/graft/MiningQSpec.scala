@@ -72,6 +72,35 @@ class MiningQSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzy block cap: oversized block excluded entirely, boundary block kept, drop never silent") {
+    import spark.implicits._
+    // 300 docs share one 16-char prefix (pairwise edit distance <= 3, so
+    // every pair WOULD qualify if joined) — over MaxFuzzyBlock, must be
+    // excluded before any Levenshtein runs
+    val mega = (0 until 300).map(i => (1000L + i, "MEGABLOCKPREFIX_" + f"suffix$i%04d"))
+    // exactly MaxFuzzyBlock docs: the boundary block is KEPT (cap is >)
+    val edge = (0 until MiningQ.MaxFuzzyBlock).map(i => (5000L + i, "EDGEBLOCKPREFIX_" + f"$i%02x"))
+    val small = Seq((1L, "SMALLBLOCKPREFIX one two"), (2L, "SMALLBLOCKPREFIX one twq"))
+    val corpus = (mega ++ edge ++ small).toDF("doc_id", "text")
+      .withColumn("blk", org.apache.spark.sql.functions.expr("substr(text, 1, 16)"))
+    val rows = MiningQ.fuzzyPairs(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(!rows.exists(p => p._1 >= 1000L && p._1 < 2000L),
+      "mega block (300 > cap) must contribute zero pairs")
+    val edgePairs = rows.filter(p => p._1 >= 5000L)
+    val n = MiningQ.MaxFuzzyBlock
+    assert(edgePairs.length == n * (n - 1) / 2,
+      "boundary block (exactly the cap) must keep ALL its pairs")
+    assert(edgePairs.forall(_._3 <= 2))
+    assert(rows.contains((1L, 2L, 1L)), "small block's qualifying pair survives")
+    // the drop-report law on the same corpus shape: dropped flags exactly
+    // the oversized block (report built on the pre-cap relation)
+    val profile = corpus.groupBy("blk")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_docs"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(profile("MEGABLOCKPREFIX_") == 300 && profile("EDGEBLOCKPREFIX_") == n.toLong)
+  }
+
   test("count-min: one-sided error law + estimates match an in-memory sketch") {
     val rows = MiningQ.qCmsHeavy(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))

@@ -116,6 +116,27 @@ class PdfCryptSpec extends AnyFunSuite {
     assert(new String(content, ISO_8859_1).contains("(aes256word) Tj"))
   }
 
+  test("AES-256 file key is password-bound: same doc, different owner passwords -> different ciphertext") {
+    // the advisor-flagged hole: fk used to derive from id0 alone (public
+    // in the trailer /ID), so anyone holding the file could recompute it.
+    // Now fk = hash2B(ownerPwd, salt(id0)) — with the password as input,
+    // two passwords must produce different encrypted bodies for the same
+    // document, and each still round-trips through its own /OE unwrap.
+    val plain = source("fkbound")
+    val parsed = PdfParse.parse(plain).toOption.get
+    val encA = PdfCrypt.encryptAes256(parsed, ownerPwd = "owner-A").toOption.get
+    val encB = PdfCrypt.encryptAes256(parsed, ownerPwd = "owner-B").toOption.get
+    assert(!encA.sameElements(encB), "ciphertext must depend on the password, not just id0")
+    // determinism retained: same (doc, password) -> identical bytes
+    val encA2 = PdfCrypt.encryptAes256(parsed, ownerPwd = "owner-A").toOption.get
+    assert(encA.sameElements(encA2))
+    for (enc <- Seq(encA, encB)) {
+      val doc = PdfParse.parse(enc).toOption.get
+      val content = doc.decodedStream(doc.pages.toOption.get.head.contentObjs.head).toOption.get
+      assert(new String(content, ISO_8859_1).contains("(fkbound) Tj"))
+    }
+  }
+
   test("hash-2B chain is stable (regression pin) and password-sensitive") {
     // No network, so no external vector; pin our own digest so any
     // silent change to the 2.B loop (round count, mod-3 pick, stop

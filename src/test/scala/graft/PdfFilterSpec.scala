@@ -47,6 +47,15 @@ class PdfFilterSpec extends AnyFunSuite {
     val zeros = new Array[Byte](8)
     assert(new String(PdfFilters.ascii85Encode(zeros), ISO_8859_1) == "zz~>")
     assert(PdfFilters.ascii85Decode(PdfFilters.ascii85Encode(zeros)).toOption.get.sameElements(zeros))
+    // group-value overflow: "s8W-!" is exactly 2^32-1 (valid boundary);
+    // one digit past it exceeds 2^32-1 and is invalid per spec — must be
+    // a parse error, never silent truncation to wrong bytes
+    assert(PdfFilters.ascii85Decode("s8W-!~>".getBytes(ISO_8859_1))
+      .toOption.get.sameElements(Array[Byte](-1, -1, -1, -1)))
+    assert(PdfFilters.ascii85Decode("s8W-\"~>".getBytes(ISO_8859_1)).isLeft)
+    assert(PdfFilters.ascii85Decode("uuuuu~>".getBytes(ISO_8859_1)).isLeft)
+    // overflow in a trailing PARTIAL group (pads with 'u') errors too
+    assert(PdfFilters.ascii85Decode("uu~>".getBytes(ISO_8859_1)).isLeft)
   }
 
   test("RunLength: literal + repeat runs, EOD, round-trips") {
