@@ -334,6 +334,11 @@ object Bench {
         fn(s32, sfDir).write.format("noop").mode("overwrite").save()
         (name, (System.nanoTime() - t0) / 1e9, l32.shuffleWrite.sum() - w0)
       } catch { case _: Throwable => (name, -1.0, 0L) }
+      // per-query cache teardown (round-3 verdict #6): scoped intra-query
+      // caches release here so every battery entry starts cold and is
+      // independently measurable; only the documented memos (LSH bands,
+      // on-disk pre-split corpus) persist across queries
+      finally graft.queries.QCache.releaseScoped()
     }
     val spillMem = l32.memSpilled.sum()
     val spillDisk = l32.diskSpilled.sum()

@@ -49,6 +49,12 @@ object SparkEntry {
       // (the bench path): battery measures extraction, not synthesis,
       // and the part_idx order reconstruction gets its own oracle row
       "q_extract_presplit" -> (graft.queries.FlagshipQ.qFlagshipPreSplit _),
+      // media-span TEXT under the independent oracle (round-3 verdict
+      // #7): DuckDB simulates the classifier's sequential Rng stream in
+      // a recursive-CTE state machine and applies the stitch law —
+      // md5(text) per media span is fully predicted, closing the last
+      // flagship column class that was only golden-pinned.
+      "q_extract_media_text" -> (graft.queries.MediaTextQ.qExtractMediaText _),
       // full flattened span text (one row per span): not SQL-expressible
       // (DOM/hOCR/classifier work), driver records the rows-only check;
       // values pinned by the golden + distributed-equivalence suites.
@@ -141,6 +147,7 @@ object SparkEntry {
     battery.collect { case (k, (_, Some(sql))) => k -> sql } ++ Map(
       "q_extract_flagship" -> graft.queries.FlagshipQ.oracle,
       "q_extract_presplit" -> graft.queries.FlagshipQ.oracle,
+      "q_extract_media_text" -> graft.queries.MediaTextQ.oracle,
       "q_pages_pipeline" ->
         """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
           |  CAST(doc_id % 3 + 1 AS INT) AS n_pages,

@@ -27,6 +27,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // scoped intra-query caches die with the query (QCache scaladoc);
+      // only the documented memos survive across queries
+      finally graft.queries.QCache.releaseScoped()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

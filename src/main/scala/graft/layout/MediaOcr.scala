@@ -15,7 +15,7 @@ import scala.collection.mutable.ArrayBuffer
   */
 object MediaOcr {
 
-  private val vocab: Array[String] = Array(
+  private[graft] val vocab: Array[String] = Array(
     "lorem", "ipsum", "dolor", "sit", "amet", "consectetur", "adipiscing",
     "elit", "sed", "tempor", "incididunt", "labore", "dolore", "magna",
     "aliqua", "enim", "minim", "veniam", "quis", "nostrud", "exercitation",

@@ -22,9 +22,11 @@ import scala.collection.mutable
   * "owner password only" class that opens without a prompt) decrypt
   * transparently during parse via [[PdfCrypt]]. CONTENT streams decode
   * through the full standard filter set — Flate, ASCIIHex, ASCII85,
-  * RunLength, LZW ([[PdfFilters]]) — including filter chains.
+  * RunLength, LZW ([[PdfFilters]]) — including filter chains and
+  * /DecodeParms predictors (PNG 10-15 and TIFF 2) on the Flate/LZW
+  * stages, sharing the xref-stream `unpredict` path.
   * Deliberately NOT a full interpreter: user-password-protected files,
-  * non-Standard security handlers, predictored content streams, and
+  * non-Standard security handlers, and
   * image codecs (DCT/JPX/CCITT) as content filters are rejected with a
   * clear error (resource streams — images etc. — are copied
   * byte-verbatim whatever their filter, no decode needed). That covers
@@ -131,64 +133,62 @@ object PdfParse {
     /** Decoded bytes of one content-stream object: raw if no /Filter,
       * else the full filter CHAIN applied in order — FlateDecode,
       * ASCIIHexDecode, ASCII85Decode, RunLengthDecode, LZWDecode
-      * (PdfFilters). Image codecs (DCT/JPX/CCITT) and predictored
-      * content streams are errors (image XObjects are copied verbatim
-      * elsewhere, never routed here). */
+      * (PdfFilters) — with /DecodeParms predictors (PNG 10-15, TIFF 2)
+      * un-applied after their Flate/LZW stage via the same `unpredict`
+      * the xref-stream reader uses. Image codecs (DCT/JPX/CCITT) are
+      * errors (image XObjects are copied verbatim elsewhere, never
+      * routed here). */
     def decodedStream(objNum: Int): Either[String, Array[Byte]] =
       objects.get(objNum) match {
         case Some(PObjDef(_, d: PDict, Some(data))) =>
-          val hasPredictor = resolve(d.get("DecodeParms").getOrElse(PKw("null"))) match {
-            case pd: PDict => pd.get("Predictor").map(resolve).collect {
-              case n: PNum => n.toInt }.exists(_ > 1)
-            case PArr(items) => items.map(resolve).exists {
-              case pd: PDict => pd.get("Predictor").map(resolve).collect {
-                case n: PNum => n.toInt }.exists(_ > 1)
-              case _ => false
+          val names: Either[String, Vector[String]] =
+            resolve(d.get("Filter").getOrElse(PKw("null"))) match {
+              case PKw("null") => Right(Vector.empty)
+              case PName(n) => Right(Vector(n))
+              case PArr(items) =>
+                items.map(resolve).foldLeft(Right(Vector.empty): Either[String, Vector[String]]) {
+                  case (Right(acc), PName(n)) => Right(acc :+ n)
+                  case (Right(_), other) => Left(s"non-name entry $other in /Filter array")
+                  case (l, _) => l
+                }
+              case f => Left(s"unsupported /Filter value $f")
             }
-            case _ => false
-          }
-          if (hasPredictor)
-            Left("predictored content stream unsupported (predictors are handled on xref streams only)")
-          else {
-            val names: Either[String, Vector[String]] =
-              resolve(d.get("Filter").getOrElse(PKw("null"))) match {
-                case PKw("null") => Right(Vector.empty)
-                case PName(n) => Right(Vector(n))
-                case PArr(items) =>
-                  items.map(resolve).foldLeft(Right(Vector.empty): Either[String, Vector[String]]) {
-                    case (Right(acc), PName(n)) => Right(acc :+ n)
-                    case (Right(_), other) => Left(s"non-name entry $other in /Filter array")
-                    case (l, _) => l
-                  }
-                case f => Left(s"unsupported /Filter value $f")
-              }
-            // /DecodeParms aligned per filter (a bare dict applies to a
-            // single filter; an array runs parallel to the /Filter array)
-            val parmsList: Vector[Option[PDict]] =
-              resolve(d.get("DecodeParms").getOrElse(PKw("null"))) match {
-                case pd: PDict => Vector(Some(pd))
-                case PArr(items) => items.map(resolve).map {
-                  case pd: PDict => Some(pd)
-                  case _ => None
-                }.toVector
-                case _ => Vector.empty
-              }
-            def applyOne(name: String, parms: Option[PDict],
-                bytes: Array[Byte]): Either[String, Array[Byte]] = name match {
-              case "FlateDecode" => inflate(bytes)
-              case "ASCIIHexDecode" => PdfFilters.asciiHexDecode(bytes)
-              case "ASCII85Decode" => PdfFilters.ascii85Decode(bytes)
-              case "RunLengthDecode" => PdfFilters.runLengthDecode(bytes)
-              case "LZWDecode" =>
-                val early = parms.flatMap(_.get("EarlyChange").map(resolve))
-                  .collect { case n: PNum => n.toInt }.getOrElse(1)
-                PdfFilters.lzwDecode(bytes, earlyChange = early != 0)
-              case other => Left(s"unsupported content-stream filter /$other")
+          // /DecodeParms aligned per filter (a bare dict applies to a
+          // single filter; an array runs parallel to the /Filter array)
+          val parmsList: Vector[Option[PDict]] =
+            resolve(d.get("DecodeParms").getOrElse(PKw("null"))) match {
+              case pd: PDict => Vector(Some(pd))
+              case PArr(items) => items.map(resolve).map {
+                case pd: PDict => Some(pd)
+                case _ => None
+              }.toVector
+              case _ => Vector.empty
             }
-            names.flatMap(_.zipWithIndex.foldLeft(Right(data): Either[String, Array[Byte]]) {
-              case (acc, (n, i)) => acc.flatMap(applyOne(n, parmsList.lift(i).flatten, _))
-            })
+          def intParm(parms: Option[PDict], key: String, dflt: Int): Int =
+            parms.flatMap(_.get(key).map(resolve))
+              .collect { case n: PNum => n.toInt }.getOrElse(dflt)
+          // predictors apply to the OUTPUT of the LZW/Flate stage that
+          // carries the parms (PDF 32000-1 §7.4.4.4)
+          def unpredicted(parms: Option[PDict],
+              bytes: Array[Byte]): Either[String, Array[Byte]] =
+            unpredict(bytes, intParm(parms, "Predictor", 1),
+              intParm(parms, "Columns", 1), intParm(parms, "Colors", 1),
+              intParm(parms, "BitsPerComponent", 8))
+          def applyOne(name: String, parms: Option[PDict],
+              bytes: Array[Byte]): Either[String, Array[Byte]] = name match {
+            case "FlateDecode" => inflate(bytes).flatMap(unpredicted(parms, _))
+            case "ASCIIHexDecode" => PdfFilters.asciiHexDecode(bytes)
+            case "ASCII85Decode" => PdfFilters.ascii85Decode(bytes)
+            case "RunLengthDecode" => PdfFilters.runLengthDecode(bytes)
+            case "LZWDecode" =>
+              val early = intParm(parms, "EarlyChange", 1)
+              PdfFilters.lzwDecode(bytes, earlyChange = early != 0)
+                .flatMap(unpredicted(parms, _))
+            case other => Left(s"unsupported content-stream filter /$other")
           }
+          names.flatMap(_.zipWithIndex.foldLeft(Right(data): Either[String, Array[Byte]]) {
+            case (acc, (n, i)) => acc.flatMap(applyOne(n, parmsList.lift(i).flatten, _))
+          })
         case Some(_) => Left(s"object $objNum is not a stream")
         case None => Left(s"missing content stream object $objNum")
       }
@@ -530,18 +530,47 @@ object PdfParse {
     v
   }
 
-  /** Undo a PNG row predictor (colors=1, 8 bits/component — the xref-
-    * stream case; /Predictor 12 "PNG Up" is what real writers emit).
-    * Each encoded row = 1 filter-tag byte + `columns` data bytes. */
-  private[graft] def unpredict(data: Array[Byte], predictor: Int, columns: Int): Either[String, Array[Byte]] = {
+  /** Undo a /Predictor on decoded stream bytes: the PNG row filters
+    * (predictor >= 10; /Predictor 12 "PNG Up" is what real writers
+    * emit) and TIFF horizontal differencing (predictor 2, 8-bit
+    * components). Used by both xref streams (colors=1, bpc=8, each
+    * encoded row = 1 filter-tag byte + `columns` data bytes) and
+    * predictored CONTENT streams (/DecodeParms on Flate/LZW), where
+    * /Colors and /BitsPerComponent widen the row: row bytes =
+    * ceil(columns*colors*bpc/8), left-neighbor offset =
+    * max(1, ceil(colors*bpc/8)). */
+  private[graft] def unpredict(data: Array[Byte], predictor: Int, columns: Int,
+      colors: Int = 1, bpc: Int = 8): Either[String, Array[Byte]] = {
     if (predictor <= 1) return Right(data)
-    if (predictor < 10) return Left(s"unsupported /Predictor $predictor (only PNG predictors)")
-    val rowLen = columns + 1
-    if (columns <= 0 || data.length % rowLen != 0)
-      return Left(s"xref predictor: data length ${data.length} not a multiple of row size $rowLen")
+    if (columns <= 0 || colors <= 0 || bpc <= 0)
+      return Left(s"predictor: bad /Columns $columns, /Colors $colors, /BitsPerComponent $bpc")
+    if (predictor == 2) {
+      // TIFF horizontal differencing: no tag byte, each component adds
+      // its left neighbor (same component, previous pixel). 8-bit only —
+      // sub-byte TIFF differencing is vanishingly rare in content
+      // streams and stays a clear error.
+      if (bpc != 8) return Left(s"TIFF predictor 2 supports 8 bits/component, got $bpc")
+      val rowLen = columns * colors
+      if (data.length % rowLen != 0)
+        return Left(s"TIFF predictor: data length ${data.length} not a multiple of row size $rowLen")
+      val out = data.clone()
+      var r = 0
+      while (r < data.length) {
+        var i = colors
+        while (i < rowLen) { out(r + i) = (out(r + i) + out(r + i - colors)).toByte; i += 1 }
+        r += rowLen
+      }
+      return Right(out)
+    }
+    if (predictor < 10) return Left(s"unsupported /Predictor $predictor (PNG predictors and TIFF 2 only)")
+    val rowBytes = (columns * colors * bpc + 7) / 8
+    val bpp = math.max(1, (colors * bpc + 7) / 8)
+    val rowLen = rowBytes + 1
+    if (data.length % rowLen != 0)
+      return Left(s"PNG predictor: data length ${data.length} not a multiple of row size $rowLen")
     val nRows = data.length / rowLen
-    val out = new Array[Byte](nRows * columns)
-    var prev = new Array[Byte](columns) // zero row above the first
+    val out = new Array[Byte](nRows * rowBytes)
+    var prev = new Array[Byte](rowBytes) // zero row above the first
     var r = 0
     while (r < nRows) {
       val tag = data(r * rowLen) & 0xFF
@@ -550,30 +579,30 @@ object PdfParse {
       tag match {
         case 0 => () // None
         case 1 => // Sub
-          i = 1
-          while (i < columns) { row(i) = (row(i) + row(i - 1)).toByte; i += 1 }
+          i = bpp
+          while (i < rowBytes) { row(i) = (row(i) + row(i - bpp)).toByte; i += 1 }
         case 2 => // Up
-          while (i < columns) { row(i) = (row(i) + prev(i)).toByte; i += 1 }
+          while (i < rowBytes) { row(i) = (row(i) + prev(i)).toByte; i += 1 }
         case 3 => // Average
-          while (i < columns) {
-            val left = if (i > 0) row(i - 1) & 0xFF else 0
+          while (i < rowBytes) {
+            val left = if (i >= bpp) row(i - bpp) & 0xFF else 0
             row(i) = (row(i) + ((left + (prev(i) & 0xFF)) >> 1)).toByte
             i += 1
           }
         case 4 => // Paeth
-          while (i < columns) {
-            val a = if (i > 0) row(i - 1) & 0xFF else 0
+          while (i < rowBytes) {
+            val a = if (i >= bpp) row(i - bpp) & 0xFF else 0
             val b = prev(i) & 0xFF
-            val c = if (i > 0) prev(i - 1) & 0xFF else 0
+            val c = if (i >= bpp) prev(i - bpp) & 0xFF else 0
             val pp = a + b - c
             val (pa, pb, pc) = (math.abs(pp - a), math.abs(pp - b), math.abs(pp - c))
             val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
             row(i) = (row(i) + pred).toByte
             i += 1
           }
-        case t => return Left(s"xref predictor: unknown PNG filter tag $t")
+        case t => return Left(s"PNG predictor: unknown filter tag $t")
       }
-      System.arraycopy(row, 0, out, r * columns, columns)
+      System.arraycopy(row, 0, out, r * rowBytes, rowBytes)
       prev = row
       r += 1
     }

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import QCache.ScopedCacheOps
+
 /** Corpus-curation operators a large-scale training-data pipeline runs
   * on top of the per-doc signals: Gopher-style repetition filters,
   * boilerplate-prefix dedup, TF-IDF keyword terms, and the composed
@@ -406,7 +408,7 @@ object CorpusQ {
       .select(col("source"),
         md5(concat_ws(" ", slice(col("toks"), col("i"), lit(3))).cast("binary")).as("fp"))
       .distinct()
-      .cache()
+      .scopedCache()
     val sizes = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val pairs = g.as("a")
       .join(g.as("b"), col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import QCache.ScopedCacheOps
+
 /** Deduplication operators for a training-data pipeline: exact dedup,
   * MinHash+LSH near-dup candidates, n-gram Jaccard, SimHash.
   *
@@ -12,12 +14,13 @@ import org.apache.spark.sql.functions._
   * min over shingles s of md5(j || ':' || s), LSH bands = md5 of the
   * concatenated band signature. No engine-specific hashing anywhere.
   *
-  * Cache policy (deliberate): the self-join/iteration temporaries
-  * (capped bands, candidate shingle sets, labels) are cache()d without
-  * an unpersist — they are narrow keyed relations, Spark's CacheManager
-  * shares them across the queries of one battery session, and eager
-  * unpersist before the caller's action would just force recompute. A
-  * long-lived production session should unpersist after materializing.
+  * Cache policy: the self-join/iteration temporaries (capped bands,
+  * candidate shingle sets, labels) register with [[QCache]]
+  * (`scopedCache()`), living exactly until the consuming query's action
+  * completes — the battery/verify drivers release them per query, so
+  * entries are independently measurable and the shared session's cached
+  * footprint stays bounded. The ONE deliberate cross-query cache is the
+  * [[cachedBands]] memo below (five consumers, documented there).
   */
 object DedupQ {
 
@@ -188,7 +191,7 @@ object DedupQ {
       // self-join below: without the cache the ENTIRE shingle->minhash
       // lineage executes twice (once per side); the band relation is
       // 4 narrow rows per doc — cheap to keep, expensive to recompute
-      .cache()
+      .scopedCache()
     val a = capped.as("a")
     val b = capped.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -276,7 +279,7 @@ object DedupQ {
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .cache()
+      .scopedCache()
     // iterate TO CONVERGENCE (labels decrease monotonically in a finite
     // lattice, so termination is guaranteed) — a fixed iteration cap
     // would silently return unconverged components and diverge from the
@@ -379,7 +382,7 @@ object DedupQ {
     // exact Jaccard only needs the PLANTED pairs' shingle sets — shingle
     // the ~2/23 of the corpus under evaluation, not all of it
     val evalDocs = base.join(origIds, Seq("doc_id")).unionAll(planted)
-    val shAll = wordShinglesOf(evalDocs).distinct().cache()
+    val shAll = wordShinglesOf(evalDocs).distinct().scopedCache()
     val shA = shAll.filter(col("doc_id") < 2000000L)
     val shB = shAll.filter(col("doc_id") >= 2000000L)
       .select((col("doc_id") - 2000000L).as("doc_id"), col("s"))
@@ -438,7 +441,7 @@ object DedupQ {
     val planted = base.filter(col("doc_id") % 23 === 0 && length(col("text")) >= 60)
       .select((col("doc_id") + 2000000L).as("doc_id"),
         concat(expr("substr(text, 1, 24)"), lit("qzx"), expr("substr(text, 28)")).as("text"))
-    val mh = minhash16(base.unionAll(planted)).cache()
+    val mh = minhash16(base.unionAll(planted)).scopedCache()
     val nPlanted = planted.count()
     Seq(2, 4, 8).map { nBands =>
       val bands = bandsFromSig(mh, nBands)
@@ -512,10 +515,10 @@ object DedupQ {
     val probe = bands.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id").as("new_id"), col("band"), col("bh"))
     val cand = probe.join(icap, Seq("band", "bh"))
-      .select(col("new_id"), col("old_id")).distinct().cache()
+      .select(col("new_id"), col("old_id")).distinct().scopedCache()
     val docs = cand.select(col("new_id").as("doc_id"))
       .unionAll(cand.select(col("old_id").as("doc_id"))).distinct()
-    val sh = wordShingles(s, dir).join(docs, Seq("doc_id")).distinct().cache()
+    val sh = wordShingles(s, dir).join(docs, Seq("doc_id")).distinct().scopedCache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.as("x"), col("new_id") === col("x.doc_id"))
@@ -659,7 +662,7 @@ object DedupQ {
     * |A ∩ B| via a shingle equi-join, |A ∪ B| = |A| + |B| - |A ∩ B|.
     * Ratio is int/int -> identical double on both engines. */
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir, Some(40L)).cache()
+    val sh = shingles(s, dir, Some(40L)).scopedCache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("x").join(sh.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
@@ -701,7 +704,7 @@ object DedupQ {
     * as Jaccard (a shingle equi-join + two hash aggregates), applied to
     * LSH-discovered pairs rather than a doc_id cap. */
   def qShingleContain(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir, Some(40L)).cache()
+    val sh = shingles(s, dir, Some(40L)).scopedCache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("x").join(sh.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") =!= col("y.doc_id"))
@@ -736,11 +739,11 @@ object DedupQ {
     * is bounded by the candidate count times shingle sizes, not by the
     * corpus squared. */
   def qNeardupVerified(s: SparkSession, dir: String): DataFrame = {
-    val pairs = qMinhashLsh(s, dir).cache()
+    val pairs = qMinhashLsh(s, dir).scopedCache()
     val docs = pairs.select(col("doc_a").as("doc_id"))
       .unionAll(pairs.select(col("doc_b").as("doc_id"))).distinct()
     // distinct shingle SETS, restricted to candidate docs only
-    val sh = wordShingles(s, dir).join(docs, Seq("doc_id")).distinct().cache()
+    val sh = wordShingles(s, dir).join(docs, Seq("doc_id")).distinct().scopedCache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
@@ -897,7 +900,7 @@ object DedupQ {
     // cache substitution (executed plan: 32 Generate nodes, zero
     // InMemoryTableScan) — lineage on the DataFrame itself guarantees
     // the InMemoryRelation is what every branch scans.
-    val sims = simhash60Sims(s, dir).cache()
+    val sims = simhash60Sims(s, dir).scopedCache()
     val blocks = (0 until 4).map { b =>
       sims.select(col("doc_id"), lit(b).as("blk"),
         shiftright(col("sh"), 15 * b).bitwiseAND(lit(32767L)).as("bv"), col("sh"))

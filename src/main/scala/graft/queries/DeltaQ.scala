@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import QCache.ScopedCacheOps
+
 /** Delta-processing + catalog operators (engine-side additions, SURVEY.md
   * §2.F/G — the reference pipeline is single-snapshot and keeps no
   * catalog): snapshot diff for incremental corpus maintenance, an EXACT
@@ -124,7 +126,7 @@ object DeltaQ {
       .select(col("doc_id"),
         md5(concat_ws(" ", slice(col("toks"), col("i"), lit(3))).cast("binary")).as("fp"))
       .distinct()
-      .cache()
+      .scopedCache()
     val dfRel = sh.groupBy(col("fp")).agg(count(lit(1)).as("df"))
     val nRel = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("fp"))

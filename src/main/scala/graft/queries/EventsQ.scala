@@ -3,6 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import QCache.ScopedCacheOps
+
 /** Event-stream analytics beyond the funnel/sessionize/hop-window trio
   * (engine-side additions, SURVEY.md §2.F/G): cohort retention and
   * time-series gap filling — the two reporting shapes a usage pipeline
@@ -39,7 +41,7 @@ object EventsQ {
       .select(col("user_id"),
         datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).cast("long").as("day"))
       .distinct()
-      .cache()
+      .scopedCache()
     val first = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
     val cohorts = first.groupBy(col("cohort_day")).agg(count(lit(1)).as("n_cohort"))
     val ret = days.join(first, Seq("user_id"))

@@ -37,16 +37,16 @@ object FlagshipQ {
 
   // ---- splitmix64 (MediaOcr.hash64) re-expressed as DuckDB SQL ----
 
-  private val M32 = BigInt(1) << 32
-  private val M64s = "18446744073709551616" // 2^64
-  private val C1 = BigInt("BF58476D1CE4E5B9", 16)
-  private val C2 = BigInt("94D049BB133111EB", 16)
-  private val Seed = BigInt("9E3779B97F4A7C15", 16)
+  private[queries] val M32 = BigInt(1) << 32
+  private[queries] val M64s = "18446744073709551616" // 2^64
+  private[queries] val C1 = BigInt("BF58476D1CE4E5B9", 16)
+  private[queries] val C2 = BigInt("94D049BB133111EB", 16)
+  private[queries] val Seed = BigInt("9E3779B97F4A7C15", 16)
 
   /** (a * c) mod 2^64 with a: HUGEINT in [0, 2^64), c constant.
     * Split c into 32-bit halves so no intermediate exceeds ~2^65
     * (HUGEINT is signed 128-bit; a full 64x64 product would overflow). */
-  private def mul64(a: String, c: BigInt): String = {
+  private[queries] def mul64(a: String, c: BigInt): String = {
     val lo = c % M32
     val hi = c / M32
     s"((($a) % 4294967296) * $lo + " +
@@ -77,7 +77,7 @@ object FlagshipQ {
       s"THEN ($h) - $M64s::HUGEINT ELSE ($h) END) % $n) + $n) % $n)"
 
   /** `f"%016x"` of the unsigned 64-bit value. */
-  private def hex16Sql(h: String): String =
+  private[queries] def hex16Sql(h: String): String =
     s"lpad(lower(hex($h)), 16, '0')"
 
   val oracle: String = {

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import QCache.ScopedCacheOps
+
 /** Link-graph analytics over the crawl corpus — the selection signals a
   * web-scale training pipeline derives from the hyperlink structure
   * (reference scope boundary: ocrchestra stops at per-document
@@ -83,7 +85,7 @@ object GraphQ {
     // edge list with out-degree attached, cached pre-partitioned on the
     // per-iteration join key: each round reuses this exchange and only
     // the slim (doc_id, rank) relation moves
-    val ed = e.join(deg, Seq("src")).repartition(col("src")).cache()
+    val ed = e.join(deg, Seq("src")).repartition(col("src")).scopedCache()
     var ranks = docs.select(col("doc_id"), lit(1000000L).as("rank"))
     for (_ <- 1 to Iterations) {
       val contribs = ed.join(ranks.withColumnRenamed("doc_id", "src"), Seq("src"))
@@ -234,7 +236,7 @@ object GraphQ {
     val docs = documents(s, dir)
     val e = linkEdges(docs)
     val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src")).cache()
+      .repartition(col("src")).scopedCache()
     var dist = docs.select(col("doc_id"),
       when(col("doc_id") % 128 === 0, 0L).otherwise(lit(Inf)).as("dist"))
     for (_ <- 1 to BfsHops) {

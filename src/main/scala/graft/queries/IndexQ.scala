@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import QCache.ScopedCacheOps
+
 /** Indexing / tokenizer-training operators a web-scale corpus platform
   * layers on the extraction battery (engine-side additions beyond the
   * reference scope — SURVEY.md §2.F/G): inverted-index posting lists,
@@ -226,7 +228,7 @@ object IndexQ {
         .select(col("freq"),
           explode(expr("transform(sequence(0, size(a) - 2), i -> concat(a[i], ' ', a[i + 1]))")).as("p"))
         .groupBy(col("p")).agg(sum(col("freq")).as("cnt"))
-        .cache()
+        .scopedCache()
       val best = pc.orderBy(col("cnt").desc, col("p").asc).limit(1)
         .select(col("p").as("bp"), col("cnt").as("bcnt"))
       val nPairs = pc.agg(count(lit(1)).as("n_pairs"))

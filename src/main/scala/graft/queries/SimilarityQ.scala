@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import QCache.ScopedCacheOps
+
 import graft.functions.VectorExprs.{hyperplaneBucket, qdot}
 
 /** Similarity search over the embeddings table (Array[Float], 64-dim).
@@ -193,7 +195,7 @@ object SimilarityQ {
       .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("bucket"))))
       .filter(col("bn") <= MaxEmbedBucket)
       .select(col("vec_id"), col("bucket"), col("v"), col("nrm"))
-      .cache()
+      .scopedCache()
     val a = sigs.as("a")
     val b = sigs.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
@@ -260,7 +262,7 @@ object SimilarityQ {
     * IVF sublinear (cost = list size, not corpus size). Equi-join on the
     * centroid id; exact quantized cosine ranks within the probed list. */
   def qIvfProbe(s: SparkSession, dir: String): DataFrame = {
-    val assign = qIvfAssign(s, dir).select(col("vec_id"), col("centroid")).cache()
+    val assign = qIvfAssign(s, dir).select(col("vec_id"), col("centroid")).scopedCache()
     val e = embeddings(s, dir)
       .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
       .select(col("vec_id"), col("embedding").as("v"),
@@ -329,13 +331,13 @@ object SimilarityQ {
     // both relations are multi-referenced (a0 feeds sums AND the final
     // join; ql feeds sums, qnrm AND dots) — without the cache the full
     // IVF assignment ran ~3x and the 64x explode ~4x per query run
-    val a0 = qIvfAssign(s, dir).select(col("vec_id"), col("centroid").as("c0")).cache()
+    val a0 = qIvfAssign(s, dir).select(col("vec_id"), col("centroid").as("c0")).scopedCache()
     val ql = embeddings(s, dir)
       .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
       .select(col("vec_id"), col("d"),
         round(col("x").cast("double") * 1000).cast("long").as("qx"))
-      .cache()
+      .scopedCache()
     val sums = ql.join(a0, Seq("vec_id"))
       .groupBy(col("c0").as("cid"), col("d")).agg(sum(col("qx")).as("sx"))
     val snrm = sums.groupBy(col("cid"))
@@ -458,7 +460,7 @@ object SimilarityQ {
     val sub = ql.join(broadcast(cents), Seq("m", "d"))
       .groupBy(col("vec_id"), col("m"), col("cid"))
       .agg(sum((col("qx") - col("cx")) * (col("qx") - col("cx"))).as("sq"))
-      .cache() // consumed twice: candidate codes + query ADC tables
+      .scopedCache() // consumed twice: candidate codes + query ADC tables
     val wA = Window.partitionBy(col("vec_id"), col("m"))
       .orderBy(col("sq").asc, col("cid").asc)
     val codes = sub.withColumn("rn", row_number().over(wA))

@@ -3,6 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import QCache.ScopedCacheOps
+
 /** Text-analysis operators for a training-data pipeline over the
   * `documents` table: token counting, quality scoring, language ID,
   * fingerprinting. All oracle-checkable: counts are exact ints, ratios
@@ -166,7 +168,7 @@ object TextAnalysisQ {
     // DedupQ's self-join temporaries) because Catalyst's ReuseExchange
     // does not fire across the broadcast boundary here — without it the
     // explode would run twice
-    val hist = bi.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt")).cache()
+    val hist = bi.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt")).scopedCache()
     val global = hist.groupBy(col("b")).agg(sum(col("cnt")).as("gc"))
     hist.join(broadcast(global), Seq("b"))
       .groupBy(col("doc_id"))

@@ -159,6 +159,73 @@ class PdfFilterSpec extends AnyFunSuite {
     assert(got.sameElements(content))
   }
 
+  private def deflate(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(b); d.finish()
+    val buf = new Array[Byte](b.length * 2 + 64)
+    val n = d.deflate(buf); d.end()
+    java.util.Arrays.copyOf(buf, n)
+  }
+
+  /** Forward-apply PNG "Up" (tag 2): what a /Predictor 12 writer emits
+    * before compressing. */
+  private def pngUpEncode(data: Array[Byte], cols: Int): Array[Byte] = {
+    val nRows = data.length / cols
+    val out = new Array[Byte](nRows * (cols + 1))
+    var prev = new Array[Byte](cols)
+    for (r <- 0 until nRows) {
+      val row = java.util.Arrays.copyOfRange(data, r * cols, (r + 1) * cols)
+      out(r * (cols + 1)) = 2
+      for (i <- 0 until cols) out(r * (cols + 1) + 1 + i) = (row(i) - prev(i)).toByte
+      prev = row
+    }
+    out
+  }
+
+  test("Flate + /Predictor 12 page content parses and page-imports end-to-end (P-8)") {
+    // the real-corpus class the parser previously rejected: page content
+    // written through a PNG Up predictor before FlateDecode
+    val cols = 16
+    val raw = "BT /F9 12 Tf (predword) Tj ET".getBytes(ISO_8859_1)
+    val content = raw ++ Array.fill((cols - raw.length % cols) % cols)(' '.toByte)
+    val enc = deflate(pngUpEncode(content, cols))
+    val src = filteredSource(s"/FlateDecode /DecodeParms << /Predictor 12 /Columns $cols >>", enc)
+    val doc = PdfParse.parse(src).toOption.get
+    val got = doc.decodedStream(doc.pages.toOption.get.head.contentObjs.head).toOption.get
+    assert(got.sameElements(content))
+    val out = PdfRender.modifyExistingPdf(src,
+      Hocr(pages = Vector(page(Seq("newocr"), 1)))).toOption.get
+    val s = new String(out.pdf, ISO_8859_1)
+    assert(s.contains("(predword) Tj") && s.contains("(newocr) Tj"))
+  }
+
+  test("TIFF /Predictor 2 and multi-byte-pixel PNG predictors round-trip") {
+    // TIFF horizontal differencing, 3 components/pixel: forward-diff then
+    // unpredict must restore
+    val colors = 3
+    val cols = 5
+    val data = randomBytes(cols * colors * 4) // 4 rows
+    val diffed = data.clone()
+    for (r <- 0 until 4; i <- (cols * colors - 1) to colors by -1) {
+      val off = r * cols * colors
+      diffed(off + i) = (diffed(off + i) - data(off + i - colors)).toByte
+    }
+    assert(PdfParse.unpredict(diffed, 2, cols, colors = colors)
+      .toOption.get.sameElements(data))
+    // PNG Sub (tag 1) with bpp=3: left neighbor is i-3, not i-1
+    val row = randomBytes(cols * colors)
+    val enc = new Array[Byte](cols * colors + 1)
+    enc(0) = 1
+    for (i <- 0 until cols * colors) {
+      val left = if (i >= colors) row(i - colors) & 0xFF else 0
+      enc(1 + i) = (row(i) - left).toByte
+    }
+    assert(PdfParse.unpredict(enc, 11, cols, colors = colors)
+      .toOption.get.sameElements(row))
+    // sub-byte TIFF differencing stays a clear error
+    assert(PdfParse.unpredict(diffed, 2, cols, colors = colors, bpc = 4).isLeft)
+  }
+
   test("RunLength + ASCIIHex content streams decode; unknown filter stays a clear error") {
     val content = "BT (rlword) Tj ET".getBytes(ISO_8859_1)
     val srcRl = filteredSource("/RunLengthDecode", PdfFilters.runLengthEncode(content))
