@@ -31,6 +31,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // -Xms = -Xmx: ParallelGC's adaptive heap ramp cost the round-4 bench
+  // rehearsal its first pair (GC task fractions 0.34/0.76 while the
+  // heap grew from its tiny default); a pre-sized heap makes the first
+  // heavy run as GC-stable as the fifth
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // ParallelGC beats default G1 on this allocation-heavy single-JVM
   // workload (BASELINE.md A/B: 34->27 s wall on the 16-thread extract;
   // G1's concurrent threads compete with task threads for the same

@@ -98,7 +98,10 @@ object Boilerplate {
         case TextNode =>
           val t = n.data
           cur.text.append(t)
-          if (inLink) cur.linkLen += collapseWs(t).codePointCount(0, collapseWs(t).length)
+          if (inLink) {
+            val cw = collapseWs(t)
+            cur.linkLen += cw.codePointCount(0, cw.length)
+          }
           if (inHeading) cur.heading = true
           if (inLi) cur.listItem = true
         case ElementNode =>
