@@ -21,17 +21,19 @@ package graft
   */
 object Bench {
 
-  /** One level observation (parsed from a BenchLevel child): min timed
-    * seconds plus the same-moment calibrations. `clean` = the pre- AND
-    * post-run burns sat at the unthrottled hardware floor (0.22-0.27 s
-    * on this host; a depleted window reads 1.1 s+ — the populations
-    * never overlap) AND the timed region's GC task fraction stayed
-    * sane (the round-4 rehearsal's heap-ramp pair read 0.34/0.76 with
-    * perfectly clean burns — the burn probe allocates nothing and
-    * cannot see allocation-side corruption). */
-  final case class Obs(cores: Int, t: Double, runs: Vector[Double], burnBefore: Double,
+  /** One timed REP from a BenchLevel child — each rep is its own
+    * observation, preceded by a recovery nap and a clean-window gate
+    * inside the child. `clean` = the bracketing burns sat at the
+    * unthrottled hardware floor (0.22-0.27 s on this host; CPU-throttle
+    * depletion reads 1.1 s+), the allocation-heavy kernel probe sat at
+    * ITS floor (the memory throttle is independent of the CPU one and
+    * invisible to the burn), AND the rep's GC task fraction stayed sane
+    * (mid-run bucket drain shows up here first — rehearsal 2 measured
+    * gcfrac 0.46-0.68 on every back-to-back 16-wide rep while both
+    * probes read clean). */
+  final case class Obs(cores: Int, t: Double, burnBefore: Double,
                        burnAfter: Double, kernel: Double, gcFrac: Double,
-                       cleanWaitMs: Long) {
+                       waitMs: Long) {
     def burnMax: Double = math.max(burnBefore, burnAfter)
     def clean: Boolean = burnMax <= BenchCore.BurnClean && gcFrac <= 0.25 &&
       kernel <= BenchCore.kernelCleanThreshold(cores)
@@ -40,10 +42,13 @@ object Bench {
   private val NPairs = 3
   private val RepsPerVisit = 2
   private val ChildCleanWaitMs = 60000L
+  /** Recovery nap before each timed rep: the burst bucket refills only
+    * while idle, and a 16-wide run drains it in ~15-30 s of work. */
+  private def napMs(cores: Int): Long = if (cores >= 16) 75000L else 45000L
 
   /** Fork one BenchLevel child JVM pinned to `cores` active processors
-    * and parse its LEVELRESULT line. */
-  private def runLevel(cores: Int, sfDir: String): Obs = {
+    * and parse its LEVELRESULT line into per-rep observations. */
+  private def runLevel(cores: Int, sfDir: String): Vector[Obs] = {
     import scala.jdk.CollectionConverters._
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -53,7 +58,7 @@ object Bench {
       s"-XX:ActiveProcessorCount=$cores",
       "-cp", System.getProperty("java.class.path"),
       "graft.tools.BenchLevel", cores.toString, sfDir,
-      RepsPerVisit.toString, ChildCleanWaitMs.toString)
+      RepsPerVisit.toString, napMs(cores).toString, ChildCleanWaitMs.toString)
     val pb = new ProcessBuilder(cmd.asJava)
     pb.redirectErrorStream(false)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT) // Spark INFO noise -> stderr
@@ -62,14 +67,14 @@ object Bench {
     val rc = p.waitFor()
     val line = out.find(_.startsWith("LEVELRESULT ")).getOrElse(
       sys.error(s"BenchLevel($cores) rc=$rc emitted no LEVELRESULT; tail=${out.takeRight(5)}"))
-    def num(k: String): Double =
-      s""""$k":(-?[0-9.]+)""".r.findFirstMatchIn(line)
-        .getOrElse(sys.error(s"missing $k in $line")).group(1).toDouble
-    val runs = s""""runs":\\[([0-9.,]+)\\]""".r.findFirstMatchIn(line)
-      .getOrElse(sys.error(s"missing runs in $line")).group(1)
-      .split(',').toVector.map(_.toDouble)
-    Obs(cores, runs.min, runs, num("burn_before"), num("burn_after"),
-      num("kernel"), num("gcfrac"), num("clean_wait_ms").toLong)
+    val repRe = ("""\{"t":(-?[0-9.]+),"burn_before":(-?[0-9.]+),"burn_after":(-?[0-9.]+),""" +
+      """"kernel":(-?[0-9.]+),"gcfrac":(-?[0-9.]+),"wait_ms":([0-9]+)\}""").r
+    val reps = repRe.findAllMatchIn(line).map { m =>
+      Obs(cores, m.group(1).toDouble, m.group(2).toDouble, m.group(3).toDouble,
+        m.group(4).toDouble, m.group(5).toDouble, m.group(6).toLong)
+    }.toVector
+    if (reps.isEmpty) sys.error(s"BenchLevel($cores) rc=$rc: no reps parsed from $line")
+    reps
   }
 
   def main(args: Array[String]): Unit = {
@@ -97,7 +102,7 @@ object Bench {
     // keeps the min, so per-visit noise (JIT state, one unlucky GC) is
     // averaged out inside a narrow time window.
     val pairOrder = (1 to NPairs).map(i => if (i % 2 == 1) "4-first" else "16-first")
-    val pairsBuf = scala.collection.mutable.ArrayBuffer.empty[(Obs, Obs)]
+    val pairsBuf = scala.collection.mutable.ArrayBuffer.empty[(Vector[Obs], Vector[Obs])]
     (1 to NPairs).foreach { i =>
       val fourFirst = i % 2 == 1
       val (r4, r16) =
@@ -108,19 +113,22 @@ object Bench {
     // Bounded per-level retry: if a level has NO clean observation after
     // the alternated pairs (the round-3 failure mode — every 16-level
     // run landed throttled), re-run that level up to twice, each behind
-    // the child's own clean-window gate. Extra observations join the
-    // per-level pool; they do not form pairs.
+    // the child's own nap + clean-window gate. Extra observations join
+    // the per-level pool; they do not form pairs.
     val extra4 = scala.collection.mutable.ArrayBuffer.empty[Obs]
     val extra16 = scala.collection.mutable.ArrayBuffer.empty[Obs]
-    def allObs4 = pairsBuf.map(_._1) ++ extra4
-    def allObs16 = pairsBuf.map(_._2) ++ extra16
+    def allObs4 = pairsBuf.flatMap(_._1) ++ extra4
+    def allObs16 = pairsBuf.flatMap(_._2) ++ extra16
     var retries = 0
-    while (!allObs4.exists(_.clean) && retries < 2) { extra4 += runLevel(4, sfDir); retries += 1 }
-    while (!allObs16.exists(_.clean) && retries < 4) { extra16 += runLevel(16, sfDir); retries += 1 }
+    while (!allObs4.exists(_.clean) && retries < 2) { extra4 ++= runLevel(4, sfDir); retries += 1 }
+    while (!allObs16.exists(_.clean) && retries < 4) { extra16 ++= runLevel(16, sfDir); retries += 1 }
     val obs4 = allObs4.toVector
     val obs16 = allObs16.toVector
 
-    val pairs = pairsBuf.toVector
+    // per-pair views (best rep of each visit) for the transparency rows
+    val pairs = pairsBuf.toVector.map { case (a, b) =>
+      (a.minBy(_.t), b.minBy(_.t))
+    }
     val gcFracs = pairs.map { case (a, b) => (a.gcFrac, b.gcFrac) }
     val effs = pairs.map { case (a, b) => a.t / (4.0 * b.t) }
     // Primary statistic: min time per LEVEL across CLEAN observations.
@@ -195,10 +203,10 @@ object Bench {
     // fits the capture whole; the per-query maps ride the detail line
     // (still on stdout for humans/ledger, loss-tolerant).
     val obsJson = (lvl: Vector[Obs]) =>
-      lvl.map(o => f"""{"t":${o.t}%.2f,"runs":[${o.runs.map(r => f"$r%.2f").mkString(",")}],"burn_before":${o.burnBefore}%.2f,"burn_after":${o.burnAfter}%.2f,"kernel":${o.kernel}%.2f,"gcfrac":${o.gcFrac}%.3f,"clean_wait_ms":${o.cleanWaitMs},"clean":${o.clean}}""").mkString("[", ",", "]")
+      lvl.map(o => f"""{"t":${o.t}%.2f,"burn_before":${o.burnBefore}%.2f,"burn_after":${o.burnAfter}%.2f,"kernel":${o.kernel}%.2f,"gcfrac":${o.gcFrac}%.3f,"wait_ms":${o.waitMs},"clean":${o.clean}}""").mkString("[", ",", "]")
     println(
       s"""{"detail":"per_query","queries":$qs,"queries_shuffle_write_bytes":$qshuf,"pair_order":[${pairOrder.map("\"" + _ + "\"").mkString(",")}],"scaling_pairs":[${pairs.map { case (a, b) => f"[${a.t}%.2f,${b.t}%.2f]" }.mkString(",")}],"scaling_efficiencies":[${effs.map(e => f"$e%.3f").mkString(",")}],"burn_sec_pairs":[${pairs.map { case (a, b) => f"[${a.burnBefore}%.2f,${b.burnBefore}%.2f]" }.mkString(",")}],"kernel_sec_pairs":[${pairs.map { case (a, b) => f"[${a.kernel}%.2f,${b.kernel}%.2f]" }.mkString(",")}],"gc_task_fraction_pairs":[${gcFracs.map { case (a, b) => f"[$a%.3f,$b%.3f]" }.mkString(",")}],"obs_N4":${obsJson(obs4)},"obs_4N16":${obsJson(obs16)}}""")
     println(
-      s"""{"metric":"extract_docs_per_sec_4N16","value":${f"$tp16%.2f"},"unit":"docs/sec","sf":"$sfDir","n_docs":$nDocs,"n_queries":${results.size},"total_query_sec":${f"$total%.2f"},"extract_sec_N4":${f"$sec4%.3f"},"extract_sec_4N16":${f"$sec16%.3f"},"throughput_N4":${f"$tp4%.2f"},"throughput_4N16":${f"$tp16%.2f"},"scaling_efficiency":${f"$eff%.3f"},"scaling_efficiency_all_obs":${f"$effAllObs%.3f"},"level_isolation":"forked_jvm_active_procs","burn_clean_threshold_sec":${BenchCore.BurnClean},"gc_clean_threshold":0.25,"kernel_clean_thresholds":{"N4":${BenchCore.kernelCleanThreshold(4)},"4N16":${BenchCore.kernelCleanThreshold(16)}},"n_obs":{"N4":${obs4.size},"4N16":${obs16.size}},"n_clean_obs":{"N4":${obs4.count(_.clean)},"4N16":${obs16.count(_.clean)}},"level_retries":$retries,"clean_wait_ms_used":${(obs4 ++ obs16).map(_.cleanWaitMs).sum},"cpu_capacity_ratios":[${capRatios.map(c => f"$c%.2f").mkString(",")}],"capacity_normalized_efficiencies":[${normEffs.map(e => f"$e%.3f").mkString(",")}],"kernel_scaling_ratios":[${kernelRatios.map(k => f"$k%.2f").mkString(",")}],"plan_efficiencies_vs_kernel":[${planEffs.map(e => f"$e%.3f").mkString(",")}],"shuffle_partitions":{"N4":4,"4N16":16},"spill_bytes_mem":$spillMem,"spill_bytes_disk":$spillDisk,"shuffle_read_bytes":$shufRead,"shuffle_write_bytes":$shufWrite}""")
+      s"""{"metric":"extract_docs_per_sec_4N16","value":${f"$tp16%.2f"},"unit":"docs/sec","sf":"$sfDir","n_docs":$nDocs,"n_queries":${results.size},"total_query_sec":${f"$total%.2f"},"extract_sec_N4":${f"$sec4%.3f"},"extract_sec_4N16":${f"$sec16%.3f"},"throughput_N4":${f"$tp4%.2f"},"throughput_4N16":${f"$tp16%.2f"},"scaling_efficiency":${f"$eff%.3f"},"scaling_efficiency_all_obs":${f"$effAllObs%.3f"},"level_isolation":"forked_jvm_active_procs","burn_clean_threshold_sec":${BenchCore.BurnClean},"gc_clean_threshold":0.25,"kernel_clean_thresholds":{"N4":${BenchCore.kernelCleanThreshold(4)},"4N16":${BenchCore.kernelCleanThreshold(16)}},"n_obs":{"N4":${obs4.size},"4N16":${obs16.size}},"n_clean_obs":{"N4":${obs4.count(_.clean)},"4N16":${obs16.count(_.clean)}},"level_retries":$retries,"nap_and_wait_ms_used":${(obs4 ++ obs16).map(_.waitMs).sum},"cpu_capacity_ratios":[${capRatios.map(c => f"$c%.2f").mkString(",")}],"capacity_normalized_efficiencies":[${normEffs.map(e => f"$e%.3f").mkString(",")}],"kernel_scaling_ratios":[${kernelRatios.map(k => f"$k%.2f").mkString(",")}],"plan_efficiencies_vs_kernel":[${planEffs.map(e => f"$e%.3f").mkString(",")}],"shuffle_partitions":{"N4":4,"4N16":16},"spill_bytes_mem":$spillMem,"spill_bytes_disk":$spillDisk,"shuffle_read_bytes":$shufRead,"shuffle_write_bytes":$shufWrite}""")
   }
 }

@@ -12,21 +12,30 @@ import graft.BenchCore
   * local[4] level's ParallelGC ran on ~20 idle host threads — a GC
   * subsidy the 16-thread level does not get (its collections compete
   * with its own tasks), which systematically deflates the 4->16 ratio;
-  * a fresh JVM per level also removes cross-level JIT/heap pollution
-  * (the round-4 rehearsal's first pair ran at 0.34/0.76 GC task
-  * fraction purely from adaptive heap ramp-up).
+  * a fresh JVM per level also removes cross-level JIT/heap pollution.
   *
-  * args: cores sfDir timedReps cleanWaitMs
-  * stdout: one line `LEVELRESULT {json}` — parsed by the parent.
-  * Also usable standalone for level A/Bs (GRAFT_JVM_EXTRA applies when
-  * run through sbt).
+  * Each timed rep is its own OBSERVATION, preceded by a recovery nap
+  * and a clean-window gate: the host's burst bucket drains DURING a
+  * long 16-wide run (round-4 rehearsal 2: every 16-level visit that ran
+  * two reps back-to-back saw rep 2 slower than rep 1 — 47->91 s,
+  * 53->82 s — with gcfrac 0.46-0.68, while pre-run burn AND kernel read
+  * clean; a pre-run probe cannot see a half-empty bucket, only idle
+  * time refills it). Round 3's alternating shared-JVM pairs worked
+  * partly because the low-burn 4-level runs between 16-level visits
+  * were accidental recovery naps; the nap makes that explicit and
+  * symmetric.
+  *
+  * args: cores sfDir reps napMs cleanWaitMs
+  * stdout: one line `LEVELRESULT {json}` with a per-rep array — parsed
+  * by the parent. Also usable standalone for level A/Bs.
   */
 object BenchLevel {
   def main(args: Array[String]): Unit = {
     val cores = args(0).toInt
     val sfDir = args(1)
     val reps = if (args.length > 2) args(2).toInt else 2
-    val cleanWaitMs = if (args.length > 3) args(3).toLong else 60000L
+    val napMs = if (args.length > 3) args(3).toLong else 60000L
+    val cleanWaitMs = if (args.length > 4) args(4).toLong else 60000L
 
     val (spark, listener) = BenchCore.newSession(cores)
     val corpus = BenchCore.corpusPath(spark, sfDir)
@@ -34,16 +43,22 @@ object BenchLevel {
     BenchCore.burnSec(cores); BenchCore.kernelSec(cores)
     BenchCore.warm(spark, corpus)
 
-    val (burnBefore, kernel, waitUsed) = BenchCore.waitForCleanWindow(cores, cleanWaitMs)
-    val (gc0, tt0) = (listener.gcTime.sum(), listener.taskTime.sum())
-    val runs = (1 to reps).map(_ => BenchCore.timedReplicated(spark, corpus, BenchCore.Replicas))
-    val gcFrac = (listener.gcTime.sum() - gc0).toDouble /
-      math.max(1L, listener.taskTime.sum() - tt0)
-    val burnAfter = BenchCore.burnSec(cores)
+    val out = new StringBuilder
+    (1 to reps).foreach { r =>
+      Thread.sleep(napMs) // refill the burst bucket after the last run
+      val (burnBefore, kernel, waitUsed) = BenchCore.waitForCleanWindow(cores, cleanWaitMs)
+      val (gc0, tt0) = (listener.gcTime.sum(), listener.taskTime.sum())
+      val t = BenchCore.timedReplicated(spark, corpus, BenchCore.Replicas)
+      val gcFrac = (listener.gcTime.sum() - gc0).toDouble /
+        math.max(1L, listener.taskTime.sum() - tt0)
+      val burnAfter = BenchCore.burnSec(cores)
+      if (r > 1) out.append(',')
+      out.append(
+        f"""{"t":$t%.3f,"burn_before":$burnBefore%.3f,"burn_after":$burnAfter%.3f,"kernel":$kernel%.3f,"gcfrac":$gcFrac%.4f,"wait_ms":${waitUsed + napMs}}""")
+    }
     spark.stop()
 
     val procs = Runtime.getRuntime.availableProcessors()
-    println(
-      f"""LEVELRESULT {"cores":$cores,"active_procs":$procs,"runs":[${runs.map(r => f"$r%.3f").mkString(",")}],"t":${runs.min}%.3f,"burn_before":$burnBefore%.3f,"burn_after":$burnAfter%.3f,"kernel":$kernel%.3f,"gcfrac":$gcFrac%.4f,"clean_wait_ms":$waitUsed}""")
+    println(s"""LEVELRESULT {"cores":$cores,"active_procs":$procs,"reps":[$out]}""")
   }
 }
