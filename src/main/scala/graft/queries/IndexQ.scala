@@ -246,14 +246,20 @@ object IndexQ {
     rounds.reduce(_.unionByName(_)).orderBy(col("round"))
   }
 
-  val qBpeMergesSql: String = {
-    // One CTE block per round: pair counts over s{r-1}, the argmax, the
-    // merged relation s{r}. Scalar subqueries replicate the broadcast.
-    val mergeExpr = (prev: String, b: String) =>
-      s"trim(replace(replace(' ' || syms || ' ', ' ' || (SELECT p FROM $b) || ' ', " +
-      s"' ' || (SELECT replace(p, ' ', '') FROM $b) || ' '), ' ' || (SELECT p FROM $b) || ' ', " +
-      s"' ' || (SELECT replace(p, ' ', '') FROM $b) || ' '))"
-    val roundCtes = (1 to BpeRounds).map { r =>
+  /** DuckDB merge-application expression: padded `replace` applied twice
+    * (left-to-right non-overlapping in both engines — see qBpeMerges).
+    * `def`, not val: shared by two SQL builder vals (init-order rule). */
+  private def bpeMergeExprSql(b: String): String =
+    s"trim(replace(replace(' ' || syms || ' ', ' ' || (SELECT p FROM $b) || ' ', " +
+    s"' ' || (SELECT replace(p, ' ', '') FROM $b) || ' '), ' ' || (SELECT p FROM $b) || ' ', " +
+    s"' ' || (SELECT replace(p, ' ', '') FROM $b) || ' '))"
+
+  /** The per-round training CTE chain (pair counts over s{r-1}, argmax
+    * b{r}, merged relation s{r}) shared verbatim by the merge-training
+    * and encode oracles; `extraCols` rides along through each s{r} so the
+    * encoder can keep the original word key. */
+  private def bpeRoundCtesSql(extraCols: String): String =
+    (1 to BpeRounds).map { r =>
       val prev = if (r == 1) "s0" else s"s${r - 1}"
       s"""pc$r AS (
          |  SELECT a[CAST(i AS INT)] || ' ' || a[CAST(i AS INT) + 1] AS p,
@@ -263,8 +269,11 @@ object IndexQ {
          |  WHERE len(a) >= 2
          |  GROUP BY 1),
          |b$r AS (SELECT p, cnt FROM pc$r ORDER BY cnt DESC, p ASC LIMIT 1),
-         |s$r AS (SELECT ${mergeExpr(prev, s"b$r")} AS syms, freq FROM $prev)""".stripMargin
+         |s$r AS (SELECT $extraCols${bpeMergeExprSql(s"b$r")} AS syms, freq FROM $prev)""".stripMargin
     }.mkString(",\n")
+
+  val qBpeMergesSql: String = {
+    val roundCtes = bpeRoundCtesSql("")
     val rows = (1 to BpeRounds).map { r =>
       s"""SELECT CAST($r AS BIGINT) AS round, (SELECT p FROM b$r) AS best_pair,
          |  (SELECT replace(p, ' ', '') FROM b$r) AS merged_sym,
@@ -280,9 +289,85 @@ object IndexQ {
        |ORDER BY round""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q_bpe_encode — tokenizer APPLICATION (encode the corpus with the
+  // learned merges)
+  // ---------------------------------------------------------------------
+
+  /** BPE encode — the other half of the tokenizer story (qBpeMerges
+    * trains the merge table; this applies it): every document is
+    * tokenized under the [[BpeRounds]] learned merges and reports its
+    * exact post-merge token count alongside word/char counts — the
+    * sequence-length accounting every token-budget/packing decision
+    * (q_token_budget, q_seq_pack) would consume from a REAL tokenizer
+    * rather than the whitespace proxy.
+    *
+    * Scale shape — the tokenizer-apply idiom at 100 TB: merges are
+    * learned on the WORD-FREQUENCY relation (vocab-sized) and the merged
+    * symbol-count map is joined back to the corpus words as a BROADCAST
+    * (a production vocab is ~10^5-10^6 rows — always dwarfed by the
+    * corpus), so the apply pass is one narrow map-side join + per-doc
+    * partial agg; the only corpus-wide shuffle is the initial word count
+    * (map-side combine) and the final per-doc agg. No per-round pass
+    * ever touches the corpus. */
+  def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docWords = documents(s, dir)
+      .select(col("doc_id"), explode(split(trim(norm(col("text"))), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .scopedCache() // feeds training freqs AND the apply join
+    val words = docWords.groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    var vocab = words.select(col("word"),
+      concat_ws(" ", split(col("word"), "")).as("syms"), col("freq"))
+    (1 to BpeRounds).foreach { _ =>
+      val pc = vocab
+        .filter(size(split(col("syms"), " ")) >= 2)
+        .select(col("freq"), split(col("syms"), " ").as("a"))
+        .select(col("freq"),
+          explode(expr("transform(sequence(0, size(a) - 2), i -> concat(a[i], ' ', a[i + 1]))")).as("p"))
+        .groupBy(col("p")).agg(sum(col("freq")).as("cnt"))
+      val best = pc.orderBy(col("cnt").desc, col("p").asc).limit(1)
+        .select(col("p").as("bp"))
+      // scopedCache per round: each round's argmax broadcast and the
+      // next round's pair counts both read vocab_{r}; without the cache
+      // the nested broadcast builds recompute round 1's lineage ~4x
+      vocab = vocab.crossJoin(broadcast(best))
+        .select(col("word"), expr(
+          "trim(replace(replace(concat(' ', syms, ' '), concat(' ', bp, ' '), concat(' ', replace(bp, ' ', ''), ' ')), " +
+          "concat(' ', bp, ' '), concat(' ', replace(bp, ' ', ''), ' ')))").as("syms"),
+          col("freq"))
+        .scopedCache()
+    }
+    val vmap = vocab.select(col("word"),
+      size(split(col("syms"), " ")).cast("long").as("n_syms"))
+    docWords.join(broadcast(vmap), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word"))).cast("long").as("n_chars"),
+        sum(col("n_syms")).cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qBpeEncodeSql: String = {
+    val roundCtes = bpeRoundCtesSql("word, ")
+    s"""WITH dw AS (SELECT doc_id, word FROM
+       |    (SELECT doc_id, unnest($duckToks) AS word FROM documents) t
+       |  WHERE length(word) > 0),
+       |w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM dw GROUP BY word),
+       |s0 AS (SELECT word, array_to_string(string_split(word, ''), ' ') AS syms, freq FROM w),
+       |$roundCtes,
+       |v AS (SELECT word, CAST(len(string_split(syms, ' ')) AS BIGINT) AS n_syms
+       |      FROM s$BpeRounds)
+       |SELECT dw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(length(dw.word)) AS BIGINT) AS n_chars,
+       |  CAST(SUM(v.n_syms) AS BIGINT) AS n_tokens
+       |FROM dw JOIN v USING (word)
+       |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_inverted_index" -> ((qInvertedIndex _, Some(qInvertedIndexSql))),
     "q_scd2" -> ((qScd2 _, Some(qScd2Sql))),
     "q_vocab_coverage" -> ((qVocabCoverage _, Some(qVocabCoverageSql))),
-    "q_bpe_merges" -> ((qBpeMerges _, Some(qBpeMergesSql))))
+    "q_bpe_merges" -> ((qBpeMerges _, Some(qBpeMergesSql))),
+    "q_bpe_encode" -> ((qBpeEncode _, Some(qBpeEncodeSql))))
 }

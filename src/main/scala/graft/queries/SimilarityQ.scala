@@ -503,7 +503,99 @@ object SimilarityQ {
        |SELECT qid, rank, cand_id, adc_dist FROM ranked WHERE rank <= 10
        |ORDER BY qid, rank""".stripMargin
 
+  /** ANN quality report — recall of the IVF single-probe search against
+    * the exact brute-force top-5 (what q_lsh_recall is to MinHash-LSH,
+    * this is to IVF): per query vector, how many of its TRUE 5 nearest
+    * neighbors the probed centroid list actually contained. The metric
+    * that decides nprobe/K tradeoffs before committing a 10^12-vector
+    * index layout. Integer output only (hits, basis points) per the
+    * determinism rule — recall_bp = n_hits * 10000 div n_exact.
+    *
+    * Plan shape: both sides are the already-bounded top-k relations
+    * (5 rows per query each), so the recall join is trivially small;
+    * the cost is the two underlying searches, each already audited
+    * (broadcast queries/centroids, per-list probe). */
+  def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = qAnnCosine(s, dir).filter(col("rank") <= 5)
+      .select(col("qid"), col("cid").as("cand_id"))
+    val probed = qIvfProbe(s, dir)
+      .select(col("qid"), col("cand_id"), lit(1).as("hit"))
+    exact.join(probed, Seq("qid", "cand_id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+      .select(col("qid"), col("n_exact"), col("n_hits"),
+        expr("n_hits * 10000 div n_exact").as("recall_bp"))
+      .orderBy(col("qid"))
+  }
+
+  val qAnnRecallSql: String =
+    s"""WITH exact AS (SELECT qid, cid AS cand_id FROM ($qAnnCosineSql) e WHERE rank <= 5),
+       |probed AS (SELECT qid, cand_id FROM ($qIvfProbeSql) p)
+       |SELECT e.qid, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |  CAST(SUM(CASE WHEN p.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |  CAST(SUM(CASE WHEN p.cand_id IS NOT NULL THEN 1 ELSE 0 END) * 10000
+       |       // COUNT(*) AS BIGINT) AS recall_bp
+       |FROM exact e LEFT JOIN probed p ON p.qid = e.qid AND p.cand_id = e.cand_id
+       |GROUP BY e.qid ORDER BY e.qid""".stripMargin
+
+  /** PQ quality report — recall of the ADC probe (q_pq_ann) against the
+    * EXACT squared-L2 top-10 over the raw quantized vectors: completes
+    * the ANN-quality triptych (q_lsh_recall for MinHash-LSH, q_ann_recall
+    * for IVF, this for product quantization). The number that decides a
+    * codebook size / sub-space count before committing the compressed
+    * index. Exact side: dist(q,c) = qq + cc - 2*dp, all exact BIGINTs
+    * from the fused codegen dots — no float math anywhere in the ranking.
+    * Integer output only (hits, basis points). */
+  def qPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"), col("embedding").as("v"),
+        qdot(col("embedding"), col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = e.filter(col("vec_id") >= 5).as("c")
+      .crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id").as("cand_id"),
+        (col("qnrm") + col("nrm") - lit(2L) * qdot(col("qv"), col("v"))).as("d2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("cand_id").asc)
+    val exact = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("cand_id"))
+    val probed = qPqAnn(s, dir)
+      .select(col("qid"), col("cand_id"), lit(1).as("hit"))
+    exact.join(probed, Seq("qid", "cand_id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+      .select(col("qid"), col("n_exact"), col("n_hits"),
+        expr("n_hits * 10000 div n_exact").as("recall_bp"))
+      .orderBy(col("qid"))
+  }
+
+  val qPqRecallSql: String =
+    s"""WITH e0 AS (SELECT vec_id, embedding FROM embeddings
+       |           WHERE embedding IS NOT NULL AND len(embedding) > 0),
+       |el AS (SELECT q.vec_id AS qid, c.vec_id AS cand_id,
+       |   CAST(ROUND(CAST(UNNEST(q.embedding) AS DOUBLE) * 1000) AS BIGINT) AS qx,
+       |   CAST(ROUND(CAST(UNNEST(c.embedding) AS DOUBLE) * 1000) AS BIGINT) AS cx
+       | FROM e0 q, e0 c WHERE q.vec_id < 5 AND c.vec_id >= 5),
+       |d2s AS (SELECT qid, cand_id, CAST(SUM((qx - cx) * (qx - cx)) AS BIGINT) AS d2
+       |        FROM el GROUP BY qid, cand_id),
+       |exact AS (SELECT qid, cand_id FROM (
+       |   SELECT qid, cand_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2 ASC, cand_id ASC) AS rank
+       |   FROM d2s) t WHERE rank <= 10),
+       |probed AS (SELECT qid, cand_id FROM ($qPqAnnSql) p)
+       |SELECT e.qid, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |  CAST(SUM(CASE WHEN p.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |  CAST(SUM(CASE WHEN p.cand_id IS NOT NULL THEN 1 ELSE 0 END) * 10000
+       |       // COUNT(*) AS BIGINT) AS recall_bp
+       |FROM exact e LEFT JOIN probed p ON p.qid = e.qid AND p.cand_id = e.cand_id
+       |GROUP BY e.qid ORDER BY e.qid""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_ann_recall" -> ((qAnnRecall _, Some(qAnnRecallSql))),
+    "q_pq_recall" -> ((qPqRecall _, Some(qPqRecallSql))),
     "q_ivf_assign" -> ((qIvfAssign _, Some(qIvfAssignSql))),
     "q_ivf_probe" -> ((qIvfProbe _, Some(qIvfProbeSql))),
     "q_ann_cosine" -> ((qAnnCosine _, Some(qAnnCosineSql))),

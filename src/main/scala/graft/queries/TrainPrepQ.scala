@@ -120,6 +120,51 @@ object TrainPrepQ {
        |WHERE t.doc_id % 97 != 0 ORDER BY t.doc_id""".stripMargin
 
   // ---------------------------------------------------------------- //
+  // q_ngram_novelty                                                   //
+  // ---------------------------------------------------------------- //
+
+  /** Corpus self-novelty: per document, the fraction of its DISTINCT
+    * 8-token shingles that appear in no EARLIER document (doc_id order —
+    * the ingestion sequence). The continuous companion to the boolean
+    * dedup family: a curation signal that ranks documents by how much
+    * genuinely new n-gram mass they add to the corpus (boilerplate-heavy
+    * late arrivals score near 0, the canonical first copies near 10000).
+    * Shingles shared via [[shingleFps]] (same 8-gram fingerprint as
+    * decontamination/curation, so the signals compose). Integer basis
+    * points only.
+    *
+    * Scale shape: shuffles carry (fp, doc_id) pairs — fingerprint-width,
+    * never text; first-occurrence is one window MIN over the fp key
+    * (tiny groups — a shingle's doc list), then one per-doc partial agg.
+    * Identical to the proven q_substr_dedup first-occurrence pattern. */
+  def qNgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val dfp = shingleFps(documents(s, dir)).distinct()
+    val w = Window.partitionBy(col("fp"))
+    dfp.withColumn("first_doc", min(col("doc_id")).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        expr("n_novel * 10000 div n_grams").as("novelty_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qNgramNoveltySql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |           FROM documents),
+      |sh AS (SELECT doc_id,
+      |         md5(array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+7], ' ')) AS fp
+      |       FROM t, UNNEST(generate_series(1, length(toks) - 7)) AS u(i)
+      |       WHERE length(toks) >= 8),
+      |d AS (SELECT DISTINCT doc_id, fp FROM sh),
+      |f AS (SELECT doc_id, fp, MIN(doc_id) OVER (PARTITION BY fp) AS first_doc FROM d)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |  CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |  CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 10000
+      |       // COUNT(*) AS BIGINT) AS novelty_bp
+      |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- //
   // q_seq_pack                                                        //
   // ---------------------------------------------------------------- //
 
@@ -134,9 +179,16 @@ object TrainPrepQ {
     * stamped with the training sequence its first token lands in plus
     * the offset inside that sequence. Pure window arithmetic — exactly
     * the metadata a pretokenizer needs to build packed samples. */
-  def qSeqPack(s: SparkSession, dir: String): DataFrame = {
-    val t = documents(s, dir).select(col("doc_id"), col("source"),
+  /** Shared batch/streaming packing input: the whitespace token count
+    * per (doc_id, source) — ONE expression, so the streaming twin
+    * ([[graft.streaming.StreamingOps.seqPackStream]]) cannot drift from
+    * the batch tokenizer. */
+  def packInput(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
       size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+
+  def qSeqPack(s: SparkSession, dir: String): DataFrame = {
+    val t = packInput(documents(s, dir))
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
     t.withColumn("cum_end", sum(col("n_tok")).over(w))
       .select(col("doc_id"), col("source"), col("n_tok"),
@@ -580,6 +632,7 @@ object TrainPrepQ {
     "q_domain_stats" -> ((qDomainStats _, Some(qDomainStatsSql))),
     "q_curate_pipeline" -> ((qCuratePipeline _, Some(qCuratePipelineSql))),
     "q_decontaminate" -> ((qDecontaminate _, Some(qDecontaminateSql))),
+    "q_ngram_novelty" -> ((qNgramNovelty _, Some(qNgramNoveltySql))),
     "q_seq_pack" -> ((qSeqPack _, Some(qSeqPackSql))),
     "q_linear_quality" -> ((qLinearQuality _, Some(qLinearQualitySql))))
 }

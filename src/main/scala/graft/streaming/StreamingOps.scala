@@ -272,6 +272,39 @@ object StreamingOps {
       .select(posexplode(graft.queries.MiningQ.cmsCellArray).as(Seq("j", "cell")))
       .groupBy(col("j"), col("cell")).agg(count(lit(1)).as("cv"))
 
+  /** Streaming sequence packing: the incremental form of q_seq_pack —
+    * each arriving document is stamped with the training-sequence id and
+    * offset its first token lands at, per SOURCE shard, exactly like the
+    * batch window arithmetic (tokenizer shared via
+    * [[graft.queries.TrainPrepQ.packInput]], so the twins cannot drift).
+    * State is ONE running token total per source — bounded by the
+    * source-shard count forever, the smallest possible stateful
+    * footprint. Packing order is doc_id WITHIN a micro-batch and arrival
+    * order across micro-batches; a feed that delivers doc_id-ordered
+    * files (the ingestion contract — CDC/file streams arrive ordered)
+    * therefore packs identically to the batch sweep, which the spec pins
+    * cross-micro-batch. */
+  def seqPackStream(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    graft.queries.TrainPrepQ.packInput(docs)
+      .as[(Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (Long, String, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, it: Iterator[(Long, String, Long)], state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = it.toVector.sortBy(_._1).map { case (id, src, n) =>
+            val start = cum
+            cum += n
+            (id, src, n, start / graft.queries.TrainPrepQ.SeqLen,
+              start % graft.queries.TrainPrepQ.SeqLen)
+          }
+          state.update(cum)
+          out.iterator
+      }
+      .toDF("doc_id", "source", "n_tok", "seq_id", "seq_off")
+  }
+
   /** Streaming HyperLogLog registers: the per-(source, bucket) MAX-rho
     * table of the batch q_approx_distinct kept as a streaming
     * aggregation — register update is a MAX (monotone, mergeable), so

@@ -105,4 +105,46 @@ class IndexQSpec extends AnyFunSuite {
     assert(rows.forall(_._4 > 0))
     assert(rows.map(_._2).distinct.length === IndexQ.BpeRounds, "a pair must not win twice")
   }
+
+  test("q_bpe_encode: per-doc token counts match an independently trained+applied brute force") {
+    // brute-force trainer: same argmax law (cnt desc, pair asc), same
+    // two-pass padded-replace application (the engines' pinned merge law)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), normWords(r.getString(1))))
+    val wordFreq = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var syms: Map[String, String] =
+      wordFreq.keys.map(w => w -> w.split("").mkString(" ")).toMap
+    (1 to IndexQ.BpeRounds).foreach { _ =>
+      val pairCnt = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      syms.foreach { case (w, s) =>
+        val a = s.split(" ")
+        if (a.length >= 2) a.sliding(2).foreach(p => pairCnt(s"${p(0)} ${p(1)}") += wordFreq(w))
+      }
+      val bp = pairCnt.toSeq.sortBy { case (p, c) => (-c, p) }.head._1
+      val merged = bp.replace(" ", "")
+      syms = syms.view.mapValues { s =>
+        (s" $s " : String).replace(s" $bp ", s" $merged ").replace(s" $bp ", s" $merged ").trim
+      }.toMap
+    }
+    val nSyms: Map[String, Long] = syms.view.mapValues(_.split(" ").length.toLong).toMap
+    val expect: Map[Long, (Long, Long, Long)] = docs
+      .filter(_._2.nonEmpty)
+      .map { case (id, ws) =>
+        id -> ((ws.length.toLong, ws.map(_.length.toLong).sum, ws.map(nSyms).sum))
+      }.toMap
+
+    val got = IndexQ.qBpeEncode(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length === expect.size)
+    got.foreach { case (id, nw, nc, nt) =>
+      val (ew, ec, et) = expect(id)
+      assert(nw === ew, s"doc $id n_words")
+      assert(nc === ec, s"doc $id n_chars")
+      assert(nt === et, s"doc $id n_tokens")
+      assert(nt >= nw && nt <= nc, s"doc $id token-count bounds")
+    }
+    // non-vacuous: the merges must have fired somewhere
+    assert(got.exists { case (_, _, nc, nt) => nt < nc }, "no merge ever applied")
+  }
 }

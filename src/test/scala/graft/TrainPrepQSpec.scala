@@ -56,6 +56,34 @@ class TrainPrepQSpec extends AnyFunSuite {
     assert(rows(13L) == ((4L, 1L, 1L)))
   }
 
+  test("ngram novelty: first-copy scores 10000, partial re-use scores the exact fraction") {
+    val got = TrainPrepQ.qNgramNovelty(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    // independent brute force: ascending-doc_id sweep recording each
+    // distinct 8-gram's first document
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split("\\s+").toSeq))
+      .sortBy(_._1)
+    val firstSeen = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (id, toks) =>
+      toks.sliding(8).filter(_.length == 8).map(_.mkString(" "))
+        .foreach(g => if (!firstSeen.contains(g)) firstSeen(g) = id)
+    }
+    val expect = docs.flatMap { case (id, toks) =>
+      val grams = toks.sliding(8).filter(_.length == 8).map(_.mkString(" ")).toSet
+      if (grams.isEmpty) None
+      else {
+        val novel = grams.count(firstSeen(_) == id).toLong
+        Some((id, grams.size.toLong, novel, novel * 10000L / grams.size))
+      }
+    }
+    assert(got.toSeq == expect.toSeq)
+    // fixture exercises both poles: a full-novelty doc and a partial one
+    assert(got.exists(_._4 == 10000L))
+    assert(got.exists(r => r._4 > 0L && r._4 < 10000L))
+  }
+
   test("seq_pack: per-source running pack, correct bin and offset at the boundary") {
     // srcA in doc_id order: doc 0 (9 tok), doc 1 (10 tok), doc 2 (3 tok)
     // srcB: doc 5 (9 tok), doc 13 (3 tok), doc 97 (8 tok)
