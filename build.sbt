@@ -36,6 +36,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // heap grew from its tiny default); a pre-sized heap makes the first
   // heavy run as GC-stable as the fifth
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Pre-touch the pre-sized heap at startup: without it the first
+  // allocation-heavy runs in a fresh JVM pay lazy page commits that
+  // read exactly like a memory-bandwidth throttle (KernelScaleProbe:
+  // first kernel runs 8-75 s vs the 0.12-0.48 s settled floors, with
+  // the register-only burn clean throughout)
+  "-XX:+AlwaysPreTouch",
   // ParallelGC beats default G1 on this allocation-heavy single-JVM
   // workload (BASELINE.md A/B: 34->27 s wall on the 16-thread extract;
   // G1's concurrent threads compete with task threads for the same

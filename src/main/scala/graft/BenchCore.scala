@@ -63,11 +63,22 @@ private[graft] object BenchCore {
     * dominating the N-vs-4N comparison. */
   val Replicas = 96
 
-  /** Warm-up: the REPLICATED plan at 1/8 scale — warming with the plain
-    * 1x corpus leaves the replicated plan's codegen/JIT cold and the
-    * first timed pair measured ~4x slow. */
-  def warm(spark: SparkSession, corpus: String): Unit = {
-    timedReplicated(spark, corpus, Replicas / 8); ()
+  /** Replication factor for the SCALING reps. Smaller than [[Replicas]]
+    * on purpose: the host refills its burst bucket only while idle and a
+    * wide-level run drains it DURING the measurement (round-4 rehearsal
+    * 3: with 96 replicas the 16-wide level never produced one clean
+    * observation in 2 h — every rep outlived the bucket it started
+    * with). 32 replicas keep the wide-level rep ~8-12 s — long enough
+    * that fixed DAG/stage cost stays a few percent (measured via
+    * LevelProbe 96-vs-32 intercept), short enough that the rep ends in
+    * the same host state it started in. */
+  val ScaleReplicas = 32
+
+  /** Warm-up: the REPLICATED plan at reduced scale — warming with the
+    * plain 1x corpus leaves the replicated plan's codegen/JIT cold and
+    * the first timed pair measured ~4x slow. */
+  def warm(spark: SparkSession, corpus: String, replicas: Int = Replicas): Unit = {
+    timedReplicated(spark, corpus, math.max(4, replicas / 8)); ()
   }
 
   /** One timed flagship run over the replicated corpus; returns wall
@@ -89,8 +100,9 @@ private[graft] object BenchCore {
   }
 
   /** Distinct docs in the corpus x replicas (base rows are PARTS). */
-  def docCount(spark: SparkSession, corpus: String): Long =
-    spark.read.parquet(corpus).select("doc_id").distinct().count() * Replicas
+  def docCount(spark: SparkSession, corpus: String,
+               replicas: Int = Replicas): Long =
+    spark.read.parquet(corpus).select("doc_id").distinct().count() * replicas
 
   /** CPU-capacity calibration: a fixed splitmix64 burn on `threads`
     * JVM threads, returning wall seconds. Run IMMEDIATELY before and
@@ -176,9 +188,24 @@ private[graft] object BenchCore {
     * register-only burn stays at its 0.22-0.27 s floor (round-4 smoke:
     * gcfrac 0.44-0.73, kernel up to 11.1 s, every burn clean) — the two
     * populations never overlap, so a generous 2-3x-floor threshold
-    * separates them with margin. */
+    * separates them with margin. Low-thread floors (1/2 threads) are
+    * proportionally higher because the same fixed work divides across
+    * fewer threads (ideal 1-thread ~1.9 s, 2-thread ~0.95 s). */
   def kernelCleanThreshold(cores: Int): Double =
-    if (cores >= 16) 0.35 else if (cores >= 8) 0.45 else 0.60
+    if (cores >= 16) 0.35 else if (cores >= 8) 0.45
+    else if (cores >= 4) 0.60 else if (cores >= 2) 1.6 else 3.2
+
+  /** GC-task-fraction cleanliness threshold per thread count (ParallelGC,
+    * fixed heap). The collector's stop-the-world share of task time rises
+    * with task-thread count because collections pause ALL task threads
+    * while GC workers (sized to ActiveProcessorCount) do fixed work:
+    * measured clean floors ~0.25-0.33 at 4 threads, 0.34-0.46 at 16
+    * (round-4 rehearsal 3 — where the 0.25 gate at 16 threads was
+    * unreachable and burned every retry). Thresholds sit above each
+    * level's healthy band but below the throttled population (0.6+). */
+  def gcCleanThreshold(cores: Int): Double =
+    if (cores >= 16) 0.50 else if (cores >= 8) 0.40
+    else if (cores >= 4) 0.35 else 0.30
 
   /** Bounded wait for an unthrottled window: the register-only burn
     * must sit at the hardware floor AND the allocation-heavy kernel
