@@ -971,8 +971,64 @@ object DedupQ {
       |  ROUND(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS dup_block_frac
       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Paragraph-level dedup with document REASSEMBLY (the C4/RefinedWeb
+    * rewrite op): where [[qSubstrDedup]] only REPORTS duplicated blocks,
+    * this drops every non-first occurrence corpus-wide and re-emits the
+    * cleaned document — the operator that actually rewrites a training
+    * corpus. "Paragraphs" are 32-token blocks INCLUDING the partial
+    * tail block (unlike the report query), so a document with zero
+    * duplicated blocks reassembles to exactly its normalized text and
+    * the rewrite is lossless. First occurrence = corpus order (smallest
+    * doc_id, then block index), the same tie-break the report uses.
+    * Output: per doc, block counts and md5 of the reassembled text
+    * (md5("") for a document whose every block occurred earlier).
+    *
+    * Scale notes: the one wide shuffle carries (fp, doc, blk, btext) —
+    * a rewrite op must move the surviving text once, there is no
+    * fingerprint-only shortcut; the window key is the 32-byte fp, so
+    * partitioning never hashes full text. Reassembly is a per-doc
+    * partial-agg groupBy (collect_list of (blk, btext) structs, sorted
+    * in-memory per doc — bounded by document size, not corpus size). */
+  def qParaDedup(s: SparkSession, dir: String): DataFrame = {
+    val blocks = documents(s, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"),
+        explode(expr("sequence(0, CAST((size(toks) + 31) DIV 32 AS INT) - 1)")).as("blk"),
+        col("toks"))
+      .select(col("doc_id"), col("blk"),
+        concat_ws(" ", expr("slice(toks, blk * 32 + 1, 32)")).as("btext"))
+    val ranked = blocks
+      .withColumn("fp", md5(col("btext").cast("binary")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id"), col("blk"))))
+    ranked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sort_array(collect_list(when(col("rn") === 1,
+          struct(col("blk"), col("btext"))))).as("ks"))
+      .select(col("doc_id"), col("n_blocks"),
+        size(col("ks")).cast("long").as("n_kept"),
+        md5(concat_ws(" ", expr("transform(ks, x -> x.btext)")).cast("binary")).as("dedup_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qParaDedupSql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      |b AS (SELECT doc_id, i AS blk,
+      |        array_to_string(toks[(i*32+1):(i*32+32)], ' ') AS btext
+      |      FROM t, UNNEST(generate_series(0, (length(toks)+31)//32 - 1)) AS u(i)
+      |      WHERE length(toks) >= 1),
+      |r AS (SELECT doc_id, blk, btext,
+      |        ROW_NUMBER() OVER (PARTITION BY md5(btext) ORDER BY doc_id, blk) AS rn
+      |      FROM b)
+      |SELECT doc_id, COUNT(*) AS n_blocks,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN btext END, ' ' ORDER BY blk), '')) AS dedup_md5
+      |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_substr_dedup" -> ((qSubstrDedup _, Some(qSubstrDedupSql))),
+    "q_para_dedup" -> ((qParaDedup _, Some(qParaDedupSql))),
     "q_dedup_exact" -> ((qDedupExact _, Some(qDedupExactSql))),
     "q_minhash_lsh" -> ((qMinhashLsh _, Some(qMinhashLshSql))),
     "q_lsh_bucket_profile" -> ((qLshBucketProfile _, Some(qLshBucketProfileSql))),

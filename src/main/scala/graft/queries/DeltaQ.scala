@@ -328,8 +328,63 @@ object DeltaQ {
       |FROM documents b FULL OUTER JOIN upd u ON b.doc_id = u.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** File-level min/max data skipping — the mechanism that makes a
+    * 100 TB lakehouse scan cheap: every table format (Iceberg manifests,
+    * Delta file stats, parquet row-group stats) keeps per-file column
+    * min/max, and the planner prunes any file whose range cannot
+    * intersect the predicate. This query materializes that decision
+    * table under the band predicate n_chars in [300, 400) for TWO
+    * layouts of the same table (50 docs per file, the compaction-plan
+    * convention): `insertion` (file = doc_id range — ranges straddle
+    * the band, nothing is skippable) and `sorted` (file = n_chars rank
+    * range, the q_zorder_layout clustering — ranges are tight, most
+    * files prune). The side-by-side is the point: stats only skip what
+    * LAYOUT makes skippable. A file is SKIPPED iff max < 300 or
+    * min >= 400; emitting n_match alongside makes the pruning law
+    * auditable in the output itself: skipped = 1 forces n_match = 0
+    * (one-sided — stats pruning is conservative, never lossy).
+    *
+    * Scale notes: per layout, one partial-agg groupBy over (file_id) —
+    * stats collection is a map-side fold at write time in a real
+    * layout; the decision table is O(files), not O(rows). The sorted
+    * layout's rank is a global window here for determinism; a real
+    * writer gets it from the sort the layout already paid for. */
+  def qFileSkipping(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir).select(col("doc_id"), col("n_chars"))
+    val insertion = docs.select(lit("insertion").as("layout"),
+      expr("doc_id DIV 50").as("file_id"), col("n_chars"))
+    val sorted = docs.select(lit("sorted").as("layout"),
+      expr("CAST((row_number() OVER (ORDER BY n_chars, doc_id) - 1) DIV 50 AS BIGINT)")
+        .as("file_id"), col("n_chars"))
+    insertion.unionAll(sorted)
+      .groupBy(col("layout"), col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("n_chars")).as("min_nc"),
+        max(col("n_chars")).as("max_nc"),
+        sum(when(col("n_chars") >= 300 && col("n_chars") < 400, 1L)
+          .otherwise(0L)).as("n_match"))
+      .select(col("layout"), col("file_id"), col("n_rows"), col("min_nc"), col("max_nc"),
+        when(col("max_nc") < 300 || col("min_nc") >= 400, 1L).otherwise(0L).as("skipped"),
+        col("n_match"))
+      .orderBy(col("layout"), col("file_id"))
+  }
+
+  val qFileSkippingSql: String =
+    """WITH placed AS (
+      |  SELECT 'insertion' AS layout, doc_id // 50 AS file_id, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT 'sorted' AS layout,
+      |    (ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1) // 50 AS file_id, n_chars
+      |  FROM documents)
+      |SELECT layout, file_id, COUNT(*) AS n_rows,
+      |  MIN(n_chars) AS min_nc, MAX(n_chars) AS max_nc,
+      |  CAST(CASE WHEN MAX(n_chars) < 300 OR MIN(n_chars) >= 400 THEN 1 ELSE 0 END AS BIGINT) AS skipped,
+      |  CAST(SUM(CASE WHEN n_chars >= 300 AND n_chars < 400 THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+      |FROM placed GROUP BY layout, file_id ORDER BY layout, file_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_snapshot_diff" -> ((qSnapshotDiff _, Some(qSnapshotDiffSql))),
+    "q_file_skipping" -> ((qFileSkipping _, Some(qFileSkippingSql))),
     "q_upsert_merge" -> ((qUpsertMerge _, Some(qUpsertMergeSql))),
     "q_prefix_jaccard" -> ((qPrefixJaccard _, Some(qPrefixJaccardSql))),
     "q_col_stats" -> ((qColStats _, Some(qColStatsSql))),
