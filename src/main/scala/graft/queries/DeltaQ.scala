@@ -334,29 +334,30 @@ object DeltaQ {
     * min/max, and the planner prunes any file whose range cannot
     * intersect the predicate. This query materializes that decision
     * table under the band predicate n_chars in [300, 400) for TWO
-    * layouts of the same table (50 docs per file, the compaction-plan
-    * convention): `insertion` (file = doc_id range — ranges straddle
-    * the band, nothing is skippable) and `sorted` (file = n_chars rank
-    * range, the q_zorder_layout clustering — ranges are tight, most
-    * files prune). The side-by-side is the point: stats only skip what
-    * LAYOUT makes skippable. A file is SKIPPED iff max < 300 or
-    * min >= 400; emitting n_match alongside makes the pruning law
-    * auditable in the output itself: skipped = 1 forces n_match = 0
-    * (one-sided — stats pruning is conservative, never lossy).
+    * layouts of the same table: `insertion` (file = doc_id range, 50
+    * docs per file, the compaction-plan convention — ranges straddle
+    * the band, nothing is skippable) and `clustered` (file = fixed
+    * 16-wide n_chars bin, the shape a range-partitioned/sorted writer
+    * produces — ranges are tight by construction, most files prune).
+    * The side-by-side is the point: stats only skip what LAYOUT makes
+    * skippable. A file is SKIPPED iff max < 300 or min >= 400;
+    * emitting n_match alongside makes the pruning law auditable in the
+    * output itself: skipped = 1 forces n_match = 0 (one-sided — stats
+    * pruning is conservative, never lossy).
     *
     * Scale notes: per layout, one partial-agg groupBy over (file_id) —
     * stats collection is a map-side fold at write time in a real
-    * layout; the decision table is O(files), not O(rows). The sorted
-    * layout's rank is a global window here for determinism; a real
-    * writer gets it from the sort the layout already paid for. */
+    * layout; the decision table is O(files), not O(rows). The
+    * clustered layout is value-binned rather than exact-rank-binned
+    * precisely so NO corpus-wide window/sort appears in the stats
+    * pass (a global row_number is a single-partition sort). */
   def qFileSkipping(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir).select(col("doc_id"), col("n_chars"))
     val insertion = docs.select(lit("insertion").as("layout"),
       expr("doc_id DIV 50").as("file_id"), col("n_chars"))
-    val sorted = docs.select(lit("sorted").as("layout"),
-      expr("CAST((row_number() OVER (ORDER BY n_chars, doc_id) - 1) DIV 50 AS BIGINT)")
-        .as("file_id"), col("n_chars"))
-    insertion.unionAll(sorted)
+    val clustered = docs.select(lit("clustered").as("layout"),
+      expr("n_chars DIV 16").as("file_id"), col("n_chars"))
+    insertion.unionAll(clustered)
       .groupBy(col("layout"), col("file_id"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("n_chars")).as("min_nc"),
@@ -373,9 +374,7 @@ object DeltaQ {
     """WITH placed AS (
       |  SELECT 'insertion' AS layout, doc_id // 50 AS file_id, n_chars FROM documents
       |  UNION ALL
-      |  SELECT 'sorted' AS layout,
-      |    (ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1) // 50 AS file_id, n_chars
-      |  FROM documents)
+      |  SELECT 'clustered' AS layout, n_chars // 16 AS file_id, n_chars FROM documents)
       |SELECT layout, file_id, COUNT(*) AS n_rows,
       |  MIN(n_chars) AS min_nc, MAX(n_chars) AS max_nc,
       |  CAST(CASE WHEN MAX(n_chars) < 300 OR MIN(n_chars) >= 400 THEN 1 ELSE 0 END AS BIGINT) AS skipped,
