@@ -93,4 +93,27 @@ class DeltaQSpec extends AnyFunSuite {
     assert(rows("doc_id")._4 === f"${ids.min}%08d")
     assert(rows("doc_id")._5 === f"${ids.max}%08d")
   }
+
+  test("q_file_skipping: pruning is conservative (skipped => no matches) and totals reconcile per layout") {
+    val rows = DeltaQ.qFileSkipping(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(5), r.getLong(6)))
+
+    // skipped = 1 must force n_match = 0 — min/max pruning never loses rows
+    rows.foreach { case (layout, fid, _, skipped, nMatch) =>
+      if (skipped == 1L) assert(nMatch === 0L, s"$layout file $fid")
+    }
+    // every layout places every row exactly once, and per-layout match
+    // totals agree with a direct corpus count
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("n_chars").collect().map(_.getLong(0))
+    val expectMatch = docs.count(n => n >= 300 && n < 400).toLong
+    Seq("insertion", "clustered").foreach { layout =>
+      val ofLayout = rows.filter(_._1 == layout)
+      assert(ofLayout.map(_._3).sum === docs.length.toLong, s"$layout row placement")
+      assert(ofLayout.map(_._5).sum === expectMatch, s"$layout match total")
+    }
+    // the demonstration is non-vacuous: the clustered layout skips
+    // files, the insertion layout does not
+    assert(rows.filter(_._1 == "clustered").map(_._4).sum > 0L)
+  }
 }
