@@ -240,6 +240,89 @@ object DedupQ {
       |$cappedCte
       |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin
 
+  /** MinHash estimator CALIBRATION — the third leg of the sketch-quality
+    * triptych (q_lsh_recall measures what the banding finds, q_lsh_tuning
+    * sweeps the banding; this measures how well the SIGNATURE estimates
+    * similarity): for every LSH candidate pair, the 16-component match
+    * fraction (the MinHash Jaccard estimator, est_bp = matches x 625)
+    * against the exact shingle-set Jaccard, with the absolute error in
+    * basis points. The number that justifies trusting the sketch at
+    * 100 TB, published per pair rather than assumed from theory
+    * (E[matches/16] = J; observed per-pair error is quantized to 625 bp
+    * by the 16-hash signature).
+    *
+    * Scale notes: candidate-bounded end to end — signatures and shingle
+    * sets are recomputed only for docs that appear in some capped LSH
+    * bucket pair (at 10^12 docs, cap-bounded); the exact-intersection
+    * join is driven FROM the pair list ((pair, shingle) rows, never a
+    * corpus-wide shingle self-join); output is all-integer bp. */
+  def qMinhashCalibration(s: SparkSession, dir: String): DataFrame = {
+    val bands = cachedBands(s, dir)
+    val w = Window.partitionBy(col("band"), col("bh"))
+    val capped = bands
+      .withColumn("bn", count(lit(1)).over(w))
+      .filter(col("bn") <= MaxLshBucket)
+      .select(col("doc_id"), col("band"), col("bh"))
+      .scopedCache()
+    val pairs = capped.as("a").join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .scopedCache()
+    val candIds = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val candDocs = documents(s, dir).select(col("doc_id"), col("text"))
+      .join(candIds, Seq("doc_id"))
+    val mh = minhash16(candDocs)
+    val eq = pairs
+      .join(mh.as("ma"), col("ma.doc_id") === col("doc_a"))
+      .join(mh.as("mb"), col("mb.doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (0 until 16).map(j =>
+          when(col(s"ma.m$j") === col(s"mb.m$j"), 1L).otherwise(0L))
+          .reduce(_ + _).as("n_eq"))
+    val shAll = wordShinglesOf(candDocs).distinct().scopedCache()
+    val cnt = shAll.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val ni = pairs
+      .join(shAll.as("x"), col("x.doc_id") === col("doc_a"))
+      .join(shAll.as("y"), col("y.doc_id") === col("doc_b") && col("y.s") === col("x.s"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ni"))
+    eq
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .join(ni, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("n_eq"),
+        (col("n_eq") * 625L).as("est_bp"),
+        expr("coalesce(ni, 0) * 10000 div (na + nb - coalesce(ni, 0))").as("jacc_bp"))
+      .withColumn("err_bp", abs(col("est_bp") - col("jacc_bp")))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qMinhashCalibrationSql: String =
+    s"""$bandsCte,
+      |$cappedCte,
+      |eq AS (SELECT p.doc_a, p.doc_b,
+      |         CAST(SUM(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS BIGINT) AS n_eq
+      |       FROM pairs p
+      |       JOIN mh a ON a.doc_id = p.doc_a
+      |       JOIN mh b ON b.doc_id = p.doc_b AND b.j = a.j
+      |       GROUP BY p.doc_a, p.doc_b),
+      |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+      |ixn AS (SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS ni
+      |        FROM pairs p
+      |        JOIN sh x ON x.doc_id = p.doc_a
+      |        JOIN sh y ON y.doc_id = p.doc_b AND y.s = x.s
+      |        GROUP BY p.doc_a, p.doc_b)
+      |SELECT e.doc_a, e.doc_b, e.n_eq, e.n_eq * 625 AS est_bp,
+      |  COALESCE(i.ni, 0) * 10000 // (ca.n + cb.n - COALESCE(i.ni, 0)) AS jacc_bp,
+      |  abs(e.n_eq * 625 - COALESCE(i.ni, 0) * 10000 // (ca.n + cb.n - COALESCE(i.ni, 0))) AS err_bp
+      |FROM eq e
+      |JOIN cnt ca ON ca.doc_id = e.doc_a
+      |JOIN cnt cb ON cb.doc_id = e.doc_b
+      |LEFT JOIN ixn i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+      |ORDER BY e.doc_a, e.doc_b""".stripMargin
+
   /** The skew guard's drop report (no silent caps): every LSH bucket with
     * its size and whether the candidate stage excludes it. */
   def qLshBucketProfile(s: SparkSession, dir: String): DataFrame =
@@ -1031,6 +1114,7 @@ object DedupQ {
     "q_para_dedup" -> ((qParaDedup _, Some(qParaDedupSql))),
     "q_dedup_exact" -> ((qDedupExact _, Some(qDedupExactSql))),
     "q_minhash_lsh" -> ((qMinhashLsh _, Some(qMinhashLshSql))),
+    "q_minhash_calibration" -> ((qMinhashCalibration _, Some(qMinhashCalibrationSql))),
     "q_lsh_bucket_profile" -> ((qLshBucketProfile _, Some(qLshBucketProfileSql))),
     "q_dedup_cluster" -> ((qDedupCluster _, Some(qDedupClusterSql))),
     "q_canonical_docs" -> ((qCanonicalDocs _, Some(qCanonicalDocsSql))),
