@@ -55,6 +55,19 @@ object SparkEntry {
       // md5(text) per media span is fully predicted, closing the last
       // flagship column class that was only golden-pinned.
       "q_extract_media_text" -> (graft.queries.MediaTextQ.qExtractMediaText _),
+      // pdf_layout-span TEXT under the same Rng machine (different
+      // classify() seed): the render -> parse -> H-13 stitch round-trip
+      // equals the machine's prediction, law pinned by SpanTextSpec
+      "q_extract_pdf_text" -> (graft.queries.MediaTextQ.qExtractPdfText _),
+      // html-span TEXT under the independent oracle: the static strip
+      // law (title/nav/ads/aside/footer dropped, heading + main
+      // paragraphs kept; body slice = splitmix64 arithmetic over the
+      // documents text column) — law pinned by SpanTextSpec
+      "q_extract_html_text" -> (graft.queries.HtmlTextQ.qExtractHtmlText _),
+      // the CAPSTONE: the north rule's span-sequence equality tuple
+      // (kind, text, media_ref, order) for EVERY span, every column
+      // predicted by DuckDB from the documents parquet alone
+      "q_extract_span_equality" -> (graft.queries.SpanEqualityQ.qExtractSpanEquality _),
       // full flattened span text (one row per span): not SQL-expressible
       // (DOM/hOCR/classifier work), driver records the rows-only check;
       // values pinned by the golden + distributed-equivalence suites.
@@ -148,6 +161,9 @@ object SparkEntry {
       "q_extract_flagship" -> graft.queries.FlagshipQ.oracle,
       "q_extract_presplit" -> graft.queries.FlagshipQ.oracle,
       "q_extract_media_text" -> graft.queries.MediaTextQ.oracle,
+      "q_extract_pdf_text" -> graft.queries.MediaTextQ.pdfOracle,
+      "q_extract_html_text" -> graft.queries.HtmlTextQ.oracle,
+      "q_extract_span_equality" -> graft.queries.SpanEqualityQ.oracle,
       "q_pages_pipeline" ->
         """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
           |  CAST(doc_id % 3 + 1 AS INT) AS n_pages,

@@ -86,12 +86,29 @@ object MediaTextQ {
     sb.toString
   }
 
-  // ---- the Spark query ----
+  // ---- the Spark queries ----
 
   def qExtractMediaText(s: SparkSession, dir: String): DataFrame =
     Extract.run(CorpusGen.fromDocuments(s, dir))
       .select(col("doc_id"), explode(col("span_seq")).as("sp"))
       .filter(col("sp.kind") === "media")
+      .select(col("doc_id"), col("sp.order").as("span_order"),
+        md5(col("sp.text").cast("binary")).as("text_md5"))
+      .orderBy(col("doc_id"), col("span_order"))
+
+  /** pdf_layout-span TEXT under the same machine: CorpusGen renders real
+    * hOCR from MediaOcr.classify("pdf://<doc>/<i>") and extraction does
+    * parse -> H-13 stitch, so the round-trip (render -> parse -> stitch)
+    * reproduces exactly the classify -> assembly -> stitch text the Rng
+    * machine predicts — only the seed string differs from the media
+    * case. SpanTextSpec pins that round-trip law on every pdf span of a
+    * corpus-shaped fixture set. Reads the materialized pre-split layout
+    * (like q_extract_text): the battery measures extraction, and the
+    * pre-split order reconstruction gets a text-level oracle row too. */
+  def qExtractPdfText(s: SparkSession, dir: String): DataFrame =
+    Extract.run(s.read.parquet(CorpusGen.materializedPreSplit(s, dir)))
+      .select(col("doc_id"), explode(col("span_seq")).as("sp"))
+      .filter(col("sp.kind") === "pdf_layout")
       .select(col("doc_id"), col("sp.order").as("span_order"),
         md5(col("sp.text").cast("binary")).as("text_md5"))
       .orderBy(col("doc_id"), col("span_order"))
@@ -108,9 +125,21 @@ object MediaTextQ {
     (z1, z2, rout)
   }
 
-  val oracle: String = {
-    val hc = hash64Sql("'corpus:' || doc_id")
-    val hi = hash64Sql("'span:' || doc_id || ':' || span_order")
+  /** The classify() ref for a media span ('img://<hex16(hi)>'). */
+  private[queries] val mediaRefSql: String = s"'img://' || ${hex16Sql("hi")}"
+
+  /** The classify() ref CorpusGen uses for a pdf_layout span. */
+  private[queries] val pdfRefSql: String = "'pdf://' || doc_id || '/' || span_order"
+
+  private[queries] def kindPickSql: String = floorModSql("hi", 10)
+
+  /** The recursive-machine CTE list (no WITH keyword, no final select):
+    * [[HtmlTextQ.spanCtesWithText]]'s (doc_id, text, span_order, hi)
+    * chain, a `seed` CTE seeding hash64(refExpr) for the spans matching
+    * `kindFilter`, and the 15-phase `machine` that consumes exactly one
+    * Rng draw per step and accumulates text fragments. Callers append
+    * their own final SELECT (and may reference k for kind/media_ref). */
+  private[queries] def machineCtes(refExpr: String, kindFilter: String): String = {
     val (z1, z2, rout) = routSql
     def d(n: Int) = floorModSql("rout", n)
     val vocabList = Vocab.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -118,22 +147,10 @@ object MediaTextQ {
     val tokEnd = s"((phase = 'TL' AND ${d(5)} <> 0) OR phase = 'TL2')"
     val lineEnd = s"((phase = 'LL' AND ${d(4)} <> 0) OR phase = 'LL2')"
     // NB draws int(3), NP int(2), NL int(3), NT int(6)
-    s"""WITH RECURSIVE h AS (
-       |  SELECT doc_id, $hc AS hc FROM documents
-       |), n AS (
-       |  SELECT doc_id,
-       |    CAST(CASE WHEN doc_id % 251 = 0 AND doc_id > 0
-       |      THEN 256 + ${floorModSql("hc", 256)}
-       |      ELSE 2 + ${floorModSql("hc", 6)} END AS INT) AS n_spans
-       |  FROM h
-       |), s AS (
-       |  SELECT doc_id, CAST(unnest(range(n_spans)) AS INT) AS span_order FROM n
-       |), k AS (
-       |  SELECT doc_id, span_order, $hi AS hi FROM s
-       |), seed AS (
+    s"""${HtmlTextQ.spanCtesWithText}, seed AS (
        |  SELECT doc_id, span_order,
-       |         ${hash64Sql(s"'img://' || ${hex16Sql("hi")}")} AS st
-       |  FROM k WHERE ${floorModSql("hi", 10)} >= 7
+       |         ${hash64Sql(refExpr)} AS st
+       |  FROM k WHERE $kindFilter
        |), machine AS (
        |  SELECT doc_id, span_order, 0 AS step, st AS state, 'PL' AS phase,
        |         0 AS b_rem, 0 AS p_rem, 0 AS l_rem, 0 AS t_rem, '' AS frag
@@ -177,8 +194,8 @@ object MediaTextQ {
        |         WHEN phase = 'E1W' THEN $word || ' ' || chr(10)
        |         WHEN $lineEnd THEN chr(10)
        |         WHEN phase = 'E2' THEN
-       |           CASE WHEN ${d(11)} = 0 THEN 'orphan line ' || chr(10) ELSE '' END
-       |           || chr(10) || chr(10)
+       |           CASE WHEN ${d(11)} = 0 THEN 'orphan line ' || chr(10) ELSE '' END ||
+       |           chr(10) || chr(10)
        |         ELSE '' END
        |  FROM (
        |    SELECT *, $rout AS rout FROM (
@@ -190,11 +207,20 @@ object MediaTextQ {
        |      )
        |    )
        |  )
-       |)
-       |SELECT 'doc_' || doc_id AS doc_id, span_order,
-       |       md5(string_agg(frag, '' ORDER BY step)) AS text_md5
-       |FROM machine
-       |GROUP BY doc_id, span_order
-       |ORDER BY doc_id, span_order""".stripMargin
+       |)""".stripMargin
   }
+
+  /** md5-per-span final select shared by the media and pdf oracles. */
+  private val textMd5Select: String =
+    """SELECT 'doc_' || doc_id AS doc_id, span_order,
+      |       md5(string_agg(frag, '' ORDER BY step)) AS text_md5
+      |FROM machine
+      |GROUP BY doc_id, span_order
+      |ORDER BY doc_id, span_order""".stripMargin
+
+  val oracle: String =
+    s"WITH RECURSIVE ${machineCtes(mediaRefSql, s"$kindPickSql >= 7")}\n$textMd5Select"
+
+  val pdfOracle: String =
+    s"WITH RECURSIVE ${machineCtes(pdfRefSql, s"$kindPickSql >= 4 AND $kindPickSql < 7")}\n$textMd5Select"
 }
