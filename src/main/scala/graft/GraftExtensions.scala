@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{HyperplaneBucket, QuantizedDot}
+import org.apache.spark.sql.graft.{HyperplaneBucket, QuantizedDot, SplitMix64}
 
 import graft.queries.SimilarityQ
 
@@ -46,6 +46,11 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 1, "hyperplane_bucket(array) takes exactly 1 argument")
         HyperplaneBucket(children(0), SimilarityQ.hyperplaneSigns)
+      }),
+    ("graft_hash64", classOf[SplitMix64].getName,
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_hash64(string) takes exactly 1 argument")
+        SplitMix64(children(0))
       }))
 
   /** Registers the same functions on an ALREADY-RUNNING session —

@@ -623,6 +623,75 @@ object TrainPrepQ {
        |FROM probe LEFT JOIN bench ON bench.fp = probe.fp
        |ORDER BY probe.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- //
+  // q_epoch_shuffle                                                   //
+  // ---------------------------------------------------------------- //
+
+  /** Number of training epochs whose order is materialized. */
+  val ShuffleEpochs = 2
+
+  /** Shard count for the epoch shuffle — at test scale 8; in production
+    * this is sized so one shard ≈ one output file a single task writes
+    * (~100k shards at 100 TB), NOT a constant. */
+  val ShuffleShards = 8
+
+  /** Deterministic epoch shuffle — the reproducible global permutation a
+    * training run needs per epoch, WITHOUT a global sort: each (epoch,
+    * doc) gets a splitmix64 key (native codegen expression, the engine's
+    * shared corpus hash — graft_hash64), docs are hash-SHARDED on the
+    * key's floorMod, and ordered only WITHIN a shard. Reading shards
+    * 0..S-1, each sequentially, yields the epoch's order: the classic
+    * shuffle-by-shard layout (each shard = one output file one task
+    * sorts and writes), so no stage ever materializes a corpus-wide
+    * ordering. Different epochs use different key strings, hence
+    * independent permutations; a rerun on any cluster size reproduces
+    * the exact order (hash-based, never rand()/row-order).
+    *
+    * Determinism rules: the sort key is the UNSIGNED hash — emitted as
+    * the 16-hex `hkey` whose lexicographic order equals unsigned numeric
+    * order on both engines (Spark's %016x of the signed long == DuckDB's
+    * lpad(hex) of the HUGEINT); doc_id breaks (never-observed) ties.
+    * Scale notes: one explode (×epochs), one narrow projection, one
+    * window partitioned by (epoch, shard) — partition count scales with
+    * ShuffleShards, each holding corpus/S rows, exactly the per-file
+    * sort a production sharder runs. No join, no corpus-wide window. */
+  def qEpochShuffle(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashExprs.hash64s
+    val epochs = array((0 until ShuffleEpochs).map(lit): _*)
+    val keyed = documents(s, dir)
+      .select(col("doc_id"), explode(epochs).as("epoch"))
+      .withColumn("h64", hash64s(
+        concat(lit("shuffle:"), col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string"))))
+      .withColumn("hkey", format_string("%016x", col("h64")))
+      .withColumn("shard", pmod(col("h64"), lit(ShuffleShards.toLong)).cast("int"))
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("hkey"), col("doc_id"))
+    keyed
+      .select(col("epoch"), col("shard"),
+        row_number().over(w).cast("long").as("pos"),
+        col("doc_id"), col("hkey"))
+      .orderBy(col("epoch"), col("shard"), col("pos"))
+  }
+
+  val qEpochShuffleSql: String = {
+    val h = FlagshipQ.hash64Sql("'shuffle:' || epoch || ':' || doc_id")
+    val shard = FlagshipQ.floorModSql("h", ShuffleShards.toLong)
+    s"""WITH e AS (
+       |  SELECT doc_id, CAST(ep AS INT) AS epoch
+       |  FROM documents, UNNEST(range($ShuffleEpochs)) AS u(ep)),
+       |k AS (SELECT doc_id, epoch, $h AS h FROM e),
+       |sk AS (SELECT doc_id, epoch,
+       |         CAST($shard AS INT) AS shard,
+       |         lpad(lower(hex(h)), 16, '0') AS hkey
+       |       FROM k)
+       |SELECT epoch, shard,
+       |  CAST(row_number() OVER (PARTITION BY epoch, shard
+       |                          ORDER BY hkey, doc_id) AS BIGINT) AS pos,
+       |  doc_id, hkey
+       |FROM sk ORDER BY epoch, shard, pos""".stripMargin
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_bloom_probe" -> ((qBloomProbe _, Some(qBloomProbeSql))),
     "q_url_dedup" -> ((qUrlDedup _, Some(qUrlDedupSql))),
@@ -634,5 +703,6 @@ object TrainPrepQ {
     "q_decontaminate" -> ((qDecontaminate _, Some(qDecontaminateSql))),
     "q_ngram_novelty" -> ((qNgramNovelty _, Some(qNgramNoveltySql))),
     "q_seq_pack" -> ((qSeqPack _, Some(qSeqPackSql))),
-    "q_linear_quality" -> ((qLinearQuality _, Some(qLinearQualitySql))))
+    "q_linear_quality" -> ((qLinearQuality _, Some(qLinearQualitySql))),
+    "q_epoch_shuffle" -> ((qEpochShuffle _, Some(qEpochShuffleSql))))
 }
