@@ -1,6 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /** Deterministic sampling/splitting/mixing — the selection operators a
   * training-data pipeline runs after curation. All hash-based (md5 of
@@ -170,6 +172,62 @@ object SampleQ {
       |       > avail_tokens AS oversubscribed
       |FROM g ORDER BY source""".stripMargin
 
+  /** Docs kept per domain (test scale; the real knob is per-corpus). */
+  val DomainCap = 10
+
+  /** Salt fan-out for the skew-safe first phase — at test scale 4; in
+    * production sized so one (domain, salt) slice fits a task (a
+    * 10^9-doc mega-domain at S=10^4 is 10^5 rows per slice). */
+  val DomainCapSalts = 4
+
+  /** Per-domain document budget — the Common-Crawl-style "no domain may
+    * contribute more than N docs" curation cap (source = domain here),
+    * keeping the N longest docs (n_chars DESC, doc_id tie-break: a
+    * total order, so the selection is deterministic on any engine).
+    *
+    * The PLAN is the point: a single `row_number() OVER (PARTITION BY
+    * domain)` puts every doc of a mega-domain in ONE window partition —
+    * the straggler shape that stalls a 100-TB run. Instead: salted
+    * two-phase exact top-N. Phase 1 ranks within (domain,
+    * pmod(doc_id, S)) and keeps N per slice — every global top-N doc
+    * ranks ≤ N inside its own slice, so phase 1 never drops a winner
+    * (exactness, pinned against the one-window brute force in
+    * SampleQSpec for several S). Phase 2 re-ranks the ≤ N·S survivors
+    * per domain — bounded rows per key regardless of corpus size. The
+    * mega-domain partition shrinks from |domain| to |domain|/S rows;
+    * shuffles carry only (doc_id, source, n_chars). The ORACLE stays
+    * the plain one-window SQL: same values, skew-safe plan. */
+  def qDomainCap(s: SparkSession, dir: String): DataFrame =
+    domainCapPlan(s, dir, DomainCapSalts)
+
+  /** The two-phase plan with an explicit salt count (spec knob). */
+  private[graft] def domainCapPlan(s: SparkSession, dir: String, salts: Int): DataFrame = {
+    val base = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val w1 = Window
+      .partitionBy(col("source"), pmod(col("doc_id"), lit(salts.toLong)))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val survivors = base
+      .withColumn("rk1", row_number().over(w1))
+      .filter(col("rk1") <= DomainCap)
+      .drop("rk1")
+    val w2 = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    survivors
+      .withColumn("rk", row_number().over(w2).cast("long"))
+      .filter(col("rk") <= DomainCap)
+      .select(col("source"), col("rk"), col("doc_id"), col("n_chars"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  private val domainCapSql: String =
+    s"""WITH r AS (SELECT doc_id, source, n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+       |  FROM documents)
+       |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, n_chars
+       |FROM r WHERE rk <= $DomainCap
+       |ORDER BY source, rk""".stripMargin
+
   private def run(sql: String)(s: SparkSession, dir: String): DataFrame = {
     s.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
     s.sql(sql)
@@ -183,5 +241,6 @@ object SampleQ {
     "q_ntile_curriculum" -> ((run(ntileSql) _, Some(ntileSql))),
     "q_weighted_sample" -> ((run(weightedSql) _, Some(weightedSql))),
     "q_consistent_shard" -> ((run(consistentShardSql) _, Some(consistentShardSql))),
-    "q_token_budget" -> ((run(tokenBudgetSql) _, Some(tokenBudgetSql))))
+    "q_token_budget" -> ((run(tokenBudgetSql) _, Some(tokenBudgetSql))),
+    "q_domain_cap" -> ((qDomainCap _, Some(domainCapSql))))
 }

@@ -62,4 +62,29 @@ class SampleQSpec extends AnyFunSuite {
     // full sources contribute exactly 10
     assert(bySource.values.count(_.length == 10) > 0)
   }
+
+  test("domain cap: salted two-phase top-N == one-window brute force for any salt count") {
+    import org.apache.spark.sql.functions.col
+    // brute force: rank the whole domain in memory on the same total order
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (src, g) =>
+      g.sortBy(t => (-t._3, t._1)).take(SampleQ.DomainCap)
+        .zipWithIndex.map { case ((id, _, nc), i) => (src, (i + 1).toLong, id, nc) }
+    }.toSet
+    // phase-1 salting must be invisible in the OUTPUT for every fan-out,
+    // including S=1 (degenerate: phase 1 == the brute force itself)
+    for (salts <- Seq(1, 3, 4, 8)) {
+      val got = SampleQ.domainCapPlan(spark, dir, salts)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == expected, s"salts=$salts")
+    }
+    // cap law: every domain contributes exactly min(cap, |domain|)
+    val perSrc = expected.groupBy(_._1).view.mapValues(_.size).toMap
+    val sizes = docs.groupBy(_._2).view.mapValues(_.length).toMap
+    sizes.foreach { case (src, n) =>
+      assert(perSrc(src) == math.min(SampleQ.DomainCap, n), src)
+    }
+  }
 }
