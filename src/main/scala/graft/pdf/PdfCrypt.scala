@@ -15,10 +15,14 @@ import PdfParse._
   * (/AESV2 crypt filter, per-object keys with the sAlT suffix), and
   * AES-256-CBC V 5 R 5/6 (/AESV3, SHA-256/384/512 hash chain of ISO
   * 32000-2 algorithm 2.B, /UE-wrapped file key, /Perms cross-check).
-  * Decryption supports the ubiquitous "owner password only" class —
-  * files any reader opens without a prompt (empty USER password); a
-  * non-empty user password and non-Standard security handlers are
-  * rejected with a clear error. The symmetric half ([[encrypt]],
+  * Decryption covers the ubiquitous "owner password only" class —
+  * files any reader opens without a prompt (empty USER password) —
+  * AND password-prompted files: a password handed to
+  * [[PdfParse.parse]] is tried as the user password, then as the
+  * owner password (algorithm 7 RC4-unwrap of /O for the classic
+  * handlers; the /O hash + /OE unwrap for V5). Only non-Standard
+  * (e.g. certificate) security handlers are rejected, with a clear
+  * error. The symmetric half ([[encrypt]],
   * [[encryptAes128]], [[encryptAes256]]) re-emits a parsed document
   * encrypted — used by the engine to password-protect its own output
   * and by the spec to prove the decrypt path on real ciphertext it did
@@ -196,6 +200,32 @@ object PdfCrypt {
       u ++ new Array[Byte](16) // 32 bytes on disk; only 16 compared
     }
 
+  /** Classic-handler (V 1-4) key recovery with reader-prompt semantics:
+    * try `pwd` as the USER password (algorithm 2 + the algorithm 4/5 /U
+    * check), then as the OWNER password — algorithm 7: RC4-unwrap /O
+    * (inverting computeO's 20-pass key^i schedule) into the padded user
+    * password and re-derive + re-check. None = wrong password. */
+  private def classicFileKey(pwd: Array[Byte], o: Array[Byte], u: Array[Byte],
+      p: Int, id0: Array[Byte], n: Int, r: Int,
+      encMeta: Boolean): Option[Array[Byte]] = {
+    def uOk(fk: Array[Byte]): Boolean =
+      if (r == 2) java.util.Arrays.equals(computeU(fk, id0, r), u.take(32))
+      else computeU(fk, id0, r).take(16).sameElements(u.take(16))
+    val asUser = fileKey(pwd, o, p, id0, n, r, encMeta)
+    if (uOk(asUser)) Some(asUser)
+    else {
+      var key = md5(pad(pwd))
+      if (r >= 3) (0 until 50).foreach(_ => key = md5(key))
+      val rc4Key = key.take(n)
+      var userPad = o.take(32)
+      if (r == 2) userPad = rc4(rc4Key, userPad)
+      else (19 to 0 by -1).foreach(i =>
+        userPad = rc4(rc4Key.map(b => (b ^ i).toByte), userPad))
+      val asOwner = fileKey(userPad, o, p, id0, n, r, encMeta)
+      if (uOk(asOwner)) Some(asOwner) else None
+    }
+  }
+
   /** Algorithm 1: the per-object RC4 key. */
   private def objectKey(fk: Array[Byte], num: Int, gen: Int): Array[Byte] =
     md5(fk, Array[Byte](
@@ -322,9 +352,16 @@ object PdfCrypt {
     * dictionary itself and /Type /XRef stream objects (never encrypted
     * per spec); /ObjStm container streams ARE decrypted — their packed
     * objects unpack as plaintext afterwards. Dispatches on /V: 1-2 RC4,
-    * 4 AESV2 (or V2-in-a-crypt-filter RC4), 5 AESV3. */
+    * 4 AESV2 (or V2-in-a-crypt-filter RC4), 5 AESV3.
+    *
+    * `password` follows reader-prompt semantics: tried first as the
+    * USER password (algorithm 4/5 check, or the V5 /U hash), then as
+    * the OWNER password — algorithm 7 (RC4-unwrap /O into the padded
+    * user password) for the classic handlers, the /O hash + /OE unwrap
+    * for V5. The empty default is the ubiquitous no-prompt class. */
   private[pdf] def decryptInPlace(objects: mutable.HashMap[Int, PObjDef],
-      gens: collection.Map[Int, Int], trailer: PDict): Either[String, Unit] = {
+      gens: collection.Map[Int, Int], trailer: PDict,
+      password: String = ""): Either[String, Unit] = {
     def resolve(v: PVal): PVal = v match {
       case PRef(n, _) => objects.get(n).map(o => resolve(o.value)).getOrElse(PKw("null"))
       case x => x
@@ -385,12 +422,28 @@ object PdfCrypt {
           if (u.length < 48 || ue.length < 32) return Left("truncated /U or /UE value")
           val vsalt = u.slice(32, 40)
           val ksalt = u.slice(40, 48)
-          val pwd = Array.empty[Byte]
-          val hash = if (r == 5) sha("SHA-256", pwd, vsalt) else hash2B(pwd, vsalt, Array.empty)
-          if (!java.util.Arrays.equals(hash, u.take(32)))
-            return Left("encrypted PDF requires a non-empty user password (empty-password open failed the V5 /U hash)")
-          val ikey = if (r == 5) sha("SHA-256", pwd, ksalt) else hash2B(pwd, ksalt, Array.empty)
-          val fk = aesCbc(encryptMode = false, ikey, new Array[Byte](16), ue.take(32), padded = false)
+          // ISO 32000-2 passwords are UTF-8 (SASLprep assumed applied),
+          // truncated to 127 bytes — matching the emit side.
+          val pwd = password.getBytes("UTF-8").take(127)
+          def h(s: Array[Byte], udata: Array[Byte]): Array[Byte] =
+            if (r == 5) sha("SHA-256", pwd, s, udata) else hash2B(pwd, s, udata)
+          val fkOpt: Option[Array[Byte]] =
+            if (java.util.Arrays.equals(h(vsalt, Array.empty), u.take(32)))
+              Some(aesCbc(encryptMode = false, h(ksalt, Array.empty),
+                new Array[Byte](16), ue.take(32), padded = false))
+            else for {
+              // owner role: /O carries hash+salts over (pwd, /U[0:48])
+              o <- enc.get("O").map(resolve).flatMap(strBytes).filter(_.length >= 48)
+              oe <- enc.get("OE").map(resolve).flatMap(strBytes).filter(_.length >= 32)
+              u48 = u.take(48)
+              if java.util.Arrays.equals(h(o.slice(32, 40), u48), o.take(32))
+            } yield aesCbc(encryptMode = false, h(o.slice(40, 48), u48),
+              new Array[Byte](16), oe.take(32), padded = false)
+          val fk = fkOpt.getOrElse(return Left(
+            if (password.isEmpty)
+              "encrypted PDF requires its user password (empty-password open failed the V5 /U hash; pass it to parse)"
+            else
+              "wrong password (V5 /U and /O validation both failed)"))
           val permsOk = enc.get("Perms").map(resolve).flatMap(strBytes) match {
             case Some(pm) if pm.length >= 16 =>
               val d = aesEcb(encryptMode = false, fk, pm.take(16))
@@ -431,9 +484,11 @@ object PdfCrypt {
           case Some(PArr(items)) if items.nonEmpty => strBytes(resolve(items.head)).getOrElse(Array.empty[Byte])
           case _ => Array.empty[Byte]
         }
-        val fk = fileKey(Array.empty, o, p, id0, n, r, encMeta)
-        if (!computeU(fk, id0, r).take(16).sameElements(u.take(16)))
-          return Left("encrypted PDF requires a non-empty user password (empty-password open failed /U check)")
+        val fk = classicFileKey(password.getBytes(ISO_8859_1), o, u, p, id0, n, r, encMeta)
+          .getOrElse(return Left(
+            if (password.isEmpty)
+              "encrypted PDF requires its user password (empty-password open failed /U check; pass it to parse)"
+            else "wrong password (classic /U check failed for both user and owner roles)"))
         if (cfm == "AESV2")
           apply(strOn, stmOn,
             (num, gen, d) => aesBlobDec(objectKeyAes(fk, num, gen), d),
@@ -463,12 +518,11 @@ object PdfCrypt {
         case Some(PArr(items)) if items.nonEmpty => strBytes(resolve(items.head)).getOrElse(Array.empty[Byte])
         case _ => Array.empty[Byte]
       }
-      val fk = fileKey(Array.empty, o, p, id0, n, r)
-      val uOk =
-        if (r == 2) java.util.Arrays.equals(computeU(fk, id0, r), u.take(32))
-        else computeU(fk, id0, r).take(16).sameElements(u.take(16))
-      if (!uOk)
-        return Left("encrypted PDF requires a non-empty user password (empty-password open failed /U check)")
+      val fk = classicFileKey(password.getBytes(ISO_8859_1), o, u, p, id0, n, r, encMeta = true)
+        .getOrElse(return Left(
+          if (password.isEmpty)
+            "encrypted PDF requires its user password (empty-password open failed /U check; pass it to parse)"
+          else "wrong password (classic /U check failed for both user and owner roles)"))
       val rc4Dec = (num: Int, gen: Int, d: Array[Byte]) => rc4(objectKey(fk, num, gen), d)
       apply(strOn = true, stmOn = true, rc4Dec, rc4Dec)
       Right(())

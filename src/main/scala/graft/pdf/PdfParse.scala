@@ -388,14 +388,20 @@ object PdfParse {
   /** Parse a whole document via its classic xref table(s). Never throws:
     * structurally corrupt input (truncated xref entries, offsets past
     * EOF, bad numbers) comes back as Left, not a runtime exception — the
-    * modify path must degrade into the reference's error channel. */
-  def parse(pdf: Array[Byte]): Either[String, PdfDoc] =
-    try parseUnsafe(pdf)
+    * modify path must degrade into the reference's error channel.
+    *
+    * `password` (default empty) is tried as the USER password and, if
+    * the /U check rejects it, as the OWNER password (PDF 32000
+    * algorithm 7 / ISO 32000-2 /OE unwrap) — the behavior of a reader
+    * prompt. The default preserves the no-prompt class: files whose
+    * user password is empty open with no argument. */
+  def parse(pdf: Array[Byte], password: String = ""): Either[String, PdfDoc] =
+    try parseUnsafe(pdf, password)
     catch {
       case e: RuntimeException => Left(s"corrupt PDF structure: ${e.getClass.getSimpleName}: ${e.getMessage}")
     }
 
-  private def parseUnsafe(pdf: Array[Byte]): Either[String, PdfDoc] = {
+  private def parseUnsafe(pdf: Array[Byte], password: String = ""): Either[String, PdfDoc] = {
     if (pdf.isEmpty) return Left("empty PDF data")
     val text = new String(pdf, ISO_8859_1)
     if (!text.startsWith("%PDF-")) return Left("not a PDF (missing %PDF- header)")
@@ -504,7 +510,7 @@ object PdfParse {
     // decrypt BEFORE ObjStm extraction: container streams are encrypted
     // as whole streams; their packed objects then unpack as plaintext
     trailer.filter(_.get("Encrypt").isDefined).foreach { t =>
-      PdfCrypt.decryptInPlace(objects, gens, t) match {
+      PdfCrypt.decryptInPlace(objects, gens, t, password) match {
         case Left(e) => return Left(e)
         case _ => ()
       }

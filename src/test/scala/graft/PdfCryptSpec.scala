@@ -11,9 +11,10 @@ import graft.pdf.{PdfCrypt, PdfParse, PdfRender}
 /** RC4 standard-security-handler round trip: our writer emits, PdfCrypt
   * encrypts (computing /O, /U and per-object keys from the public spec
   * algorithms), PdfParse decrypts transparently during parse, and the
-  * page-import path runs end-to-end on the ciphertext. Plus the honesty
-  * bounds: a non-empty USER password and AES are rejected with clear
-  * errors, never garbage output. */
+  * page-import path runs end-to-end on the ciphertext. Password-
+  * prompted files (non-empty USER password) open with either the user
+  * or the owner password across all three ciphers; a missing or wrong
+  * password is a clear error, never garbage output. */
 class PdfCryptSpec extends AnyFunSuite {
 
   private def page(words: Seq[String], pageNum: Int): HPage =
@@ -80,13 +81,35 @@ class PdfCryptSpec extends AnyFunSuite {
     assert(s.contains("/Tpl0 Do") && s.contains("/Subtype /Form"))
   }
 
-  test("non-empty user password is rejected with a clear error") {
+  test("non-empty user password: no-password open fails clearly; user AND owner passwords open (RC4)") {
     val plain = source("sealed")
     val enc = PdfCrypt.encrypt(PdfParse.parse(plain).toOption.get,
       ownerPwd = "owner", userPwd = "user-pwd").toOption.get
     PdfParse.parse(enc) match {
       case Left(e) => assert(e.contains("user password"))
-      case Right(_) => fail("user-password-protected PDF must not parse")
+      case Right(_) => fail("user-password-protected PDF must not parse without the password")
+    }
+    PdfParse.parse(enc, "definitely-wrong") match {
+      case Left(e) => assert(e.contains("wrong password"))
+      case Right(_) => fail("a wrong password must not parse")
+    }
+    def text(doc: graft.pdf.PdfParse.PdfDoc): String = new String(
+      doc.decodedStream(doc.pages.toOption.get.head.contentObjs.head).toOption.get, ISO_8859_1)
+    // reader-prompt semantics: the user password opens...
+    assert(text(PdfParse.parse(enc, "user-pwd").toOption.get).contains("(sealed) Tj"))
+    // ...and so does the OWNER password (algorithm 7 /O unwrap)
+    assert(text(PdfParse.parse(enc, "owner").toOption.get).contains("(sealed) Tj"))
+  }
+
+  test("R=2 (40-bit) user-password file opens via user and owner passwords too") {
+    val plain = source("vintage")
+    val enc = PdfCrypt.encrypt(PdfParse.parse(plain).toOption.get,
+      ownerPwd = "ow", userPwd = "us", bits = 40, r = 2).toOption.get
+    assert(PdfParse.parse(enc).isLeft)
+    Seq("us", "ow").foreach { pwd =>
+      val doc = PdfParse.parse(enc, pwd).toOption.get
+      val content = doc.decodedStream(doc.pages.toOption.get.head.contentObjs.head).toOption.get
+      assert(new String(content, ISO_8859_1).contains("(vintage) Tj"))
     }
   }
 
@@ -159,19 +182,31 @@ class PdfCryptSpec extends AnyFunSuite {
     assert(s.contains("(aesoriginal) Tj") && s.contains("(aesadded) Tj"))
   }
 
-  test("non-empty user password on AES files is rejected with a clear error") {
+  test("non-empty user password on AES files: no-password open fails; user AND owner passwords open") {
     val plain = source("sealedaes")
+    def text(doc: graft.pdf.PdfParse.PdfDoc): String = new String(
+      doc.decodedStream(doc.pages.toOption.get.head.contentObjs.head).toOption.get, ISO_8859_1)
     val enc128 = PdfCrypt.encryptAes128(PdfParse.parse(plain).toOption.get,
       ownerPwd = "owner", userPwd = "user-pwd").toOption.get
     PdfParse.parse(enc128) match {
       case Left(e) => assert(e.contains("user password"))
-      case Right(_) => fail("user-password AESV2 PDF must not parse")
+      case Right(_) => fail("user-password AESV2 PDF must not parse without the password")
     }
+    assert(text(PdfParse.parse(enc128, "user-pwd").toOption.get).contains("(sealedaes) Tj"))
+    assert(text(PdfParse.parse(enc128, "owner").toOption.get).contains("(sealedaes) Tj"))
     val enc256 = PdfCrypt.encryptAes256(PdfParse.parse(plain).toOption.get,
       ownerPwd = "owner", userPwd = "user-pwd").toOption.get
     PdfParse.parse(enc256) match {
       case Left(e) => assert(e.contains("user password"))
-      case Right(_) => fail("user-password AESV3 PDF must not parse")
+      case Right(_) => fail("user-password AESV3 PDF must not parse without the password")
+    }
+    // V5: user hash validates directly; owner path re-hashes over /U[0:48]
+    // and unwraps /OE — both recover the same file key
+    assert(text(PdfParse.parse(enc256, "user-pwd").toOption.get).contains("(sealedaes) Tj"))
+    assert(text(PdfParse.parse(enc256, "owner").toOption.get).contains("(sealedaes) Tj"))
+    PdfParse.parse(enc256, "nope") match {
+      case Left(e) => assert(e.contains("wrong password"))
+      case Right(_) => fail("a wrong V5 password must not parse")
     }
   }
 
