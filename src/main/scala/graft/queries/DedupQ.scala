@@ -57,6 +57,41 @@ object DedupQ {
       |GROUP BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
       |ORDER BY doc_id""".stripMargin
 
+  /** SOFT dedup: down-WEIGHT duplicates instead of dropping them — each
+    * exact-dup cluster keeps all members but contributes one document's
+    * worth of total sampling mass (weight_bp = floor(10000 / n_copies)
+    * per member), the duplicate-aware sampling idiom for corpora where
+    * copy count correlates with quality (docs duplicated across sources
+    * are often boilerplate OR canon — hard-dropping loses the signal;
+    * the repetition-is-overtraining evidence in Lee et al. 2021 and the
+    * data-constrained-epochs analysis in Muennighoff et al. 2023 both
+    * motivate weighting over deletion). cluster_rep joins the soft
+    * weights back to q_dedup_exact's canonical picks.
+    *
+    * Plan: one window over the slim (doc_id, fp) relation — a single
+    * fingerprint-width shuffle; weights are exact integer basis points
+    * (10000 div n), oracle-safe by construction. */
+  def qDedupSoft(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("fp"))
+    documents(s, dir)
+      .select(col("doc_id"), md5(norm(col("text")).cast("binary")).as("fp"))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("cluster_rep", min(col("doc_id")).over(w))
+      .select(col("doc_id"), col("cluster_rep"), col("n_copies"),
+        expr("CAST(10000 div n_copies AS BIGINT)").as("weight_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDedupSoftSql: String =
+    """WITH fps AS (SELECT doc_id,
+      |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp FROM documents)
+      |SELECT doc_id,
+      |  MIN(doc_id) OVER (PARTITION BY fp) AS cluster_rep,
+      |  COUNT(*) OVER (PARTITION BY fp) AS n_copies,
+      |  CAST(10000 // (COUNT(*) OVER (PARTITION BY fp)) AS BIGINT) AS weight_bp
+      |FROM fps
+      |ORDER BY doc_id""".stripMargin
+
   /** Character 4-gram shingles of the normalized text, distinct per doc.
     * Shingling itself is the scalable explode: one row per (doc, gram). */
   private def shingles(s: SparkSession, dir: String, maxDocId: Option[Long]): DataFrame = {
@@ -1113,6 +1148,7 @@ object DedupQ {
     "q_substr_dedup" -> ((qSubstrDedup _, Some(qSubstrDedupSql))),
     "q_para_dedup" -> ((qParaDedup _, Some(qParaDedupSql))),
     "q_dedup_exact" -> ((qDedupExact _, Some(qDedupExactSql))),
+    "q_dedup_soft" -> ((qDedupSoft _, Some(qDedupSoftSql))),
     "q_minhash_lsh" -> ((qMinhashLsh _, Some(qMinhashLshSql))),
     "q_minhash_calibration" -> ((qMinhashCalibration _, Some(qMinhashCalibrationSql))),
     "q_lsh_bucket_profile" -> ((qLshBucketProfile _, Some(qLshBucketProfileSql))),

@@ -422,6 +422,84 @@ object SimilarityQ {
       |       CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
       |FROM labels ORDER BY vec_id""".stripMargin
 
+  /** SemDeDup pairwise-cosine threshold. Same-cluster members are all
+    * correlated with their centroid, so the near-dup join's 0.25 would
+    * wholesale-drop clusters (81% of the corpus) instead of
+    * discriminating; 0.4 sits above that correlation band (random
+    * 64-dim pairs have sigma ~ 1/8, so 0.4 ~ 3 sigma past the
+    * within-cluster bulk) and keeps only genuinely-similar pairs —
+    * 164/2000 dropped at sf0.1. */
+  val SemDedupTau = 0.4
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper):
+    * SEMANTIC deduplication by k-means clustering + within-cluster
+    * pairwise cosine, the curation step that removes "different words,
+    * same content" duplicates embedding-level dedup catches and
+    * text-level dedup cannot. Cluster members are ordered by similarity
+    * to their centroid (ascending, vec_id tie-break — the paper keeps
+    * the LOWEST-centroid-similarity example per duplicate group) and a
+    * member is dropped iff some earlier-ordered member of the SAME
+    * cluster is within cosine >= [[SemDedupTau]] — the paper's
+    * sorted-scan semantics as an order-free, embarrassingly-parallel
+    * predicate (no sequential pass; Spark and the oracle must agree
+    * pair by pair).
+    *
+    * Scale shape: assignment is the broadcast-centroid narrow pass of
+    * q_ivf_assign (K = 16 deterministic seeds here; production scales K
+    * with the corpus — SemDeDup uses 50k clusters for LAION — so
+    * |cluster| ~ n/K stays bounded and the within-cluster self-join is
+    * O(n^2/K) TOTAL, shuffled on the centroid key, never a corpus
+    * cross-product). Pair verification is one fused codegen dot per
+    * candidate pair on carried float arrays + precomputed self-norms. */
+  def qSemDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"), col("embedding").as("v"),
+        qdot(col("embedding"), col("embedding")).as("nrm"))
+    // (vec_id, cluster, csim) + carried vectors; 3 consumers below
+    val assigned = qIvfAssign(s, dir)
+      .select(col("vec_id"), col("centroid"), col("sim").as("csim"))
+      .join(e, Seq("vec_id"))
+      .scopedCache()
+    val earlier = col("a.csim") < col("b.csim") ||
+      (col("a.csim") === col("b.csim") && col("a.vec_id") < col("b.vec_id"))
+    val dropped = assigned.as("a")
+      .join(assigned.as("b"), col("a.centroid") === col("b.centroid") && earlier)
+      .select(col("b.vec_id").as("vec_id"),
+        (qdot(col("a.v"), col("b.v")).cast("double") /
+          (sqrt(col("a.nrm").cast("double")) *
+           sqrt(col("b.nrm").cast("double")))).as("psim"))
+      .filter(col("psim") >= SemDedupTau)
+      .select(col("vec_id")).distinct()
+      .withColumn("is_dropped", lit(1))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid").as("cluster"), col("csim"),
+        when(col("is_dropped").isNotNull, lit(0)).otherwise(lit(1)).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  val qSemDedupSql: String =
+    s"""WITH asg AS (SELECT vec_id, centroid, sim AS csim FROM ($qIvfAssignSql) t),
+      |u AS (SELECT vec_id, UNNEST(embedding) AS x,
+      |             UNNEST(generate_series(0, len(embedding) - 1)) AS d FROM embeddings
+      |      WHERE embedding IS NOT NULL AND len(embedding) > 0),
+      |uq AS (SELECT vec_id, d, CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS x FROM u),
+      |cand AS (SELECT a.vec_id AS va, b.vec_id AS vb
+      |         FROM asg a JOIN asg b ON a.centroid = b.centroid
+      |          AND (a.csim < b.csim OR (a.csim = b.csim AND a.vec_id < b.vec_id))),
+      |el AS (SELECT c.va, c.vb, ua.x AS xa, ub.x AS xb
+      |       FROM cand c JOIN uq ua ON ua.vec_id = c.va
+      |       JOIN uq ub ON ub.vec_id = c.vb AND ub.d = ua.d),
+      |dots AS (SELECT va, vb, CAST(SUM(xa * xb) AS DOUBLE) AS dp,
+      |    CAST(SUM(xa * xa) AS DOUBLE) AS qq, CAST(SUM(xb * xb) AS DOUBLE) AS cc
+      |  FROM el GROUP BY va, vb),
+      |dropped AS (SELECT DISTINCT vb AS vec_id FROM dots
+      |            WHERE dp / (sqrt(qq) * sqrt(cc)) >= $SemDedupTau)
+      |SELECT asg.vec_id, asg.centroid AS cluster, asg.csim,
+      |  CAST(CASE WHEN dropped.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+      |FROM asg LEFT JOIN dropped ON dropped.vec_id = asg.vec_id
+      |ORDER BY asg.vec_id""".stripMargin
+
   /** Product-quantization sub-space count (64 dims -> 8 blocks of 8). */
   val PqSubspaces = 8
   private val PqSubDim = 8
@@ -602,6 +680,7 @@ object SimilarityQ {
     "q_ann_lsh_buckets" -> ((qAnnLshBuckets _, Some(qAnnLshBucketsSql))),
     "q_embed_neardup" -> ((qEmbedNeardup _, Some(qEmbedNeardupSql))),
     "q_embed_cluster" -> ((qEmbedCluster _, Some(qEmbedClusterSql))),
+    "q_semdedup" -> ((qSemDedup _, Some(qSemDedupSql))),
     "q_kmeans_refine" -> ((qKmeansRefine _, Some(qKmeansRefineSql))),
     "q_pq_ann" -> ((qPqAnn _, Some(qPqAnnSql))))
 }
