@@ -37,8 +37,94 @@ import org.apache.spark.sql.functions._
   */
 object TrainPrepQ {
 
+  import graft.queries.QCache.ScopedCacheOps
+
   def documents(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+
+  // ---------------------------------------------------------------- //
+  // q_dsir_select                                                     //
+  // ---------------------------------------------------------------- //
+
+  /** DSIR hashed-feature dimensionality (the method hashes n-grams into
+    * a fixed bucket vector; 10k in the paper, 64 here so the oracle's
+    * distribution CTEs stay readable — the arithmetic is identical). */
+  val DsirBuckets = 64
+
+  /** DSIR (Xie et al. 2023, arXiv:2302.03169 — Data Selection via
+    * Importance Resampling): score every raw document by how much more
+    * likely its hashed-token profile is under a small in-domain TARGET
+    * distribution than under the raw-corpus distribution — the public
+    * method behind "select pretraining data that looks like your
+    * domain". Tokens (whitespace words of the lowercased text) hash
+    * into [[DsirBuckets]] buckets via md5 (engine-portable); the
+    * target seed is the src0 slice. The paper's log importance weight
+    * is sum_b c_d[b]*(log T[b] - log S[b]); log() is not oracle-safe
+    * (Relational.scala determinism rules), so this emits the EXACT
+    * integer cross products score_target = sum_b c_d[b]*T[b] and
+    * score_raw = sum_b c_d[b]*S[b] and gates selection on the rational
+    * importance ratio >= 1 by cross-multiplication
+    * (score_target * sum(S) >= score_raw * sum(T)) — BIGINT-exact in
+    * both engines, and a downstream sampler can rank on the same
+    * rational by cross-multiplying pairs.
+    *
+    * Scale shape: ONE tokenize/explode pass -> per-(doc, bucket) counts
+    * (partial-agg groupBy, cached for its three consumers); both
+    * distributions are [[DsirBuckets]]-row aggregates BROADCAST back
+    * onto the count relation; per-doc scores are one more partial agg
+    * keyed on doc_id. Nothing shuffles wider than (doc_id, bucket) —
+    * at 10^12 docs the distribution vectors are still 64 rows. */
+  def qDsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val c = documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .withColumn("b", expr(
+        s"CAST(conv(substr(md5(CAST(word AS BINARY)), 1, 7), 16, 10) AS BIGINT) % $DsirBuckets"))
+      .groupBy(col("doc_id"), col("source"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .scopedCache()
+    val t = c.filter(col("source") === "src0")
+      .groupBy(col("b")).agg(sum(col("c")).as("tb"))
+    val sAll = c.groupBy(col("b")).agg(sum(col("c")).as("sb"))
+    val tot = t.agg(sum(col("tb")).as("t_total"))
+      .crossJoin(sAll.agg(sum(col("sb")).as("s_total")))
+    c.join(broadcast(t), Seq("b"), "left")
+      .join(broadcast(sAll), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * coalesce(col("tb"), lit(0L))).as("score_target"),
+        sum(col("c") * col("sb")).as("score_raw"),
+        sum(col("c")).as("n_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_tokens"), col("score_target"), col("score_raw"),
+        when(col("score_target") * col("s_total") >= col("score_raw") * col("t_total"),
+          lit(1)).otherwise(lit(0)).as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDsirSelectSql: String =
+    s"""WITH w AS (SELECT doc_id, source,
+      |            UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+      |     FROM documents),
+      |c AS (SELECT doc_id, source,
+      |        CAST(concat('0x', substr(md5(word), 1, 7)) AS BIGINT) % $DsirBuckets AS b,
+      |        COUNT(*) AS c
+      |      FROM w WHERE word <> '' GROUP BY 1, 2, 3),
+      |t AS (SELECT b, SUM(c) AS tb FROM c WHERE source = 'src0' GROUP BY b),
+      |sall AS (SELECT b, SUM(c) AS sb FROM c GROUP BY b),
+      |tot AS (SELECT (SELECT SUM(tb) FROM t) AS t_total,
+      |               (SELECT SUM(sb) FROM sall) AS s_total),
+      |scored AS (SELECT c.doc_id,
+      |    CAST(SUM(c.c * COALESCE(t.tb, 0)) AS BIGINT) AS score_target,
+      |    CAST(SUM(c.c * sall.sb) AS BIGINT) AS score_raw,
+      |    CAST(SUM(c.c) AS BIGINT) AS n_tokens
+      |  FROM c LEFT JOIN t ON t.b = c.b JOIN sall ON sall.b = c.b
+      |  GROUP BY c.doc_id)
+      |SELECT doc_id, n_tokens, score_target, score_raw,
+      |  CAST(CASE WHEN score_target * s_total >= score_raw * t_total
+      |       THEN 1 ELSE 0 END AS INT) AS selected
+      |FROM scored, tot
+      |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- //
   // q_decontaminate                                                   //
@@ -704,5 +790,6 @@ object TrainPrepQ {
     "q_ngram_novelty" -> ((qNgramNovelty _, Some(qNgramNoveltySql))),
     "q_seq_pack" -> ((qSeqPack _, Some(qSeqPackSql))),
     "q_linear_quality" -> ((qLinearQuality _, Some(qLinearQualitySql))),
-    "q_epoch_shuffle" -> ((qEpochShuffle _, Some(qEpochShuffleSql))))
+    "q_epoch_shuffle" -> ((qEpochShuffle _, Some(qEpochShuffleSql))),
+    "q_dsir_select" -> ((qDsirSelect _, Some(qDsirSelectSql))))
 }

@@ -196,4 +196,43 @@ class TrainPrepQSpec extends AnyFunSuite {
     // benchmark boundary in this corpus)
     assert(rows.filter(_._4).forall(_._1 % 71 == 0))
   }
+
+  test("q_dsir_select == in-memory brute force (hashed-bucket importance gate) at sf0.001") {
+    val realDir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$realDir/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bucket(w: String): Long = {
+      val d = MessageDigest.getInstance("MD5").digest(w.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(7), 16) % TrainPrepQ.DsirBuckets
+    }
+    val perDoc: Map[Long, (String, Map[Long, Long])] = docs.map { case (id, src, text) =>
+      val words = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      id -> (src, words.groupBy(bucket).view.mapValues(_.length.toLong).toMap)
+    }.toMap
+    def accum(sel: ((String, Map[Long, Long])) => Boolean): Map[Long, Long] =
+      perDoc.values.filter(sel).flatMap(_._2).groupBy(_._1)
+        .view.mapValues(_.map(_._2).sum).toMap
+    val tDist = accum(_._1 == "src0")
+    val sDist = accum(_ => true)
+    val (tTot, sTot) = (tDist.values.sum, sDist.values.sum)
+    assert(tTot > 0 && sTot > tTot)
+
+    val rows = TrainPrepQ.qDsirSelect(spark, realDir).collect()
+    // docs with at least one token all appear; empty docs are absent in both
+    assert(rows.length == perDoc.count(_._2._2.nonEmpty))
+    rows.foreach { r =>
+      val (id, n, st, ss, sel) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))
+      val c = perDoc(id)._2
+      assert(n == c.values.sum, s"n_tokens of $id")
+      assert(st == c.map { case (b, k) => k * tDist.getOrElse(b, 0L) }.sum, s"score_target of $id")
+      assert(ss == c.map { case (b, k) => k * sDist(b) }.sum, s"score_raw of $id")
+      val want = if (BigInt(st) * BigInt(sTot) >= BigInt(ss) * BigInt(tTot)) 1 else 0
+      assert(sel == want, s"selected gate of $id")
+    }
+    // the gate discriminates: both verdicts occur
+    assert(rows.exists(_.getInt(4) == 1) && rows.exists(_.getInt(4) == 0))
+  }
 }
