@@ -74,16 +74,36 @@ object TrainPrepQ {
     * onto the count relation; per-doc scores are one more partial agg
     * keyed on doc_id. Nothing shuffles wider than (doc_id, bucket) —
     * at 10^12 docs the distribution vectors are still 64 rows. */
-  def qDsirSelect(s: SparkSession, dir: String): DataFrame = {
-    val c = documents(s, dir)
-      .select(col("doc_id"), col("source"),
+  /** Shared DSIR kernel: per-(doc, source, bucket) token counts — used
+    * by [[qDsirSelect]] and by [[dsirDistributions]] (which freezes the
+    * reference data the streaming gate scores against), so batch and
+    * stream bucket arithmetic cannot drift. */
+  private[graft] def dsirCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
         explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
       .filter(col("word") =!= "")
       .withColumn("b", expr(
         s"CAST(conv(substr(md5(CAST(word AS BINARY)), 1, 7), 16, 10) AS BIGINT) % $DsirBuckets"))
       .groupBy(col("doc_id"), col("source"), col("b"))
       .agg(count(lit(1)).as("c"))
-      .scopedCache()
+
+  /** Freeze the two DSIR bucket distributions as driver-side maps —
+    * BOUNDED reference data ([[DsirBuckets]] entries each), the shape a
+    * streaming gate broadcasts. Returns (target, raw, tTotal, sTotal). */
+  def dsirDistributions(docs: DataFrame): (Map[Long, Long], Map[Long, Long], Long, Long) = {
+    val c = dsirCounts(docs).cache()
+    try {
+      val t = c.filter(col("source") === "src0")
+        .groupBy(col("b")).agg(sum(col("c")).as("tb"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val sAll = c.groupBy(col("b")).agg(sum(col("c")).as("sb"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (t, sAll, t.values.sum, sAll.values.sum)
+    } finally { c.unpersist(); () }
+  }
+
+  def qDsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val c = dsirCounts(documents(s, dir)).scopedCache()
     val t = c.filter(col("source") === "src0")
       .groupBy(col("b")).agg(sum(col("c")).as("tb"))
     val sAll = c.groupBy(col("b")).agg(sum(col("c")).as("sb"))

@@ -182,6 +182,39 @@ object StreamingOps {
       .join(broadcast(benchFps.select(col("fp"))), Seq("fp"))
       .select(col("doc_id"), col("fp"))
 
+  /** Streaming DSIR gate: score each arriving document against FROZEN
+    * target/raw bucket distributions (reference data a batch pass over
+    * the curated corpus computes — TrainPrepQ.dsirDistributions) and
+    * emit the batch q_dsir_select's exact-integer columns. STATELESS
+    * append: the whole score is row-local — the two distributions ride
+    * the plan as 64-entry map LITERALS and the per-word bucket lookup +
+    * integer sums run inside Catalyst array HOFs over the row's own
+    * token list — so there is no state store, no watermark and no
+    * shuffle, the shape that keeps a high-volume ingest stream
+    * embarrassingly parallel. Bucket arithmetic is byte-identical to
+    * the batch kernel (same md5/conv expression); StreamingDsirSpec
+    * pins stream == batch row-for-row on the real corpus. */
+  def dsirSelectStream(docs: DataFrame, tDist: Map[Long, Long],
+      sDist: Map[Long, Long], tTotal: Long, sTotal: Long): DataFrame = {
+    import org.apache.spark.sql.Column
+    val buckets = transform(
+      filter(split(trim(lower(col("text"))), "\\s+"), (w: Column) => w =!= ""),
+      w => conv(substring(md5(w.cast("binary")), 1, 7), 16, 10)
+        .cast("long") % graft.queries.TrainPrepQ.DsirBuckets)
+    def look(m: Column, b: Column): Column = coalesce(element_at(m, b), lit(0L))
+    val (tMap, sMap) = (typedLit(tDist), typedLit(sDist))
+    docs
+      .withColumn("bs", buckets)
+      .filter(size(col("bs")) > 0) // empty docs are absent batch-side too
+      .select(col("doc_id"),
+        size(col("bs")).cast("long").as("n_tokens"),
+        aggregate(col("bs"), lit(0L), (acc, b) => acc + look(tMap, b)).as("score_target"),
+        aggregate(col("bs"), lit(0L), (acc, b) => acc + look(sMap, b)).as("score_raw"))
+      .withColumn("selected",
+        when(col("score_target") * lit(sTotal) >= col("score_raw") * lit(tTotal),
+          lit(1)).otherwise(lit(0)))
+  }
+
   /** STREAM-STREAM interval join: view->click attribution on two live
     * feeds. Each view matches the same user's clicks that land within
     * 24 hours after it — the ad-attribution / conversion-tracking shape,
