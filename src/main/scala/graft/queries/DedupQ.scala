@@ -1144,7 +1144,79 @@ object DedupQ {
       |  md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN btext END, ' ' ORDER BY blk), '')) AS dedup_md5
       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Mirrored-doc id offset for the in-query syndication fixture. */
+  private val SyndicationOffset = 1000000000L
+
+  /** CROSS-SOURCE duplicate resolution — when one content fingerprint
+    * appears in several SOURCES, which source keeps the copy and which
+    * sources lose theirs? Output is the (source_kept, source_dropped)
+    * matrix with drop counts — the table a curation review reads to see
+    * e.g. "the aggregator crawl re-serves 4% of the curated set" and
+    * the precedence rule a multi-source merge actually applies (prefer
+    * curated sources over aggregators; the q_canonical_docs pick is
+    * length-based and source-blind, so the two resolutions complement).
+    * Precedence: priority 0 for primary `src*` sources, 1 otherwise;
+    * winner = min(priority, source, doc_id) — a total order, engine-
+    * independent. The synthetic corpus has no cross-source exact dups
+    * below sf0.1, so (fixture-in-query, the q_decontaminate pattern)
+    * every doc with doc_id % 37 == 0 is mirrored into a synthetic
+    * 'agg' aggregator source at doc_id + 10^9 — modelling syndicated
+    * republication; natural sf0.1 dup clusters count identically in
+    * both engines on top.
+    *
+    * Scale shape: fingerprints groupBy with map-side partial combine
+    * (the q_dedup_exact geometry); the winner relation carries only
+    * multi-copy clusters (rare), so the join back is AQE-broadcast; the
+    * matrix aggregate is at most #sources^2 rows. min(struct(...)) is a
+    * partial-aggable argmin — no window over the corpus anywhere. */
+  def qSourcePrecedence(s: SparkSession, dir: String): DataFrame = {
+    val fp = exactFp(col("text"))
+    val base = documents(s, dir).select(col("doc_id"), col("source"), fp.as("fp"))
+    val agg = documents(s, dir).filter(col("doc_id") % 37 === 0)
+      .select((col("doc_id") + lit(SyndicationOffset)).as("doc_id"),
+        lit("agg").as("source"), fp.as("fp"))
+    val rel = base.unionByName(agg)
+      .withColumn("prio",
+        when(col("source").startsWith("src"), lit(0)).otherwise(lit(1)))
+    val winners = rel.groupBy(col("fp"))
+      .agg(min(struct(col("prio"), col("source"), col("doc_id"))).as("w"),
+        count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("fp"), col("w.source").as("source_kept"),
+        col("w.doc_id").as("kept_id"))
+    rel.join(winners, Seq("fp"))
+      .filter(col("doc_id") =!= col("kept_id"))
+      .groupBy(col("source_kept"), col("source"))
+      .agg(count(lit(1)).as("n_docs_dropped"))
+      .select(col("source_kept"), col("source").as("source_dropped"),
+        col("n_docs_dropped"))
+      .orderBy(col("source_kept"), col("source_dropped"))
+  }
+
+  val qSourcePrecedenceSql: String =
+    s"""WITH u AS (
+      |  SELECT doc_id, source,
+      |         md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + $SyndicationOffset, 'agg',
+      |         md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+      |  FROM documents WHERE doc_id % 37 = 0),
+      |p AS (SELECT *, CASE WHEN source LIKE 'src%' THEN 0 ELSE 1 END AS prio FROM u),
+      |w AS (SELECT fp, source, doc_id,
+      |        ROW_NUMBER() OVER (PARTITION BY fp ORDER BY prio, source, doc_id) AS rk,
+      |        COUNT(*) OVER (PARTITION BY fp) AS n
+      |      FROM p),
+      |k AS (SELECT fp, source AS source_kept, doc_id AS kept_id
+      |      FROM w WHERE rk = 1 AND n >= 2)
+      |SELECT k.source_kept, p.source AS source_dropped,
+      |       CAST(COUNT(*) AS BIGINT) AS n_docs_dropped
+      |FROM p JOIN k USING (fp)
+      |WHERE p.doc_id <> k.kept_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_source_precedence" -> ((qSourcePrecedence _, Some(qSourcePrecedenceSql))),
     "q_substr_dedup" -> ((qSubstrDedup _, Some(qSubstrDedupSql))),
     "q_para_dedup" -> ((qParaDedup _, Some(qParaDedupSql))),
     "q_dedup_exact" -> ((qDedupExact _, Some(qDedupExactSql))),

@@ -798,6 +798,158 @@ object TrainPrepQ {
        |FROM sk ORDER BY epoch, shard, pos""".stripMargin
   }
 
+  // ---------------------------------------------------------------- //
+  // q_contam_coverage                                                 //
+  // ---------------------------------------------------------------- //
+
+  /** Benchmark-contamination COVERAGE report — the GPT-3-appendix-C /
+    * PaLM-style refinement of [[qDecontaminate]]'s boolean flag: per
+    * training document, the fraction of its TOKENS that sit inside at
+    * least one 8-gram shared with the benchmark set (doc_id % 97 == 0,
+    * the same held-out model as q_decontaminate, same sentinel
+    * injection so the check is non-vacuous on the synthetic corpus).
+    * A boolean drop flag over-drops long documents that merely quote a
+    * benchmark once; the coverage fraction is what real pipelines
+    * threshold on ("drop if > 15% of tokens are contaminated").
+    * Overlapping contaminated grams from one long shared span must not
+    * double-count, so per-doc coverage is the measure of the merged
+    * interval union — same running-max window trick as
+    * q_dupspan_coverage (MiningQ): with constant gram width k the union
+    * increment at position i is `i + k - greatest(i, pm + k)` where pm
+    * is the max earlier hit position, ONE long of window state.
+    *
+    * Scale shape: the benchmark fp set is an eval suite, not a second
+    * corpus — distinct fps BROADCAST to the training-gram stream (the
+    * q_decontaminate join geometry); only HIT grams (rare) reach the
+    * per-doc window, so the window shuffle carries the contaminated
+    * slice, never the corpus; the final left join back to per-doc token
+    * counts is doc_id-width. Exact integer basis points. */
+  def qContamCoverage(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val toks = documents(s, dir)
+      .select(col("doc_id"), split(trim(injectedText), "\\s+").as("toks"))
+    val grams = toks
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("toks")) - (k - 1))).as("i"), col("toks"))
+      .select(col("doc_id"), col("i").cast("long").as("i"),
+        md5(concat_ws(" ", slice(col("toks"), col("i"), lit(k))).cast("binary")).as("fp"))
+      .scopedCache() // two consumers: bench distinct + training probe
+    val bench = grams.filter(col("doc_id") % 97 === 0).select(col("fp")).distinct()
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cov = grams.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), Seq("fp"))
+      .withColumn("pm", max(col("i")).over(wPrev))
+      .select(col("doc_id"),
+        (col("i") + k - greatest(col("i"), coalesce(col("pm") + k, col("i")))).as("inc"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("inc")).as("cov"), count(lit(1)).as("nhit"))
+    toks.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("nhit"), lit(0L)).as("n_contam_grams"),
+        coalesce(col("cov"), lit(0L)).as("covered_tokens"),
+        expr("CAST(CASE WHEN n_tokens > 0 THEN (coalesce(cov, 0) * 10000) div n_tokens ELSE 0 END AS BIGINT)")
+          .as("contam_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qContamCoverageSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |  regexp_split_to_array(trim($injectedTextSql), '\\s+') AS toks
+       |  FROM documents),
+       |g AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+       |        md5(array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+7], ' ')) AS fp
+       |      FROM t, UNNEST(generate_series(1, length(toks) - 7)) AS u(i)
+       |      WHERE length(toks) >= 8),
+       |bench AS (SELECT DISTINCT fp FROM g WHERE doc_id % 97 = 0),
+       |m AS (SELECT g.doc_id, g.i,
+       |        MAX(g.i) OVER (PARTITION BY g.doc_id ORDER BY g.i
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+       |      FROM g JOIN bench USING (fp) WHERE g.doc_id % 97 != 0),
+       |cov AS (SELECT doc_id,
+       |          CAST(SUM(i + 8 - GREATEST(i, COALESCE(pm + 8, i))) AS BIGINT) AS cov,
+       |          CAST(COUNT(*) AS BIGINT) AS nhit
+       |        FROM m GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(length(t.toks) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(c.nhit, 0) AS BIGINT) AS n_contam_grams,
+       |  CAST(COALESCE(c.cov, 0) AS BIGINT) AS covered_tokens,
+       |  CAST(CASE WHEN length(t.toks) > 0
+       |       THEN (COALESCE(c.cov, 0) * 10000) // length(t.toks)
+       |       ELSE 0 END AS BIGINT) AS contam_bp
+       |FROM t LEFT JOIN cov c USING (doc_id)
+       |WHERE t.doc_id % 97 != 0 ORDER BY t.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // q_shard_manifest                                                  //
+  // ---------------------------------------------------------------- //
+
+  /** Shard count for the export manifest — 16 at test scale; production
+    * sizes this so one shard ≈ one training-loader file. */
+  val ManifestShards = 16
+
+  /** Checksum modulus 2^32: per-doc hash residues sum into a BIGINT
+    * without overflow up to ~2^31 docs per shard — far above any real
+    * per-shard doc budget. */
+  private val ChecksumMod = 4294967296L
+
+  /** Training-export SHARD MANIFEST — the integrity/accounting table a
+    * data release ships next to its shards and every downstream loader
+    * re-derives to verify the export (the WebDataset/Croissant
+    * manifest shape): per hash-assigned shard, the doc count, total
+    * chars, total whitespace tokens, doc_id range, and an
+    * ORDER-INDEPENDENT content checksum — sum over member docs of
+    * `floorMod(graft_hash64('shard:' || doc_id), 2^32)`. Commutative +
+    * associative, so it partial-aggregates map-side, merges across any
+    * partitioning, and never needs a per-shard sort or array — the
+    * property that lets a 100k-shard manifest over 10^12 docs fall out
+    * of ONE groupBy with map-side combine (contrast md5-of-concat,
+    * which would force a per-shard global sort). Shard assignment uses
+    * the engine's shared splitmix64 (native codegen expression
+    * graft_hash64; the oracle re-derives it via FlagshipQ.hash64Sql),
+    * so the manifest reproduces bit-identically on any engine or
+    * cluster size. */
+  def qShardManifest(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashExprs.hash64s
+    documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_toks"),
+        hash64s(concat(lit("shard:"), col("doc_id").cast("string"))).as("h64"))
+      .withColumn("shard", pmod(col("h64"), lit(ManifestShards.toLong)).cast("int"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars_total"),
+        sum(col("n_toks")).as("n_tokens_total"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        sum(pmod(col("h64"), lit(ChecksumMod))).as("checksum"))
+      .orderBy(col("shard"))
+  }
+
+  val qShardManifestSql: String = {
+    val h = FlagshipQ.hash64Sql("'shard:' || doc_id")
+    val shard = FlagshipQ.floorModSql("h", ManifestShards.toLong)
+    val res = FlagshipQ.floorModSql("h", ChecksumMod)
+    s"""WITH k AS (SELECT doc_id, n_chars,
+       |    length(regexp_split_to_array(trim(text), '\\s+')) AS n_toks,
+       |    $h AS h
+       |  FROM documents),
+       |s AS (SELECT doc_id, n_chars, n_toks,
+       |        CAST($shard AS INT) AS shard,
+       |        CAST($res AS BIGINT) AS res
+       |      FROM k)
+       |SELECT shard,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+       |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens_total,
+       |  MIN(doc_id) AS min_doc_id,
+       |  MAX(doc_id) AS max_doc_id,
+       |  CAST(SUM(res) AS BIGINT) AS checksum
+       |FROM s GROUP BY shard ORDER BY shard""".stripMargin
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_bloom_probe" -> ((qBloomProbe _, Some(qBloomProbeSql))),
     "q_url_dedup" -> ((qUrlDedup _, Some(qUrlDedupSql))),
@@ -811,5 +963,7 @@ object TrainPrepQ {
     "q_seq_pack" -> ((qSeqPack _, Some(qSeqPackSql))),
     "q_linear_quality" -> ((qLinearQuality _, Some(qLinearQualitySql))),
     "q_epoch_shuffle" -> ((qEpochShuffle _, Some(qEpochShuffleSql))),
-    "q_dsir_select" -> ((qDsirSelect _, Some(qDsirSelectSql))))
+    "q_dsir_select" -> ((qDsirSelect _, Some(qDsirSelectSql))),
+    "q_contam_coverage" -> ((qContamCoverage _, Some(qContamCoverageSql))),
+    "q_shard_manifest" -> ((qShardManifest _, Some(qShardManifestSql))))
 }

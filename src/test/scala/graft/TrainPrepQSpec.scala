@@ -235,4 +235,42 @@ class TrainPrepQSpec extends AnyFunSuite {
     // the gate discriminates: both verdicts occur
     assert(rows.exists(_.getInt(4) == 1) && rows.exists(_.getInt(4) == 0))
   }
+
+  test("contam coverage: interval union of benchmark 8-gram hits, exact bp") {
+    val rows = TrainPrepQ.qContamCoverage(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(!rows.contains(0L) && !rows.contains(97L)) // benchmark docs excluded
+    // doc 1: 10 tokens; only [w1..w8] (i=1) is a benchmark gram ->
+    // covered tokens [1,9) = 8, bp = 8*10000 div 10
+    assert(rows(1L) == ((10L, 1L, 8L, 8000L)))
+    // doc 2: 3 tokens, no gram fits
+    assert(rows(2L) == ((3L, 0L, 0L, 0L)))
+    // doc 5: clean
+    assert(rows(5L) == ((9L, 0L, 0L, 0L)))
+    // doc 13: 3 own + 8 sentinel tokens; only the pure-sentinel gram
+    // (i=4) matches the benchmark tails -> 8 covered of 11
+    assert(rows(13L) == ((11L, 1L, 8L, 8L * 10000 / 11)))
+  }
+
+  test("shard manifest == in-memory brute force (hash shards, mergeable checksum)") {
+    import graft.layout.MediaOcr.hash64
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = docs.groupBy { case (id, _, _) =>
+      Math.floorMod(hash64(s"shard:$id"), TrainPrepQ.ManifestShards.toLong).toInt
+    }.map { case (shard, ds) =>
+      shard -> ((ds.length.toLong, ds.map(_._3).sum,
+        ds.map(d => d._2.trim.split("\\s+").length.toLong).sum,
+        ds.map(_._1).min, ds.map(_._1).max,
+        ds.map(d => Math.floorMod(hash64(s"shard:${d._1}"), 4294967296L)).sum))
+    }
+    val got = TrainPrepQ.qShardManifest(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == want)
+    // accounting law: shard doc counts partition the corpus
+    assert(got.values.map(_._1).sum == docs.length.toLong)
+  }
 }
