@@ -160,8 +160,10 @@ object TrainPrepQ {
   private val Sentinel = "the quick brown fox jumps over the lazy"
 
   /** The sentinel-injected text column (see [[Sentinel]]) — shared by
-    * q_decontaminate and q_curate_pipeline. */
-  private def injectedText = concat(col("text"),
+    * q_decontaminate and q_curate_pipeline (and applied by the
+    * streaming-contamination spec so stream inputs match the batch
+    * fixture). */
+  private[graft] def injectedText = concat(col("text"),
     when(col("doc_id") % 97 === 0 || col("doc_id") % 13 === 0,
       lit(" " + Sentinel)).otherwise(lit("")))
 
@@ -824,16 +826,35 @@ object TrainPrepQ {
     * per-doc window, so the window shuffle carries the contaminated
     * slice, never the corpus; the final left join back to per-doc token
     * counts is doc_id-width. Exact integer basis points. */
-  def qContamCoverage(s: SparkSession, dir: String): DataFrame = {
+  /** Positioned 8-gram fingerprints of the sentinel-injected corpus —
+    * the shared kernel under [[qContamCoverage]] and
+    * [[contamBenchFps]] (which freezes the benchmark set the streaming
+    * gate scores against), so batch and stream gram arithmetic cannot
+    * drift. One row per (doc_id, 1-based position, md5-of-8-gram). */
+  private[graft] def contamGrams(docs: DataFrame): DataFrame = {
     val k = 8
-    val toks = documents(s, dir)
+    docs
       .select(col("doc_id"), split(trim(injectedText), "\\s+").as("toks"))
-    val grams = toks
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"),
         explode(sequence(lit(1), size(col("toks")) - (k - 1))).as("i"), col("toks"))
       .select(col("doc_id"), col("i").cast("long").as("i"),
         md5(concat_ws(" ", slice(col("toks"), col("i"), lit(k))).cast("binary")).as("fp"))
+  }
+
+  /** Freeze the benchmark 8-gram fingerprint set — BOUNDED reference
+    * data (an eval suite, not a second corpus), the shape a streaming
+    * contamination gate broadcasts. */
+  def contamBenchFps(docs: DataFrame): Seq[String] =
+    contamGrams(docs).filter(col("doc_id") % 97 === 0)
+      .select(col("fp")).distinct()
+      .collect().map(_.getString(0)).toSeq
+
+  def qContamCoverage(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val toks = documents(s, dir)
+      .select(col("doc_id"), split(trim(injectedText), "\\s+").as("toks"))
+    val grams = contamGrams(documents(s, dir))
       .scopedCache() // two consumers: bench distinct + training probe
     val bench = grams.filter(col("doc_id") % 97 === 0).select(col("fp")).distinct()
     val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("i"))
@@ -911,9 +932,16 @@ object TrainPrepQ {
     * graft_hash64; the oracle re-derives it via FlagshipQ.hash64Sql),
     * so the manifest reproduces bit-identically on any engine or
     * cluster size. */
-  def qShardManifest(s: SparkSession, dir: String): DataFrame = {
+  /** The manifest aggregate as a shared kernel over any
+    * `(doc_id, text, n_chars)` relation — every aggregate (count, sums,
+    * min/max, the modular checksum) is commutative + associative, so
+    * the SAME plan runs as a batch groupBy AND as a streaming
+    * complete-mode aggregate (StreamingOps.shardManifestStream): an
+    * export manifest can be maintained incrementally while shards are
+    * still being written. */
+  private[graft] def shardManifest(docs: DataFrame): DataFrame = {
     import graft.functions.HashExprs.hash64s
-    documents(s, dir)
+    docs
       .select(col("doc_id"), col("n_chars"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_toks"),
         hash64s(concat(lit("shard:"), col("doc_id").cast("string"))).as("h64"))
@@ -925,8 +953,10 @@ object TrainPrepQ {
         min(col("doc_id")).as("min_doc_id"),
         max(col("doc_id")).as("max_doc_id"),
         sum(pmod(col("h64"), lit(ChecksumMod))).as("checksum"))
-      .orderBy(col("shard"))
   }
+
+  def qShardManifest(s: SparkSession, dir: String): DataFrame =
+    shardManifest(documents(s, dir)).orderBy(col("shard"))
 
   val qShardManifestSql: String = {
     val h = FlagshipQ.hash64Sql("'shard:' || doc_id")

@@ -215,6 +215,55 @@ object StreamingOps {
           lit(1)).otherwise(lit(0)))
   }
 
+  /** Streaming contamination-coverage gate: the row-local twin of
+    * q_contam_coverage. The benchmark 8-gram fingerprint set is FROZEN
+    * reference data (TrainPrepQ.contamBenchFps — an eval suite, bounded)
+    * carried as a map literal; per arriving doc, hit positions come
+    * from one array HOF over the row's own token list and the
+    * merged-interval coverage folds over those (already ascending)
+    * positions with a two-long struct accumulator — the same union
+    * arithmetic as the batch window, but entirely inside the row.
+    * STATELESS append: no state store, no watermark, no shuffle — the
+    * decontamination-at-ingest gate stays embarrassingly parallel.
+    * Gram fingerprints are byte-identical to the batch kernel (same
+    * md5-of-space-joined-slice); StreamingContamSpec pins stream ==
+    * batch row-for-row on the real corpus. */
+  def contamCoverageStream(docs: DataFrame, benchFps: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.Column
+    val k = 8
+    val bench = typedLit(benchFps.map(_ -> true).toMap)
+    val hit = (i: Column) => coalesce(element_at(bench,
+      md5(concat_ws(" ", slice(col("toks"), i, lit(k))).cast("binary"))), lit(false))
+    val zero = struct(lit(0L).as("last"), lit(0L).as("cov"))
+    val step = (st: Column, i: Column) => struct(
+      (i.cast("long") + k).as("last"),
+      (st.getField("cov") + (i.cast("long") + k -
+        greatest(i.cast("long"), st.getField("last")))).as("cov"))
+    docs
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn("hits", when(size(col("toks")) >= k,
+        filter(sequence(lit(1), size(col("toks")) - (k - 1)), hit))
+        .otherwise(expr("CAST(array() AS array<int>)")))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("hits")).cast("long").as("n_contam_grams"),
+        aggregate(col("hits"), zero, step, st => st.getField("cov")).as("covered_tokens"))
+      .withColumn("contam_bp",
+        expr("CAST(CASE WHEN n_tokens > 0 THEN (covered_tokens * 10000) div n_tokens ELSE 0 END AS BIGINT)"))
+  }
+
+  /** Streaming shard manifest: the SAME aggregate kernel as the batch
+    * q_shard_manifest (TrainPrepQ.shardManifest), run in complete mode —
+    * legal as a streaming aggregate precisely because every column of
+    * the manifest (count, sums, min/max, the modular checksum) is
+    * commutative + associative, so Spark maintains it incrementally in
+    * the state store keyed on the 16-row shard id. This is the property
+    * the batch scaladoc claims ("a manifest can be maintained while
+    * shards are still being written"); StreamingManifestSpec proves it
+    * behaviorally: two micro-batches, final table == batch manifest. */
+  def shardManifestStream(docs: DataFrame): DataFrame =
+    graft.queries.TrainPrepQ.shardManifest(docs)
+
   /** STREAM-STREAM interval join: view->click attribution on two live
     * feeds. Each view matches the same user's clicks that land within
     * 24 hours after it — the ad-attribution / conversion-tracking shape,
