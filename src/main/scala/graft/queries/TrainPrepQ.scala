@@ -904,6 +904,98 @@ object TrainPrepQ {
        |WHERE t.doc_id % 97 != 0 ORDER BY t.doc_id""".stripMargin
 
   // ---------------------------------------------------------------- //
+  // q_pack_efficiency                                                 //
+  // ---------------------------------------------------------------- //
+
+  /** Packing-strategy audit — the table that decides a real training
+    * run's packing mode: per source shard, the bin count, padding waste
+    * and integer-bp efficiency of (a) CONCAT-AND-SPLIT packing (docs
+    * laid end-to-end and cut every [[SeqLen]] tokens — q_seq_pack's
+    * layout: zero padding except the final partial sequence, but
+    * sequences cross document boundaries) versus (b) DOC-BOUNDARY
+    * GREEDY packing (documents first chunked to ≤ SeqLen pieces, then
+    * greedily packed in (doc_id, piece) order, opening a new bin
+    * whenever the next piece would overflow — no training sequence ever
+    * mixes two documents mid-stream, at the cost of per-bin padding).
+    * The efficiency gap IS the attention-mask trade every pretraining
+    * team prices.
+    *
+    * Shape: greedy packing is inherently SEQUENTIAL within a shard —
+    * the honest scale framing is the one the kernel has: chunking is a
+    * parallel explode; the fold runs per SOURCE (= the packer shard,
+    * whose doc budget is bounded in production — ~10k docs per output
+    * file at 100 TB, never a corpus-wide list) as one array HOF over
+    * the shard's ordered piece lengths with a two-long struct
+    * accumulator (open-bin fill, closed waste). Parallel ACROSS shards,
+    * sequential within — exactly how production packers run. All
+    * integer arithmetic; the oracle folds the same recurrence via
+    * list_reduce with a waste*1024+fill encoding. */
+  def qPackEfficiency(s: SparkSession, dir: String): DataFrame = {
+    val L = SeqLen.toLong
+    val chunks = packInput(documents(s, dir))
+      .withColumn("pieces", expr(s"CAST((n_tok + ${L - 1}) div $L AS INT)"))
+      .select(col("source"),
+        explode(sequence(lit(1), col("pieces"))).as("pi"),
+        col("doc_id"), col("n_tok"), col("pieces"))
+      .withColumn("len", when(col("pi") < col("pieces"), lit(L))
+        .otherwise(col("n_tok") - (col("pieces") - 1).cast("long") * L))
+    val zero = struct(lit(0L).as("fill"), lit(0L).as("waste"))
+    val step = (st: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) => {
+      val n = c.getField("len")
+      val over = st.getField("fill") + n > L
+      struct(
+        when(over, n).otherwise(st.getField("fill") + n).as("fill"),
+        when(over, st.getField("waste") + (lit(L) - st.getField("fill")))
+          .otherwise(st.getField("waste")).as("waste"))
+    }
+    chunks.groupBy(col("source"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("pi"), col("len")))).as("cs"),
+        sum(col("len")).as("n_tokens"))
+      .withColumn("st", aggregate(col("cs"), zero, step))
+      .select(col("source"), col("n_tokens"),
+        (col("st.waste") + lit(L) - col("st.fill")).as("greedy_waste"))
+      .withColumn("greedy_bins", expr(s"(n_tokens + greedy_waste) div $L"))
+      .withColumn("concat_bins", expr(s"(n_tokens + ${L - 1}) div $L"))
+      .withColumn("concat_waste", col("concat_bins") * L - col("n_tokens"))
+      .select(col("source"), col("n_tokens"),
+        col("greedy_bins"), col("greedy_waste"),
+        expr(s"(n_tokens * 10000) div (greedy_bins * $L)").as("greedy_eff_bp"),
+        col("concat_bins"), col("concat_waste"),
+        expr(s"(n_tokens * 10000) div (concat_bins * $L)").as("concat_eff_bp"))
+      .orderBy(col("source"))
+  }
+
+  val qPackEfficiencySql: String = {
+    val L = SeqLen
+    s"""WITH t AS (SELECT doc_id, source,
+       |    CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |p AS (SELECT *, CAST((n_tok + ${L - 1}) // $L AS INT) AS pieces FROM t),
+       |ch AS (SELECT source, doc_id, CAST(pi AS INT) AS pi,
+       |         CASE WHEN pi < pieces THEN $L
+       |              ELSE n_tok - (pieces - 1) * $L END AS len
+       |       FROM p, UNNEST(generate_series(1, pieces)) AS u(pi)),
+       |f AS (SELECT source, CAST(SUM(len) AS BIGINT) AS n_tokens,
+       |        list_reduce(
+       |          list_prepend(0::BIGINT,
+       |            list(CAST(len AS BIGINT) ORDER BY doc_id, pi)),
+       |          (st, n) -> CASE WHEN st % 1024 + n <= $L THEN st + n
+       |                          ELSE (st // 1024 + $L - st % 1024) * 1024 + n END) AS st
+       |      FROM ch GROUP BY source),
+       |g AS (SELECT source, n_tokens,
+       |        (st // 1024) + $L - (st % 1024) AS greedy_waste
+       |      FROM f)
+       |SELECT source, n_tokens,
+       |  CAST((n_tokens + greedy_waste) // $L AS BIGINT) AS greedy_bins,
+       |  CAST(greedy_waste AS BIGINT) AS greedy_waste,
+       |  CAST((n_tokens * 10000) // (((n_tokens + greedy_waste) // $L) * $L) AS BIGINT) AS greedy_eff_bp,
+       |  CAST((n_tokens + ${L - 1}) // $L AS BIGINT) AS concat_bins,
+       |  CAST(((n_tokens + ${L - 1}) // $L) * $L - n_tokens AS BIGINT) AS concat_waste,
+       |  CAST((n_tokens * 10000) // (((n_tokens + ${L - 1}) // $L) * $L) AS BIGINT) AS concat_eff_bp
+       |FROM g ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- //
   // q_shard_manifest                                                  //
   // ---------------------------------------------------------------- //
 
@@ -995,5 +1087,6 @@ object TrainPrepQ {
     "q_epoch_shuffle" -> ((qEpochShuffle _, Some(qEpochShuffleSql))),
     "q_dsir_select" -> ((qDsirSelect _, Some(qDsirSelectSql))),
     "q_contam_coverage" -> ((qContamCoverage _, Some(qContamCoverageSql))),
-    "q_shard_manifest" -> ((qShardManifest _, Some(qShardManifestSql))))
+    "q_shard_manifest" -> ((qShardManifest _, Some(qShardManifestSql))),
+    "q_pack_efficiency" -> ((qPackEfficiency _, Some(qPackEfficiencySql))))
 }

@@ -273,4 +273,37 @@ class TrainPrepQSpec extends AnyFunSuite {
     // accounting law: shard doc counts partition the corpus
     assert(got.values.map(_._1).sum == docs.length.toLong)
   }
+
+  test("pack efficiency == in-memory greedy fold; greedy never beats concat") {
+    val L = TrainPrepQ.SeqLen
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val want = docs.groupBy(_._2).map { case (src, ds) =>
+      val pieces = ds.sortBy(_._1).flatMap { case (_, _, text) =>
+        val n = text.trim.split("\\s+").length
+        val full = (n - 1) / L // pieces of exactly L, then the remainder
+        Seq.fill(full)(L.toLong) :+ (n - full * L).toLong
+      }
+      var (fill, waste) = (0L, 0L)
+      pieces.foreach { n =>
+        if (fill + n <= L) fill += n
+        else { waste += L - fill; fill = n }
+      }
+      val tokens = pieces.sum
+      val gWaste = waste + L - fill
+      val gBins = (tokens + gWaste) / L
+      val cBins = (tokens + L - 1) / L
+      src -> ((tokens, gBins, gWaste, tokens * 10000 / (gBins * L),
+        cBins, cBins * L - tokens, tokens * 10000 / (cBins * L)))
+    }
+    val got = TrainPrepQ.qPackEfficiency(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(got == want)
+    // law: doc-boundary packing can only add padding vs concat-and-split
+    got.values.foreach { case (_, gBins, gWaste, _, cBins, cWaste, _) =>
+      assert(gBins >= cBins && gWaste >= cWaste)
+    }
+  }
 }
