@@ -904,6 +904,88 @@ object TrainPrepQ {
        |WHERE t.doc_id % 97 != 0 ORDER BY t.doc_id""".stripMargin
 
   // ---------------------------------------------------------------- //
+  // q_quality_calibration                                             //
+  // ---------------------------------------------------------------- //
+
+  /** Quality-filter CALIBRATION table — the cross-signal audit behind
+    * picking a model-based filter's threshold: bucket every training
+    * doc by its per-token quality score (the q_linear_quality hashed
+    * linear kernel over the RAW text) and report, per bucket, the doc
+    * count, the benchmark-contamination rate (q_contam_coverage's
+    * 8-gram hit flag) and mean doc length — "does my quality score
+    * correlate with leakage/length, and where do I cut?". Buckets are
+    * fixed integer ranges of the SHIFTED per-token mean
+    * ((score + 10·n)·10000 div n, in [0, 200000], bucket width 20000 →
+    * 11 buckets): the shift keeps every div on non-negative operands,
+    * because Spark's `div` truncates toward zero while DuckDB's `//`
+    * floors — they only agree above zero (determinism rules,
+    * Relational.scala header).
+    *
+    * Scale shape: two partial-agg passes over the corpus (quality
+    * explode, gram probe) that share nothing wider than doc_id; the
+    * contaminated-doc flag relation is rare-row and AQE-broadcast onto
+    * the per-doc quality relation; the final aggregate is 11 rows. */
+  def qQualityCalibration(s: SparkSession, dir: String): DataFrame = {
+    val nib1 = expr("instr('0123456789abcdef', substr(h, 1, 1)) - 1")
+    val nib2 = expr("instr('0123456789abcdef', substr(h, 2, 1)) - 1")
+    val quality = documents(s, dir).filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+      .withColumn("h", md5(col("term").cast("binary")))
+      .withColumn("wt", (nib1 * 16 + nib2) % 21 - 10)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("wt")).cast("long").as("score"))
+    val grams = contamGrams(documents(s, dir)).scopedCache()
+    val bench = grams.filter(col("doc_id") % 97 === 0).select(col("fp")).distinct()
+    val flagged = grams.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), Seq("fp"))
+      .select(col("doc_id")).distinct()
+      .withColumn("is_contam", lit(1L))
+    quality.join(flagged, Seq("doc_id"), "left")
+      .withColumn("bucket",
+        expr("(((score + 10 * n_tokens) * 10000) div n_tokens) div 20000"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_contam"), lit(0L))).as("n_contam"),
+        sum(col("n_tokens")).as("tok_sum"))
+      .select(col("bucket"), col("n_docs"), col("n_contam"),
+        expr("(n_contam * 10000) div n_docs").as("contam_rate_bp"),
+        expr("tok_sum div n_docs").as("avg_tokens"))
+      .orderBy(col("bucket"))
+  }
+
+  val qQualityCalibrationSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, u.term FROM (
+       |    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |    FROM documents WHERE doc_id % 97 != 0) d,
+       |    UNNEST(d.toks) AS u(term)),
+       |q AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |        CAST(SUM(((instr('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 16
+       |          + (instr('0123456789abcdef', substr(md5(term), 2, 1)) - 1)) % 21 - 10)
+       |          AS BIGINT) AS score
+       |      FROM tok GROUP BY doc_id),
+       |t AS (SELECT doc_id,
+       |  regexp_split_to_array(trim($injectedTextSql), '\\s+') AS toks
+       |  FROM documents),
+       |g AS (SELECT doc_id,
+       |        md5(array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+7], ' ')) AS fp
+       |      FROM t, UNNEST(generate_series(1, length(toks) - 7)) AS u(i)
+       |      WHERE length(toks) >= 8),
+       |bench AS (SELECT DISTINCT fp FROM g WHERE doc_id % 97 = 0),
+       |fl AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (fp)
+       |       WHERE g.doc_id % 97 != 0),
+       |b AS (SELECT (((score + 10 * n_tokens) * 10000) // n_tokens) // 20000 AS bucket,
+       |        n_tokens,
+       |        CASE WHEN fl.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_contam
+       |      FROM q LEFT JOIN fl ON q.doc_id = fl.doc_id)
+       |SELECT CAST(bucket AS BIGINT) AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(is_contam) AS BIGINT) AS n_contam,
+       |  CAST((SUM(is_contam) * 10000) // COUNT(*) AS BIGINT) AS contam_rate_bp,
+       |  CAST(SUM(n_tokens) // COUNT(*) AS BIGINT) AS avg_tokens
+       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- //
   // q_pack_efficiency                                                 //
   // ---------------------------------------------------------------- //
 
@@ -1088,5 +1170,6 @@ object TrainPrepQ {
     "q_dsir_select" -> ((qDsirSelect _, Some(qDsirSelectSql))),
     "q_contam_coverage" -> ((qContamCoverage _, Some(qContamCoverageSql))),
     "q_shard_manifest" -> ((qShardManifest _, Some(qShardManifestSql))),
-    "q_pack_efficiency" -> ((qPackEfficiency _, Some(qPackEfficiencySql))))
+    "q_pack_efficiency" -> ((qPackEfficiency _, Some(qPackEfficiencySql))),
+    "q_quality_calibration" -> ((qQualityCalibration _, Some(qQualityCalibrationSql))))
 }

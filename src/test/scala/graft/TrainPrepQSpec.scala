@@ -306,4 +306,43 @@ class TrainPrepQSpec extends AnyFunSuite {
       assert(gBins >= cBins && gWaste >= cWaste)
     }
   }
+
+  test("quality calibration == brute-force buckets x contamination cross-tab") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def wt(term: String): Long = {
+      val h = md5hex(term)
+      val nib = "0123456789abcdef"
+      ((nib.indexOf(h(0)) * 16 + nib.indexOf(h(1))) % 21 - 10).toLong
+    }
+    val sentinel = "the quick brown fox jumps over the lazy"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def injected(id: Long, t: String): String =
+      if (id % 97 == 0 || id % 13 == 0) t + " " + sentinel else t
+    def grams(t: String): Seq[String] = {
+      val toks = t.trim.split("\\s+")
+      if (toks.length < 8) Seq.empty
+      else (0 to toks.length - 8).map(i => md5hex(toks.slice(i, i + 8).mkString(" ")))
+    }
+    val bench = docs.filter(_._1 % 97 == 0)
+      .flatMap { case (id, t) => grams(injected(id, t)) }.toSet
+    val perDoc = docs.filter(_._1 % 97 != 0).map { case (id, t) =>
+      val toks = t.trim.split("\\s+")
+      val (n, score) = (toks.length.toLong, toks.map(wt).sum)
+      val contam = grams(injected(id, t)).exists(bench.contains)
+      val bucket = (((score + 10 * n) * 10000) / n) / 20000
+      (bucket, n, if (contam) 1L else 0L)
+    }
+    val want = perDoc.groupBy(_._1).map { case (b, ds) =>
+      val (nd, nc, ts) = (ds.length.toLong, ds.map(_._3).sum, ds.map(_._2).sum)
+      b -> ((nd, nc, nc * 10000 / nd, ts / nd))
+    }
+    val got = TrainPrepQ.qQualityCalibration(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == want)
+    assert(want.values.exists(_._2 > 0)) // contamination occurs in some bucket
+  }
 }
