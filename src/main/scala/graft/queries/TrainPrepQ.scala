@@ -1132,29 +1132,97 @@ object TrainPrepQ {
   def qShardManifest(s: SparkSession, dir: String): DataFrame =
     shardManifest(documents(s, dir)).orderBy(col("shard"))
 
-  val qShardManifestSql: String = {
+  /** The manifest aggregate as SQL over a named doc relation — shared
+    * by the q_shard_manifest oracle and both sides of the
+    * q_manifest_diff oracle (def, not val: shared SQL generators must
+    * be defs — object-val init order once embedded "null", see the
+    * verify-skill gotcha). */
+  private def manifestSqlOver(rel: String): String = {
     val h = FlagshipQ.hash64Sql("'shard:' || doc_id")
     val shard = FlagshipQ.floorModSql("h", ManifestShards.toLong)
     val res = FlagshipQ.floorModSql("h", ChecksumMod)
-    s"""WITH k AS (SELECT doc_id, n_chars,
-       |    length(regexp_split_to_array(trim(text), '\\s+')) AS n_toks,
-       |    $h AS h
-       |  FROM documents),
-       |s AS (SELECT doc_id, n_chars, n_toks,
-       |        CAST($shard AS INT) AS shard,
-       |        CAST($res AS BIGINT) AS res
-       |      FROM k)
-       |SELECT shard,
+    s"""SELECT shard,
        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
        |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens_total,
        |  MIN(doc_id) AS min_doc_id,
        |  MAX(doc_id) AS max_doc_id,
        |  CAST(SUM(res) AS BIGINT) AS checksum
-       |FROM s GROUP BY shard ORDER BY shard""".stripMargin
+       |FROM (SELECT doc_id, n_chars, n_toks,
+       |        CAST($shard AS INT) AS shard,
+       |        CAST($res AS BIGINT) AS res
+       |      FROM (SELECT doc_id, n_chars,
+       |              length(regexp_split_to_array(trim(text), '\\s+')) AS n_toks,
+       |              $h AS h
+       |            FROM $rel) k) s
+       |GROUP BY shard""".stripMargin
   }
 
+  val qShardManifestSql: String =
+    manifestSqlOver("documents") + " ORDER BY shard"
+
+  // ---------------------------------------------------------------- //
+  // q_manifest_diff                                                   //
+  // ---------------------------------------------------------------- //
+
+  /** Mirrored-doc id offset for the in-query next-snapshot fixture
+    * (distinct from DedupQ's syndication offset so fixtures compose). */
+  private val SnapshotOffset = 2000000000L
+
+  /** Incremental manifest DIFF — the "which shards changed since the
+    * last export" table that lets a downstream sync re-fetch only the
+    * shards whose content moved, instead of re-reading a 100k-shard
+    * release: the shard manifest of the current corpus joined against
+    * the manifest of the NEXT snapshot (fixture-in-query: every doc
+    * with doc_id % 41 == 0 re-ingested under a new doc_id — the
+    * daily-crawl-append shape), emitting per shard the old/new doc
+    * counts, added docs, and whether the content CHECKSUM moved. This
+    * is the query the manifest's order-independent modular checksum
+    * exists for: two bounded manifest relations diff with one 16-row
+    * join — no doc-level comparison anywhere.
+    *
+    * Scale shape: two manifest aggregates (each partial→final, one
+    * exchange) over relations that share the scan; the diff join is
+    * #shards wide. A real deployment diffs two PERSISTED manifests —
+    * O(shards), independent of corpus size. */
+  def qManifestDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = documents(s, dir).select(col("doc_id"), col("text"), col("n_chars"))
+    val adds = base.filter(col("doc_id") % 41 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(SnapshotOffset))
+    val m0 = shardManifest(base)
+      .select(col("shard"), col("n_docs").as("n_docs_old"), col("checksum").as("ck_old"))
+    val m1 = shardManifest(base.unionByName(adds))
+      .select(col("shard"), col("n_docs").as("n_docs_new"), col("checksum").as("ck_new"))
+    m0.join(m1, Seq("shard"), "full")
+      .select(col("shard"),
+        coalesce(col("n_docs_old"), lit(0L)).as("n_docs_old"),
+        coalesce(col("n_docs_new"), lit(0L)).as("n_docs_new"),
+        (coalesce(col("n_docs_new"), lit(0L)) - coalesce(col("n_docs_old"), lit(0L)))
+          .as("docs_added"),
+        when(coalesce(col("ck_old"), lit(-1L)) =!= coalesce(col("ck_new"), lit(-1L)),
+          lit(1)).otherwise(lit(0)).as("checksum_changed"))
+      .orderBy(col("shard"))
+  }
+
+  val qManifestDiffSql: String =
+    s"""WITH snap AS (
+       |  SELECT doc_id, text, n_chars FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $SnapshotOffset, text, n_chars
+       |  FROM documents WHERE doc_id % 41 = 0),
+       |m0 AS (${manifestSqlOver("documents")}),
+       |m1 AS (${manifestSqlOver("snap")})
+       |SELECT COALESCE(m0.shard, m1.shard) AS shard,
+       |  CAST(COALESCE(m0.n_docs, 0) AS BIGINT) AS n_docs_old,
+       |  CAST(COALESCE(m1.n_docs, 0) AS BIGINT) AS n_docs_new,
+       |  CAST(COALESCE(m1.n_docs, 0) - COALESCE(m0.n_docs, 0) AS BIGINT) AS docs_added,
+       |  CAST(CASE WHEN COALESCE(m0.checksum, -1) <> COALESCE(m1.checksum, -1)
+       |       THEN 1 ELSE 0 END AS INT) AS checksum_changed
+       |FROM m0 FULL OUTER JOIN m1 ON m0.shard = m1.shard
+       |ORDER BY shard""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_manifest_diff" -> ((qManifestDiff _, Some(qManifestDiffSql))),
     "q_bloom_probe" -> ((qBloomProbe _, Some(qBloomProbeSql))),
     "q_url_dedup" -> ((qUrlDedup _, Some(qUrlDedupSql))),
     "q_chunk_overlap" -> ((qChunkOverlap _, Some(qChunkOverlapSql))),

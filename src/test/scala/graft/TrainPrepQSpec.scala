@@ -345,4 +345,27 @@ class TrainPrepQSpec extends AnyFunSuite {
     assert(got == want)
     assert(want.values.exists(_._2 > 0)) // contamination occurs in some bucket
   }
+
+  test("manifest diff: old side == q_shard_manifest; adds accounted; untouched shards keep checksums") {
+    val diff = TrainPrepQ.qManifestDiff(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    val manifest = TrainPrepQ.qShardManifest(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // the diff's old side IS the current manifest (rows the full-outer
+    // join adds for snapshot-only shards carry old count 0)
+    assert(manifest.forall { case (sh, n) => diff(sh)._1 == n })
+    assert(diff.filterNot { case (sh, _) => manifest.contains(sh) }
+      .values.forall(_._1 == 0L))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    // every % 41 re-ingest lands in exactly one shard's docs_added
+    assert(diff.values.map(_._3).sum == docs.count(_ % 41 == 0).toLong)
+    diff.values.foreach { case (old_, nw, added, changed) =>
+      assert(nw - old_ == added)
+      // a shard no snapshot doc landed in must keep its checksum
+      if (added == 0L) assert(changed == 0)
+    }
+    // non-vacuous both ways: some shards changed, some did not
+    assert(diff.values.exists(_._4 == 1) && diff.values.exists(_._4 == 0))
+  }
 }
