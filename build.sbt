@@ -27,15 +27,33 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Forked-run heap: honor SPARK_DRIVER_MEM but CAP at 24g. The driver
+// exports ~90g; with -Xms=-Xmx + AlwaysPreTouch that heap is fully
+// resident at JVM start, and round 4's bench — whose per-level child
+// JVMs then inherited the same args — pre-touched ~180 GiB on a 125 GiB
+// host and was kernel-OOM-killed (BENCH_r04 rc=1 signal 137, dmesg:
+// 94 GB + 36 GB java RSS). 16g is rehearsal-proven sufficient for every
+// main including the full query battery; 24g leaves headroom while
+// guaranteeing parent + one 16g bench child always fit.
+val runHeap: String = {
+  val raw = sys.env.getOrElse("SPARK_DRIVER_MEM", "16g").trim.toLowerCase
+  val gib: Double = try {
+    if (raw.endsWith("g")) raw.dropRight(1).toDouble
+    else if (raw.endsWith("m")) raw.dropRight(1).toDouble / 1024.0
+    else if (raw.endsWith("k")) raw.dropRight(1).toDouble / (1024.0 * 1024.0)
+    else raw.toDouble / (1024.0 * 1024.0 * 1024.0) // raw bytes
+  } catch { case _: NumberFormatException => 16.0 }
+  if (gib > 24.0) "24g" else raw
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xmx$runHeap",
   // -Xms = -Xmx: ParallelGC's adaptive heap ramp cost the round-4 bench
   // rehearsal its first pair (GC task fractions 0.34/0.76 while the
   // heap grew from its tiny default); a pre-sized heap makes the first
   // heavy run as GC-stable as the fifth
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xms$runHeap",
   // Pre-touch the pre-sized heap at startup: without it the first
   // allocation-heavy runs in a fresh JVM pay lazy page commits that
   // read exactly like a memory-bandwidth throttle (KernelScaleProbe:
