@@ -6,9 +6,10 @@ import scala.collection.mutable
   * arithmetic — no codecs, no dependencies: ASCIIHexDecode,
   * ASCII85Decode, RunLengthDecode and LZWDecode (the TIFF/PDF variant:
   * MSB-first packing, 9→12-bit codes, Clear=256/EOD=257, earlyChange).
-  * With these plus FlateDecode, every standard CONTENT-stream filter
-  * except the image codecs (DCT/JPX/CCITT — image XObjects are copied
-  * byte-verbatim, never decoded) round-trips through [[PdfParse
+  * With these plus FlateDecode (and DCTDecode via PdfParse.dctDecode's
+  * ImageIO path), every standard CONTENT-stream filter except the
+  * JPX/CCITT image codecs (image XObjects are copied byte-verbatim,
+  * never decoded) round-trips through [[PdfParse
   * .PdfDoc.decodedStream]], including filter CHAINS like
   * [/ASCII85Decode /FlateDecode]. Encoders exist for each so specs
   * exercise the decoders on real self-authored ciphertext, plus the

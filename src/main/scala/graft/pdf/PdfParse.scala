@@ -25,11 +25,12 @@ import scala.collection.mutable
   * RunLength, LZW ([[PdfFilters]]) — including filter chains and
   * /DecodeParms predictors (PNG 10-15 and TIFF 2) on the Flate/LZW
   * stages, sharing the xref-stream `unpredict` path.
-  * Deliberately NOT a full interpreter: user-password-protected files,
-  * non-Standard security handlers, and
-  * image codecs (DCT/JPX/CCITT) as content filters are rejected with a
-  * clear error (resource streams — images etc. — are copied
-  * byte-verbatim whatever their filter, no decode needed). That covers
+  * Deliberately NOT a full interpreter: non-Standard (certificate)
+  * security handlers and the JPEG2000/G4 image codecs (JPX/CCITT) as
+  * content filters are rejected with a clear error — DCTDecode (plain
+  * JPEG) decodes via the JDK ImageIO path ([[dctDecode]]); resource
+  * streams — images etc. — are still copied byte-verbatim whatever
+  * their filter, no decode needed. That covers
   * every PDF this engine itself emits plus the classic, xref-stream,
   * fully-compressed and password-protected classes of scanner output
   * the reference tool targets.
@@ -135,9 +136,10 @@ object PdfParse {
       * ASCIIHexDecode, ASCII85Decode, RunLengthDecode, LZWDecode
       * (PdfFilters) — with /DecodeParms predictors (PNG 10-15, TIFF 2)
       * un-applied after their Flate/LZW stage via the same `unpredict`
-      * the xref-stream reader uses. Image codecs (DCT/JPX/CCITT) are
-      * errors (image XObjects are copied verbatim elsewhere, never
-      * routed here). */
+      * the xref-stream reader uses. DCTDecode (JPEG) decodes to raw
+      * samples via [[dctDecode]]; the JPX/CCITT image codecs are errors
+      * (image XObjects are copied verbatim elsewhere, never routed
+      * here). */
     def decodedStream(objNum: Int): Either[String, Array[Byte]] =
       objects.get(objNum) match {
         case Some(PObjDef(_, d: PDict, Some(data))) =>
@@ -184,6 +186,7 @@ object PdfParse {
               val early = intParm(parms, "EarlyChange", 1)
               PdfFilters.lzwDecode(bytes, earlyChange = early != 0)
                 .flatMap(unpredicted(parms, _))
+            case "DCTDecode" => dctDecode(bytes)
             case other => Left(s"unsupported content-stream filter /$other")
           }
           names.flatMap(_.zipWithIndex.foldLeft(Right(data): Either[String, Array[Byte]]) {
@@ -192,6 +195,55 @@ object PdfParse {
         case Some(_) => Left(s"object $objNum is not a stream")
         case None => Left(s"missing content stream object $objNum")
       }
+  }
+
+  /** DCTDecode (PDF 32000-1 §7.4.8): decode a JPEG-compressed stream to
+    * its raw sample data via the JDK ImageIO reader — the same zero-
+    * dependency codec path the multimodal operators use (round-4 verdict
+    * #4; formerly a clear error). Output is the decoded sample stream a
+    * /DCTDecode consumer expects: row-major, 3 bytes/pixel RGB for color
+    * images, 1 byte/pixel for grayscale. JPX/CCITT remain clear errors
+    * (no JPEG2000/G4 codec ships with the JDK). */
+  def dctDecode(bytes: Array[Byte]): Either[String, Array[Byte]] = {
+    if (bytes.length < 2 || (bytes(0) & 0xFF) != 0xFF || (bytes(1) & 0xFF) != 0xD8)
+      return Left("DCT stream lacks the JPEG SOI marker")
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) Left("bad DCT (JPEG) stream")
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val gray = img.getColorModel.getNumColorComponents == 1
+        if (gray) {
+          val out = new Array[Byte](w * h)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { out(y * w + x) = raster.getSample(x, y, 0).toByte; x += 1 }
+            y += 1
+          }
+          Right(out)
+        } else {
+          val out = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val o = (y * w + x) * 3
+              out(o) = ((rgb >> 16) & 0xFF).toByte
+              out(o + 1) = ((rgb >> 8) & 0xFF).toByte
+              out(o + 2) = (rgb & 0xFF).toByte
+              x += 1
+            }
+            y += 1
+          }
+          Right(out)
+        }
+      }
+    } catch {
+      case e: java.io.IOException => Left(s"bad DCT (JPEG) stream: ${e.getMessage}")
+    }
   }
 
   def inflate(data: Array[Byte]): Either[String, Array[Byte]] = {

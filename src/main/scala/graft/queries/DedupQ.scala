@@ -1155,9 +1155,12 @@ object DedupQ {
     * the precedence rule a multi-source merge actually applies (prefer
     * curated sources over aggregators; the q_canonical_docs pick is
     * length-based and source-blind, so the two resolutions complement).
-    * Precedence: priority 0 for primary `src*` sources, 1 otherwise;
-    * winner = min(priority, source, doc_id) — a total order, engine-
-    * independent. The synthetic corpus has no cross-source exact dups
+    * Precedence: priority 0 for primary `src*` sources, 2 for the
+    * synthetic 'agg' aggregator (EXPLICITLY the lowest tier — round-4
+    * advice: with 'agg' sharing tier 1 and sorting lexicographically
+    * first, a curated non-src source would have lost to its own
+    * syndicated mirror), 1 for any other source; winner =
+    * min(priority, source, doc_id) — a total order, engine-independent. The synthetic corpus has no cross-source exact dups
     * below sf0.1, so (fixture-in-query, the q_decontaminate pattern)
     * every doc with doc_id % 37 == 0 is mirrored into a synthetic
     * 'agg' aggregator source at doc_id + 10^9 — modelling syndicated
@@ -1177,7 +1180,9 @@ object DedupQ {
         lit("agg").as("source"), fp.as("fp"))
     val rel = base.unionByName(agg)
       .withColumn("prio",
-        when(col("source").startsWith("src"), lit(0)).otherwise(lit(1)))
+        when(col("source").startsWith("src"), lit(0))
+          .when(col("source") === "agg", lit(2))
+          .otherwise(lit(1)))
     val winners = rel.groupBy(col("fp"))
       .agg(min(struct(col("prio"), col("source"), col("doc_id"))).as("w"),
         count(lit(1)).as("n"))
@@ -1202,7 +1207,8 @@ object DedupQ {
       |  SELECT doc_id + $SyndicationOffset, 'agg',
       |         md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
       |  FROM documents WHERE doc_id % 37 = 0),
-      |p AS (SELECT *, CASE WHEN source LIKE 'src%' THEN 0 ELSE 1 END AS prio FROM u),
+      |p AS (SELECT *, CASE WHEN source LIKE 'src%' THEN 0
+      |                     WHEN source = 'agg' THEN 2 ELSE 1 END AS prio FROM u),
       |w AS (SELECT fp, source, doc_id,
       |        ROW_NUMBER() OVER (PARTITION BY fp ORDER BY prio, source, doc_id) AS rk,
       |        COUNT(*) OVER (PARTITION BY fp) AS n

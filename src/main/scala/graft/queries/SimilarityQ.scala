@@ -431,40 +431,45 @@ object SimilarityQ {
     * 164/2000 dropped at sf0.1. */
   val SemDedupTau = 0.4
 
-  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper):
-    * SEMANTIC deduplication by k-means clustering + within-cluster
-    * pairwise cosine, the curation step that removes "different words,
-    * same content" duplicates embedding-level dedup catches and
-    * text-level dedup cannot. Cluster members are ordered by similarity
-    * to their centroid (ascending, vec_id tie-break — the paper keeps
-    * the LOWEST-centroid-similarity example per duplicate group) and a
-    * member is dropped iff some earlier-ordered member of the SAME
-    * cluster is within cosine >= [[SemDedupTau]] — the paper's
-    * sorted-scan semantics as an order-free, embarrassingly-parallel
-    * predicate (no sequential pass; Spark and the oracle must agree
-    * pair by pair).
-    *
-    * Scale shape: assignment is the broadcast-centroid narrow pass of
-    * q_ivf_assign (K = 16 deterministic seeds here; production scales K
-    * with the corpus — SemDeDup uses 50k clusters for LAION — so
-    * |cluster| ~ n/K stays bounded and the within-cluster self-join is
-    * O(n^2/K) TOTAL, shuffled on the centroid key, never a corpus
-    * cross-product). Pair verification is one fused codegen dot per
-    * candidate pair on carried float arrays + precomputed self-norms. */
-  def qSemDedup(s: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(s, dir)
-      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
-      .select(col("vec_id"), col("embedding").as("v"),
-        qdot(col("embedding"), col("embedding")).as("nrm"))
-    // (vec_id, cluster, csim) + carried vectors; 3 consumers below
-    val assigned = qIvfAssign(s, dir)
-      .select(col("vec_id"), col("centroid"), col("sim").as("csim"))
-      .join(e, Seq("vec_id"))
+  /** Within-cluster comparison cap (round-4 verdict #3; the
+    * MaxLshBucket / MaxFuzzyBlock convention): each member is compared
+    * against at most the first [[MaxSemEarlier]] EARLIER-ordered members
+    * of its cluster, so pair generation is O(MaxSemEarlier x n) — linear
+    * in corpus size — instead of the uncapped O(n^2/K), which with fixed
+    * K and one hot mega-cluster is an unguarded quadratic at 100x scale.
+    * The cap is principled for SemDeDup's keep rule: the earliest-ordered
+    * members (lowest centroid-similarity, the ones the paper's sorted
+    * scan KEEPS) are the dominant droppers, so truncating the comparison
+    * set to them preserves the rule's intent. It FIRES at driver scale
+    * (sf0.1 clusters run ~125 members > 64), so the capped semantics
+    * themselves sit under the cross-engine oracle; and it is never
+    * silent — [[qSemdedupBlocks]] is the oracle-checked per-cluster
+    * report of sizes and skipped-pair counts. */
+  val MaxSemEarlier = 64
+
+  /** The capped SemDeDup verdict kernel over any assignment relation
+    * `(vec_id, centroid, csim, v, nrm)`: members are ranked within their
+    * cluster by (csim asc, vec_id asc) — the paper's keep order — and a
+    * member is dropped iff one of the first [[MaxSemEarlier]]-ranked
+    * EARLIER members of its cluster is within cosine >= tau. Zero-norm
+    * vectors (cosine undefined: 0/0 = NaN, which Spark's `NaN >= tau`
+    * drops but DuckDB's NaN-sorts-greatest accepts — the round-4 advice
+    * divergence) are excluded from BOTH pair sides identically and always
+    * kept. The rank window shuffles on the centroid key and is
+    * bounded-by-|cluster| per partition (production scales K with the
+    * corpus — SemDeDup uses 50k clusters for LAION — so |cluster| ~ n/K
+    * stays bounded); the a-side rank filter then makes the pair join
+    * candidate-bounded. Exposed for SemDedupSpec's degenerate
+    * one-mega-cluster cap-law test. */
+  def semDedupKept(assigned: DataFrame): DataFrame = {
+    val ranked = assigned
+      .filter(col("nrm") > 0)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("centroid")).orderBy(col("csim"), col("vec_id"))))
       .scopedCache()
-    val earlier = col("a.csim") < col("b.csim") ||
-      (col("a.csim") === col("b.csim") && col("a.vec_id") < col("b.vec_id"))
-    val dropped = assigned.as("a")
-      .join(assigned.as("b"), col("a.centroid") === col("b.centroid") && earlier)
+    val dropped = ranked.filter(col("rk") <= MaxSemEarlier).as("a")
+      .join(ranked.as("b"),
+        col("a.centroid") === col("b.centroid") && col("a.rk") < col("b.rk"))
       .select(col("b.vec_id").as("vec_id"),
         (qdot(col("a.v"), col("b.v")).cast("double") /
           (sqrt(col("a.nrm").cast("double")) *
@@ -478,15 +483,53 @@ object SimilarityQ {
       .orderBy(col("vec_id"))
   }
 
-  val qSemDedupSql: String =
-    s"""WITH asg AS (SELECT vec_id, centroid, sim AS csim FROM ($qIvfAssignSql) t),
-      |u AS (SELECT vec_id, UNNEST(embedding) AS x,
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper):
+    * SEMANTIC deduplication by k-means clustering + within-cluster
+    * pairwise cosine, the curation step that removes "different words,
+    * same content" duplicates embedding-level dedup catches and
+    * text-level dedup cannot. Cluster members are ordered by similarity
+    * to their centroid (ascending, vec_id tie-break — the paper keeps
+    * the LOWEST-centroid-similarity example per duplicate group) and a
+    * member is dropped iff one of the first [[MaxSemEarlier]]
+    * earlier-ordered members of the SAME cluster is within cosine >=
+    * [[SemDedupTau]] — the paper's sorted-scan semantics as an
+    * order-free, embarrassingly-parallel predicate (no sequential pass;
+    * Spark and the oracle must agree pair by pair).
+    *
+    * Scale shape: assignment is the broadcast-centroid narrow pass of
+    * q_ivf_assign (K = 16 deterministic seeds here; production scales K
+    * with the corpus), and the capped kernel ([[semDedupKept]]) makes
+    * within-cluster work O(MaxSemEarlier x |cluster|) — linear — with an
+    * oracle-checked drop report ([[qSemdedupBlocks]]). Pair verification
+    * is one fused codegen dot per candidate pair on carried float arrays
+    * + precomputed self-norms. */
+  def qSemDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"), col("embedding").as("v"),
+        qdot(col("embedding"), col("embedding")).as("nrm"))
+    val assigned = qIvfAssign(s, dir)
+      .select(col("vec_id"), col("centroid"), col("sim").as("csim"))
+      .join(e, Seq("vec_id"))
+      .scopedCache()
+    semDedupKept(assigned)
+  }
+
+  /** The shared oracle tail: rank within cluster (zero-norm excluded),
+    * cap the earlier side, exact-int dots on the capped pairs. */
+  private def semDedupSqlTail: String =
+    s"""u AS (SELECT vec_id, UNNEST(embedding) AS x,
       |             UNNEST(generate_series(0, len(embedding) - 1)) AS d FROM embeddings
       |      WHERE embedding IS NOT NULL AND len(embedding) > 0),
       |uq AS (SELECT vec_id, d, CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS x FROM u),
+      |nrm AS (SELECT vec_id, SUM(x * x) AS nq FROM uq GROUP BY vec_id),
+      |rk AS (SELECT a.vec_id, a.centroid, a.csim,
+      |         ROW_NUMBER() OVER (PARTITION BY a.centroid
+      |                            ORDER BY a.csim, a.vec_id) AS rk
+      |       FROM asg a JOIN nrm n ON n.vec_id = a.vec_id WHERE n.nq > 0),
       |cand AS (SELECT a.vec_id AS va, b.vec_id AS vb
-      |         FROM asg a JOIN asg b ON a.centroid = b.centroid
-      |          AND (a.csim < b.csim OR (a.csim = b.csim AND a.vec_id < b.vec_id))),
+      |         FROM rk a JOIN rk b ON a.centroid = b.centroid AND a.rk < b.rk
+      |         WHERE a.rk <= $MaxSemEarlier),
       |el AS (SELECT c.va, c.vb, ua.x AS xa, ub.x AS xb
       |       FROM cand c JOIN uq ua ON ua.vec_id = c.va
       |       JOIN uq ub ON ub.vec_id = c.vb AND ub.d = ua.d),
@@ -494,11 +537,76 @@ object SimilarityQ {
       |    CAST(SUM(xa * xa) AS DOUBLE) AS qq, CAST(SUM(xb * xb) AS DOUBLE) AS cc
       |  FROM el GROUP BY va, vb),
       |dropped AS (SELECT DISTINCT vb AS vec_id FROM dots
-      |            WHERE dp / (sqrt(qq) * sqrt(cc)) >= $SemDedupTau)
+      |            WHERE dp / (sqrt(qq) * sqrt(cc)) >= $SemDedupTau)""".stripMargin
+
+  val qSemDedupSql: String =
+    s"""WITH asg AS (SELECT vec_id, centroid, sim AS csim FROM ($qIvfAssignSql) t),
+      |$semDedupSqlTail
       |SELECT asg.vec_id, asg.centroid AS cluster, asg.csim,
       |  CAST(CASE WHEN dropped.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
       |FROM asg LEFT JOIN dropped ON dropped.vec_id = asg.vec_id
       |ORDER BY asg.vec_id""".stripMargin
+
+  /** The SemDeDup cap drop report (no silent caps — the qLshBucketProfile
+    * / qFuzzyBlocks convention): per cluster, how many members are
+    * pair-eligible, how many zero-norm vectors were excluded from pairing,
+    * the uncapped vs capped candidate-pair counts and the skipped
+    * difference. pairs_capped for an m-member cluster with cap R is
+    * sum over ranks r of min(r-1, R) = m(m-1)/2 when m-1 <= R, else
+    * R(R+1)/2 + (m-1-R)R — exact integer math on both engines. At crawl
+    * scale this is the skew monitor that catches a hot mega-cluster
+    * before it goes quadratic. */
+  def qSemdedupBlocks(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"),
+        qdot(col("embedding"), col("embedding")).as("nrm"))
+    // `div` keeps the arithmetic in the integer domain (Spark's `/` on
+    // longs is double division); all operands non-negative, where Spark
+    // div and DuckDB // agree (CLAUDE.md round-4 note)
+    val R = MaxSemEarlier
+    qIvfAssign(s, dir)
+      .select(col("vec_id"), col("centroid"))
+      .join(e, Seq("vec_id"))
+      .groupBy(col("centroid").as("cluster"))
+      .agg(sum(when(col("nrm") > 0, 1L).otherwise(0L)).as("n_members"),
+        sum(when(col("nrm") > 0, 0L).otherwise(1L)).as("n_zero_norm"))
+      .selectExpr("cluster",
+        "CAST(n_members AS BIGINT) AS n_members",
+        "CAST(n_zero_norm AS BIGINT) AS n_zero_norm",
+        "CAST(n_members * (n_members - 1) div 2 AS BIGINT) AS pairs_full",
+        s"""CAST(CASE WHEN n_members - 1 <= $R THEN n_members * (n_members - 1) div 2
+           |     ELSE $R * ${R + 1} div 2 + (n_members - 1 - $R) * $R END AS BIGINT)
+           |  AS pairs_capped""".stripMargin,
+        s"CAST(CASE WHEN n_members - 1 > $R THEN 1 ELSE 0 END AS INT) AS capped")
+      .withColumn("pairs_skipped", col("pairs_full") - col("pairs_capped"))
+      .orderBy(col("cluster"))
+  }
+
+  val qSemdedupBlocksSql: String =
+    s"""WITH asg AS (SELECT vec_id, centroid FROM ($qIvfAssignSql) t),
+      |u AS (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings
+      |      WHERE embedding IS NOT NULL AND len(embedding) > 0),
+      |nrm AS (SELECT vec_id,
+      |          SUM(CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) *
+      |              CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS nq
+      |        FROM u GROUP BY vec_id),
+      |sz AS (SELECT a.centroid AS cluster,
+      |         CAST(SUM(CASE WHEN n.nq > 0 THEN 1 ELSE 0 END) AS BIGINT) AS m,
+      |         CAST(SUM(CASE WHEN n.nq > 0 THEN 0 ELSE 1 END) AS BIGINT) AS nz
+      |       FROM asg a JOIN nrm n ON n.vec_id = a.vec_id GROUP BY a.centroid)
+      |SELECT cluster, m AS n_members, nz AS n_zero_norm,
+      |  CAST(m * (m - 1) // 2 AS BIGINT) AS pairs_full,
+      |  CAST(CASE WHEN m - 1 <= $MaxSemEarlier THEN m * (m - 1) // 2
+      |       ELSE $MaxSemEarlier * ($MaxSemEarlier + 1) // 2
+      |            + (m - 1 - $MaxSemEarlier) * $MaxSemEarlier END AS BIGINT)
+      |    AS pairs_capped,
+      |  CAST(m * (m - 1) // 2 - CASE WHEN m - 1 <= $MaxSemEarlier THEN m * (m - 1) // 2
+      |       ELSE $MaxSemEarlier * ($MaxSemEarlier + 1) // 2
+      |            + (m - 1 - $MaxSemEarlier) * $MaxSemEarlier END AS BIGINT)
+      |    AS pairs_skipped,
+      |  CAST(CASE WHEN m - 1 > $MaxSemEarlier THEN 1 ELSE 0 END AS INT) AS capped
+      |FROM sz ORDER BY cluster""".stripMargin
 
   /** Product-quantization sub-space count (64 dims -> 8 blocks of 8). */
   val PqSubspaces = 8
@@ -681,6 +789,7 @@ object SimilarityQ {
     "q_embed_neardup" -> ((qEmbedNeardup _, Some(qEmbedNeardupSql))),
     "q_embed_cluster" -> ((qEmbedCluster _, Some(qEmbedClusterSql))),
     "q_semdedup" -> ((qSemDedup _, Some(qSemDedupSql))),
+    "q_semdedup_blocks" -> ((qSemdedupBlocks _, Some(qSemdedupBlocksSql))),
     "q_kmeans_refine" -> ((qKmeansRefine _, Some(qKmeansRefineSql))),
     "q_pq_ann" -> ((qPqAnn _, Some(qPqAnnSql))))
 }

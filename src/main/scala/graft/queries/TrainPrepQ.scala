@@ -1011,7 +1011,7 @@ object TrainPrepQ {
     * accumulator (open-bin fill, closed waste). Parallel ACROSS shards,
     * sequential within — exactly how production packers run. All
     * integer arithmetic; the oracle folds the same recurrence via
-    * list_reduce with a waste*1024+fill encoding. */
+    * list_reduce with a waste*[[PackRadix]]+fill encoding. */
   def qPackEfficiency(s: SparkSession, dir: String): DataFrame = {
     val L = SeqLen.toLong
     val chunks = packInput(documents(s, dir))
@@ -1047,8 +1047,17 @@ object TrainPrepQ {
       .orderBy(col("source"))
   }
 
+  /** Radix for the oracle's single-BIGINT `waste * radix + fill` fold
+    * state: DERIVED from [[SeqLen]] (next power of two strictly above
+    * it), so the open-bin fill digit — which ranges 0..SeqLen — can
+    * never overflow into the waste digits when SeqLen is raised to a
+    * production 4096/8192 (round-4 advice: the former hardcoded 1024
+    * was silently valid only while SeqLen < 1024). */
+  private def packRadix: Long = java.lang.Long.highestOneBit(SeqLen.toLong) * 2
+
   val qPackEfficiencySql: String = {
     val L = SeqLen
+    val R = packRadix
     s"""WITH t AS (SELECT doc_id, source,
        |    CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
        |  FROM documents),
@@ -1061,11 +1070,11 @@ object TrainPrepQ {
        |        list_reduce(
        |          list_prepend(0::BIGINT,
        |            list(CAST(len AS BIGINT) ORDER BY doc_id, pi)),
-       |          (st, n) -> CASE WHEN st % 1024 + n <= $L THEN st + n
-       |                          ELSE (st // 1024 + $L - st % 1024) * 1024 + n END) AS st
+       |          (st, n) -> CASE WHEN st % $R + n <= $L THEN st + n
+       |                          ELSE (st // $R + $L - st % $R) * $R + n END) AS st
        |      FROM ch GROUP BY source),
        |g AS (SELECT source, n_tokens,
-       |        (st // 1024) + $L - (st % 1024) AS greedy_waste
+       |        (st // $R) + $L - (st % $R) AS greedy_waste
        |      FROM f)
        |SELECT source, n_tokens,
        |  CAST((n_tokens + greedy_waste) // $L AS BIGINT) AS greedy_bins,

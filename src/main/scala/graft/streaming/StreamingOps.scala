@@ -201,7 +201,12 @@ object StreamingOps {
       filter(split(trim(lower(col("text"))), "\\s+"), (w: Column) => w =!= ""),
       w => conv(substring(md5(w.cast("binary")), 1, 7), 16, 10)
         .cast("long") % graft.queries.TrainPrepQ.DsirBuckets)
-    def look(m: Column, b: Column): Column = coalesce(element_at(m, b), lit(0L))
+    // try_element_at, NOT element_at: null-on-missing-key is the intent
+    // (coalesce to 0 for unseen buckets), and plain element_at has
+    // historically thrown MAP_KEY_DOES_NOT_EXIST under ANSI dialects —
+    // making the miss semantics explicit keeps this upgrade-proof
+    // (round-4 advice).
+    def look(m: Column, b: Column): Column = coalesce(try_element_at(m, b), lit(0L))
     val (tMap, sMap) = (typedLit(tDist), typedLit(sDist))
     docs
       .withColumn("bs", buckets)
@@ -227,12 +232,24 @@ object StreamingOps {
     * decontamination-at-ingest gate stays embarrassingly parallel.
     * Gram fingerprints are byte-identical to the batch kernel (same
     * md5-of-space-joined-slice); StreamingContamSpec pins stream ==
-    * batch row-for-row on the real corpus. */
+    * batch row-for-row on the real corpus.
+    *
+    * CALLER CONTRACT (round-4 advice — the stream==batch equivalence is
+    * conditional): `docs` must already be the TRAINING-candidate stream
+    * with the benchmark holdout EXCLUDED (batch qContamCoverage holds
+    * out doc_id % 97 == 0 itself) and with any sentinel injection the
+    * batch side applies ALREADY APPLIED (StreamingContamSpec does both
+    * before feeding the stream). Feeding raw ingest rows scores
+    * benchmark documents as if they were training rows — their coverage
+    * would read ~10000 bp by construction. `benchFps` is the frozen
+    * output of TrainPrepQ.contamBenchFps over the SAME sentinel-injected
+    * corpus. */
   def contamCoverageStream(docs: DataFrame, benchFps: Seq[String]): DataFrame = {
     import org.apache.spark.sql.Column
     val k = 8
     val bench = typedLit(benchFps.map(_ -> true).toMap)
-    val hit = (i: Column) => coalesce(element_at(bench,
+    // try_element_at for explicit null-on-miss (see dsirSelectStream)
+    val hit = (i: Column) => coalesce(try_element_at(bench,
       md5(concat_ws(" ", slice(col("toks"), i, lit(k))).cast("binary"))), lit(false))
     val zero = struct(lit(0L).as("last"), lit(0L).as("cov"))
     val step = (st: Column, i: Column) => struct(

@@ -236,11 +236,45 @@ class PdfFilterSpec extends AnyFunSuite {
     val docHex = PdfParse.parse(srcHex).toOption.get
     assert(docHex.decodedStream(docHex.pages.toOption.get.head.contentObjs.head)
       .toOption.get.sameElements(content))
-    val srcBad = filteredSource("/DCTDecode", content)
+    val srcBad = filteredSource("/JPXDecode", content)
     val docBad = PdfParse.parse(srcBad).toOption.get
     docBad.decodedStream(docBad.pages.toOption.get.head.contentObjs.head) match {
       case Left(e) => assert(e.contains("unsupported content-stream filter"))
-      case Right(_) => fail("DCT content filter must be rejected")
+      case Right(_) => fail("JPX content filter must be rejected")
     }
+  }
+
+  test("DCTDecode streams decode to raw RGB samples via ImageIO (round-4 verdict #4)") {
+    // a small gradient image, JPEG-encoded by the same ImageIO writer
+    // the multimodal fixtures use
+    val w0 = 8; val h0 = 6
+    val img = new java.awt.image.BufferedImage(w0, h0,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h0; x <- 0 until w0)
+      img.setRGB(x, y, ((x * 32) << 16) | ((y * 40) << 8) | 128)
+    val jpeg = graft.multimodal.Multimodal.encodeImage(img, "jpg")
+    assert((jpeg(0) & 0xFF) == 0xFF && (jpeg(1) & 0xFF) == 0xD8) // SOI
+
+    // direct kernel: sample count and values match an independent decode
+    val samples = PdfParse.dctDecode(jpeg).toOption.get
+    assert(samples.length == w0 * h0 * 3)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+    for (y <- 0 until h0; x <- 0 until w0) {
+      val rgb = ref.getRGB(x, y)
+      val o = (y * w0 + x) * 3
+      assert((samples(o) & 0xFF) == ((rgb >> 16) & 0xFF))
+      assert((samples(o + 1) & 0xFF) == ((rgb >> 8) & 0xFF))
+      assert((samples(o + 2) & 0xFF) == (rgb & 0xFF))
+    }
+
+    // end-to-end: a parsed PDF's DCT-filtered stream decodes (formerly a
+    // clear error), and garbage with a fake SOI is a clear error, not a
+    // crash
+    val src = filteredSource("/DCTDecode", jpeg)
+    val doc = PdfParse.parse(src).toOption.get
+    val got = doc.decodedStream(doc.pages.toOption.get.head.contentObjs.head)
+    assert(got.toOption.get.sameElements(samples))
+    assert(PdfParse.dctDecode("BT (x) Tj ET".getBytes(ISO_8859_1)).isLeft)
+    assert(PdfParse.dctDecode(Array[Byte](0xFF.toByte, 0xD8.toByte, 1, 2, 3)).isLeft)
   }
 }

@@ -27,6 +27,28 @@ class SemDedupSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
+  /** Driver-side reference for the CAPPED SemDeDup verdict rule: within
+    * each cluster, pair-eligible (nonzero-norm) members are ranked by
+    * (csim asc, vec_id asc); v is dropped iff an earlier member with
+    * rank <= MaxSemEarlier is within cosine >= tau. Zero-norm members
+    * never pair and are always kept. */
+  private def bruteKept(members: Seq[(Long, Long, Double)],
+                        sim: (Long, Long) => Double,
+                        nonzero: Long => Boolean): Map[Long, Int] = {
+    val ranks: Map[Long, Int] = members.filter(m => nonzero(m._1))
+      .groupBy(_._2).flatMap { case (_, ms) =>
+        ms.sortBy(m => (m._3, m._1)).zipWithIndex.map { case (m, i) => m._1 -> (i + 1) }
+      }
+    members.map { case (v, cid, _) =>
+      val dropped = nonzero(v) && members.exists { case (a, acid, _) =>
+        a != v && acid == cid && nonzero(a) &&
+          ranks(a) <= SimilarityQ.MaxSemEarlier && ranks(a) < ranks(v) &&
+          sim(a, v) >= SimilarityQ.SemDedupTau
+      }
+      v -> (if (dropped) 0 else 1)
+    }.toMap
+  }
+
   test("q_semdedup == brute force (assignment, keep order, drop rule) at sf0.001") {
     val vecs: Map[Long, Array[Long]] =
       SimilarityQ.embeddings(spark, dir).collect()
@@ -53,18 +75,12 @@ class SemDedupSpec extends AnyFunSuite {
       val (cid, cs) = cents.map(c => (c, sim(v, c))).minBy { case (c, s) => (-s, c) }
       v -> (cid, cs)
     }.toMap
-    // drop v iff an earlier member (csim asc, vec_id asc) of the SAME
-    // cluster is within cosine >= tau — the paper's sorted-scan rule
-    val expected: Map[Long, Int] = vecs.keys.map { v =>
-      val (cid, cs) = assign(v)
-      val dropped = vecs.keys.exists { a =>
-        a != v && assign(a)._1 == cid && {
-          val as = assign(a)._2
-          (as < cs || (as == cs && a < v)) && sim(a, v) >= SimilarityQ.SemDedupTau
-        }
-      }
-      v -> (if (dropped) 0 else 1)
-    }.toMap
+    // drop v iff one of the first MaxSemEarlier members in the cluster's
+    // (csim asc, vec_id asc) order is earlier than v and within cosine
+    // >= tau — the paper's sorted-scan rule with the capped earlier side
+    val expected: Map[Long, Int] = bruteKept(
+      vecs.keys.toSeq.map(v => (v, assign(v)._1, assign(v)._2)),
+      (a, b) => sim(a, b), _ => true)
 
     val rows = SimilarityQ.qSemDedup(spark, dir).collect()
     assert(rows.length == vecs.size)
@@ -76,6 +92,68 @@ class SemDedupSpec extends AnyFunSuite {
     }
     // non-vacuous both ways: something dropped, something kept
     assert(rows.exists(_.getInt(3) == 0) && rows.exists(_.getInt(3) == 1))
+  }
+
+  test("degenerate mega-cluster: cap bounds the earlier side (round-4 verdict #3)") {
+    import spark.implicits._
+    val R = SimilarityQ.MaxSemEarlier
+    // One 126-member cluster (> R, the unguarded-quadratic shape) plus a
+    // planted pair at ranks R+1/R+2 that only the UNCAPPED rule would
+    // separate: members 1..R live in span{e1,e2}, the planted pair is
+    // e3 (orthogonal to all of them, identical to each other). Capped
+    // semantics: rank R+2 survives because its only >=tau neighbor has
+    // rank R+1 > R; uncapped would drop it — the two rules must differ
+    // on this input or the test is vacuous.
+    val rows: Seq[(Long, Long, Double, Array[Float])] = (1 to (R + 62)).map { r =>
+      val v: Array[Float] =
+        if (r == R + 1 || r == R + 2) Array(0f, 0f, 1f, 0f)
+        else Array(((r % 8) + 1).toFloat, ((r / 8) % 8 + 1).toFloat, 0f, 0f)
+      (r.toLong, 0L, r.toDouble, v)
+    }
+    val assigned = rows.toDF("vec_id", "centroid", "csim", "v")
+      .withColumn("nrm", graft.functions.VectorExprs.qdot(
+        org.apache.spark.sql.functions.col("v"), org.apache.spark.sql.functions.col("v")))
+    val got = SimilarityQ.semDedupKept(assigned).collect()
+      .map(r => r.getLong(0) -> r.getInt(3)).toMap
+
+    val qvecs: Map[Long, Array[Long]] =
+      rows.map { case (id, _, _, v) => id -> v.map(graft.functions.VectorExprs.quantize) }.toMap
+    def dot(a: Array[Long], b: Array[Long]): Long = a.indices.map(i => a(i) * b(i)).sum
+    def sim(a: Long, b: Long): Double = {
+      val (va, vb) = (qvecs(a), qvecs(b))
+      dot(va, vb).toDouble / (math.sqrt(dot(va, va).toDouble) * math.sqrt(dot(vb, vb).toDouble))
+    }
+    val expected = bruteKept(rows.map(r => (r._1, r._2, r._3)), sim, _ => true)
+    assert(got.size == rows.size)
+    got.foreach { case (v, k) => assert(k == expected(v), s"kept verdict of $v") }
+    // the cap must MATTER here: rank R+2 is kept under the capped rule
+    // but would be dropped by its rank-(R+1) twin under the uncapped one
+    assert(got(R + 2L) == 1)
+    assert(sim(R + 1L, R + 2L) >= SimilarityQ.SemDedupTau)
+    // and the report law: pairs_capped < pairs_full for an m > R+1 cluster
+    val m = rows.size.toLong
+    val full = m * (m - 1) / 2
+    val capped = R.toLong * (R + 1) / 2 + (m - 1 - R) * R
+    assert(capped < full)
+  }
+
+  test("zero-norm vectors never pair (NaN-cosine cross-engine guard) and are kept") {
+    import spark.implicits._
+    // twin identical vectors (the later one must be dropped) + one
+    // all-zero vector ordered FIRST: if the zero vector entered the pair
+    // relation its NaN cosine would (a) never drop anyone in Spark but
+    // (b) drop them in DuckDB's NaN-sorts-greatest order — the advice
+    // divergence. It must be excluded from ranking entirely and kept.
+    val rows: Seq[(Long, Long, Double, Array[Float])] = Seq(
+      (1L, 0L, 0.1, Array(0f, 0f, 0f, 0f)),
+      (2L, 0L, 0.2, Array(1f, 2f, 0f, 0f)),
+      (3L, 0L, 0.3, Array(1f, 2f, 0f, 0f)))
+    val assigned = rows.toDF("vec_id", "centroid", "csim", "v")
+      .withColumn("nrm", graft.functions.VectorExprs.qdot(
+        org.apache.spark.sql.functions.col("v"), org.apache.spark.sql.functions.col("v")))
+    val got = SimilarityQ.semDedupKept(assigned).collect()
+      .map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(got == Map(1L -> 1, 2L -> 1, 3L -> 0))
   }
 
   test("q_dedup_soft: cluster mass law and singleton weights at sf0.001") {
