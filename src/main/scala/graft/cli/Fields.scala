@@ -109,14 +109,106 @@ object Fields {
       '«' -> "\"", '»' -> "\"", '•' -> "*", '·' -> "*",
       '€' -> "EUR", '£' -> "GBP", '¥' -> "JPY",
       '©' -> "(c)", '®' -> "(r)", '°' -> "deg")
-    latin ++ greek ++ cyrillic ++ punct
+    // Kana -> Hepburn, per character (round-4 verdict #5): the hiragana
+    // table + the katakana block derived by its fixed +0x60 offset.
+    // Entries are PRECOMPOSED (ga, pa, ...) — NFKD would split them into
+    // base kana + a combining voicing mark and silently strip the
+    // voicing, which is why transliterate consults the table BEFORE
+    // normalizing. Small kana fold to their full-size reading (per-char
+    // romanization, no digraph context — the anyascii convention).
+    val kanaBase: Seq[(Char, String)] = Seq(
+      'あ' -> "a", 'い' -> "i", 'う' -> "u", 'え' -> "e", 'お' -> "o",
+      'か' -> "ka", 'き' -> "ki", 'く' -> "ku", 'け' -> "ke", 'こ' -> "ko",
+      'が' -> "ga", 'ぎ' -> "gi", 'ぐ' -> "gu", 'げ' -> "ge", 'ご' -> "go",
+      'さ' -> "sa", 'し' -> "shi", 'す' -> "su", 'せ' -> "se", 'そ' -> "so",
+      'ざ' -> "za", 'じ' -> "ji", 'ず' -> "zu", 'ぜ' -> "ze", 'ぞ' -> "zo",
+      'た' -> "ta", 'ち' -> "chi", 'つ' -> "tsu", 'て' -> "te", 'と' -> "to",
+      'だ' -> "da", 'ぢ' -> "ji", 'づ' -> "zu", 'で' -> "de", 'ど' -> "do",
+      'な' -> "na", 'に' -> "ni", 'ぬ' -> "nu", 'ね' -> "ne", 'の' -> "no",
+      'は' -> "ha", 'ひ' -> "hi", 'ふ' -> "fu", 'へ' -> "he", 'ほ' -> "ho",
+      'ば' -> "ba", 'び' -> "bi", 'ぶ' -> "bu", 'べ' -> "be", 'ぼ' -> "bo",
+      'ぱ' -> "pa", 'ぴ' -> "pi", 'ぷ' -> "pu", 'ぺ' -> "pe", 'ぽ' -> "po",
+      'ま' -> "ma", 'み' -> "mi", 'む' -> "mu", 'め' -> "me", 'も' -> "mo",
+      'や' -> "ya", 'ゆ' -> "yu", 'よ' -> "yo",
+      'ら' -> "ra", 'り' -> "ri", 'る' -> "ru", 'れ' -> "re", 'ろ' -> "ro",
+      'わ' -> "wa", 'ゐ' -> "wi", 'ゑ' -> "we", 'を' -> "wo", 'ん' -> "n",
+      'ぁ' -> "a", 'ぃ' -> "i", 'ぅ' -> "u", 'ぇ' -> "e", 'ぉ' -> "o",
+      'っ' -> "tsu", 'ゃ' -> "ya", 'ゅ' -> "yu", 'ょ' -> "yo", 'ゎ' -> "wa",
+      'ゔ' -> "vu")
+    val kana: Map[Char, String] =
+      kanaBase.toMap ++
+        kanaBase.map { case (c, r) => ((c + 0x60).toChar, r) } +
+        ('ー' -> "-") // prolonged-sound mark
+    // Hangul: NFKD decomposes every syllable into conjoining jamo
+    // (U+1100 block), so these ~70 entries give COMPLETE Hangul
+    // coverage under Revised Romanization (leading / vowel / trailing
+    // positions romanize differently, and the jamo blocks keep them
+    // distinct codepoints).
+    val jamoLead = Map(
+      'ᄀ' -> "g", 'ᄁ' -> "kk", 'ᄂ' -> "n", 'ᄃ' -> "d",
+      'ᄄ' -> "tt", 'ᄅ' -> "r", 'ᄆ' -> "m", 'ᄇ' -> "b",
+      'ᄈ' -> "pp", 'ᄉ' -> "s", 'ᄊ' -> "ss", 'ᄋ' -> "",
+      'ᄌ' -> "j", 'ᄍ' -> "jj", 'ᄎ' -> "ch", 'ᄏ' -> "k",
+      'ᄐ' -> "t", 'ᄑ' -> "p", 'ᄒ' -> "h")
+    val jamoVowel = Map(
+      'ᅡ' -> "a", 'ᅢ' -> "ae", 'ᅣ' -> "ya", 'ᅤ' -> "yae",
+      'ᅥ' -> "eo", 'ᅦ' -> "e", 'ᅧ' -> "yeo", 'ᅨ' -> "ye",
+      'ᅩ' -> "o", 'ᅪ' -> "wa", 'ᅫ' -> "wae", 'ᅬ' -> "oe",
+      'ᅭ' -> "yo", 'ᅮ' -> "u", 'ᅯ' -> "wo", 'ᅰ' -> "we",
+      'ᅱ' -> "wi", 'ᅲ' -> "yu", 'ᅳ' -> "eu", 'ᅴ' -> "ui",
+      'ᅵ' -> "i")
+    val jamoTail = Map(
+      'ᆨ' -> "k", 'ᆩ' -> "k", 'ᆪ' -> "k", 'ᆫ' -> "n",
+      'ᆬ' -> "n", 'ᆭ' -> "n", 'ᆮ' -> "t", 'ᆯ' -> "l",
+      'ᆰ' -> "k", 'ᆱ' -> "m", 'ᆲ' -> "l", 'ᆳ' -> "l",
+      'ᆴ' -> "l", 'ᆵ' -> "p", 'ᆶ' -> "l", 'ᆷ' -> "m",
+      'ᆸ' -> "p", 'ᆹ' -> "p", 'ᆺ' -> "t", 'ᆻ' -> "t",
+      'ᆼ' -> "ng", 'ᆽ' -> "t", 'ᆾ' -> "t", 'ᆿ' -> "k",
+      'ᇀ' -> "t", 'ᇁ' -> "p", 'ᇂ' -> "h")
+    // Top-frequency CJK ideographs -> toneless pinyin: the most-hit
+    // subset of anyascii's vendored Unihan readings (the full ~21k-char
+    // table is vendored data we do not reproduce; unmapped ideographs
+    // still drop — the documented residual divergence).
+    val cjk = Map(
+      '的' -> "de", '一' -> "yi", '是' -> "shi", '不' -> "bu", '了' -> "le",
+      '人' -> "ren", '我' -> "wo", '在' -> "zai", '有' -> "you", '他' -> "ta",
+      '这' -> "zhe", '中' -> "zhong", '大' -> "da", '来' -> "lai", '上' -> "shang",
+      '国' -> "guo", '个' -> "ge", '到' -> "dao", '说' -> "shuo", '们' -> "men",
+      '为' -> "wei", '子' -> "zi", '和' -> "he", '你' -> "ni", '地' -> "di",
+      '出' -> "chu", '道' -> "dao", '也' -> "ye", '时' -> "shi", '年' -> "nian",
+      '得' -> "de", '就' -> "jiu", '那' -> "na", '要' -> "yao", '下' -> "xia",
+      '以' -> "yi", '生' -> "sheng", '会' -> "hui", '自' -> "zi", '着' -> "zhe",
+      '去' -> "qu", '之' -> "zhi", '过' -> "guo", '家' -> "jia", '学' -> "xue",
+      '对' -> "dui", '可' -> "ke", '她' -> "ta", '里' -> "li", '后' -> "hou",
+      '小' -> "xiao", '心' -> "xin", '多' -> "duo", '天' -> "tian", '而' -> "er",
+      '能' -> "neng", '好' -> "hao", '都' -> "dou", '然' -> "ran", '没' -> "mei",
+      '日' -> "ri", '于' -> "yu", '起' -> "qi", '还' -> "hai", '发' -> "fa",
+      '成' -> "cheng", '事' -> "shi", '只' -> "zhi", '作' -> "zuo", '当' -> "dang",
+      '想' -> "xiang", '看' -> "kan", '文' -> "wen", '无' -> "wu", '开' -> "kai",
+      '手' -> "shou", '十' -> "shi", '用' -> "yong", '主' -> "zhu", '行' -> "xing",
+      '方' -> "fang", '又' -> "you", '如' -> "ru", '前' -> "qian", '所' -> "suo",
+      '本' -> "ben", '见' -> "jian", '经' -> "jing", '头' -> "tou", '面' -> "mian",
+      '公' -> "gong", '同' -> "tong", '三' -> "san", '已' -> "yi", '老' -> "lao",
+      '从' -> "cong", '动' -> "dong", '两' -> "liang", '长' -> "chang", '知' -> "zhi",
+      '民' -> "min", '样' -> "yang", '现' -> "xian", '分' -> "fen", '外' -> "wai",
+      '北' -> "bei", '京' -> "jing", '东' -> "dong", '西' -> "xi", '南' -> "nan",
+      '海' -> "hai", '山' -> "shan", '水' -> "shui", '火' -> "huo", '电' -> "dian",
+      '语' -> "yu", '汉' -> "han", '字' -> "zi", '名' -> "ming", '书' -> "shu")
+    latin ++ greek ++ cyrillic ++ punct ++ kana ++
+      jamoLead ++ jamoVowel ++ jamoTail ++ cjk
   }
 
-  /** Deterministic ASCII transliteration: NFKD per CODEPOINT (so
-    * compatibility forms — fullwidth, mathematical alphanumerics like
-    * the non-BMP Fraktur vocab word — reduce to their ASCII base), then
-    * the fold table for what NFKD cannot reduce; anything still unmapped
-    * drops (like anyascii's default for unmapped planes). */
+  /** Deterministic ASCII transliteration: the fold table FIRST on the
+    * precomposed codepoint (voiced kana would otherwise lose their
+    * voicing mark to NFKD — が decomposes to か + U+3099), then NFKD per
+    * CODEPOINT (so compatibility forms — fullwidth, mathematical
+    * alphanumerics like the non-BMP Fraktur vocab word — reduce to
+    * their ASCII base, and Hangul syllables decompose to the fully
+    * mapped conjoining-jamo block), then the fold table again for what
+    * NFKD cannot reduce; anything still unmapped drops (like anyascii's
+    * default for unmapped planes — after the round-5 Kana/Hangul/CJK
+    * additions the residual divergence vs anyascii's vendored table is
+    * uncommon ideographs and exotic planes). */
   def transliterate(s: String): String = {
     val sb = new StringBuilder(s.length)
     var i = 0
@@ -124,6 +216,8 @@ object Fields {
       val cp = s.codePointAt(i)
       i += Character.charCount(cp)
       if (cp < 0x80) sb.append(cp.toChar)
+      else if (cp <= 0xFFFF && foldTable.contains(cp.toChar))
+        sb.append(foldTable(cp.toChar))
       else {
         val d = java.text.Normalizer.normalize(
           new String(Character.toChars(cp)), java.text.Normalizer.Form.NFKD)

@@ -200,6 +200,80 @@ object PdfQ {
       | 1 AS decrypted
       |FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id""".stripMargin
 
+  /** Security-handler QUARANTINE audit (round-4 verdict #7, the
+    * q_corrupt_quarantine convention): a real-corpus sweep sees
+    * certificate-encrypted PDFs (public-key /Adobe.PubSec-class
+    * handlers, which this engine rejects with a clear error by design)
+    * as a COUNTED quarantine reason, not job noise. Mixed fixture per
+    * doc (subset % 5, the q_pdf_encrypt battery-cost rule): doc_id % 3
+    * == 0 builds an RC4-encrypted file whose /Encrypt handler name is
+    * rewritten (same-length, offsets untouched) to a non-Standard one —
+    * the parse must fail with the handler error and the doc routes to
+    * 'quarantine_pubsec_handler'; % 3 == 1 stays /Standard-encrypted
+    * and must parse ('ok_standard_encrypted'); % 3 == 2 is plaintext
+    * ('ok_plain'). Any other outcome lands in an 'unexpected:' reason
+    * the oracle does not predict — a parser that starts silently
+    * accepting or rejecting the wrong class hash-mismatches. Output is
+    * the per-reason count + doc_id-sum audit table. */
+  def qPdfQuarantine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+      .filter(col("doc_id") % 5 === 0).as[Long]
+      .map { id =>
+        val nPages = (id % 3).toInt + 1
+        val src = PdfRender.applyOcrPdf(
+          Hocr(pages = (0 until nPages).map(p => synthPage(id, p)).toVector))
+          .fold(e => sys.error(e), _.pdf)
+        val variant = (id % 3).toInt
+        def rc4Encrypted: Array[Byte] = {
+          val parsed = graft.pdf.PdfParse.parse(src).fold(e => sys.error(e), identity)
+          graft.pdf.PdfCrypt.encrypt(parsed, ownerPwd = s"owner-$id")
+            .fold(e => sys.error(e), identity)
+        }
+        val bytes: Array[Byte] = variant match {
+          case 0 =>
+            // same-length handler-name rewrite inside the /Encrypt dict
+            // (the last object before xref; no offset shifts): the
+            // stand-in for a certificate-security file
+            val raw = new String(rc4Encrypted,
+              java.nio.charset.StandardCharsets.ISO_8859_1)
+            val at = raw.indexOf("/Filter /Standard")
+            if (at < 0) sys.error("encrypt dict not found in emitted bytes")
+            (raw.substring(0, at) + "/Filter /PubKeySH" +
+              raw.substring(at + "/Filter /Standard".length))
+              .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          case 1 => rc4Encrypted
+          case _ => src
+        }
+        val reason = graft.pdf.PdfParse.parse(bytes) match {
+          case Left(e) if e.contains("unsupported encryption filter") =>
+            if (variant == 0) "quarantine_pubsec_handler" else s"unexpected:$e"
+          case Left(e) => s"unexpected:$e"
+          case Right(_) =>
+            if (variant == 0) "unexpected:pubsec_parsed"
+            else if (variant == 1) "ok_standard_encrypted"
+            else "ok_plain"
+        }
+        (id, reason)
+      }
+      .toDF("doc_id", "reason")
+      .groupBy(col("reason"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_doc_id"))
+      .orderBy(col("reason"))
+  }
+
+  val qPdfQuarantineSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CASE CAST(doc_id % 3 AS INT)
+      |           WHEN 0 THEN 'quarantine_pubsec_handler'
+      |           WHEN 1 THEN 'ok_standard_encrypted'
+      |           ELSE 'ok_plain' END AS reason
+      |  FROM documents WHERE doc_id % 5 = 0)
+      |SELECT reason, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+      |FROM t GROUP BY reason ORDER BY reason""".stripMargin
+
   def qPdfAssemble(s: SparkSession, dir: String): DataFrame = {
     val pageTable = s.read.parquet(s"$dir/documents.parquet")
       .selectExpr("doc_id", "explode(sequence(0, CAST(doc_id % 3 AS INT))) AS page_idx")
@@ -253,5 +327,6 @@ object PdfQ {
     "q_pdf_assemble_check" -> ((qPdfAssembleCheck _, Some(qPdfAssembleCheckSql))),
     "q_pdf_modify" -> ((qPdfModify _, Some(qPdfModifySql))),
     "q_pdf_encrypt" -> ((qPdfEncrypt _, Some(qPdfEncryptSql))),
+    "q_pdf_quarantine" -> ((qPdfQuarantine _, Some(qPdfQuarantineSql))),
     "q_pdf_assemble" -> ((qPdfAssemble _, None)))
 }

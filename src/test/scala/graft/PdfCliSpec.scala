@@ -97,7 +97,19 @@ class PdfCliSpec extends AnyFunSuite {
     assert(Fields.transliterate("𝔤𝔯𝔞𝔣𝔱") == "graft") // non-BMP math letters via NFKD
     assert(Fields.transliterate("ＦＵＬＬ　ｗｉｄｔｈ") == "FULL width")
     assert(Fields.transliterate("€9 — “fin”") == "EUR9 - \"fin\"")
-    assert(Fields.transliterate("中文") == "") // unmapped planes drop (documented)
+    // round-5 verdict #5: Kana (Hepburn, per-char), Hangul (NFKD to the
+    // fully-mapped jamo block, Revised Romanization), top-frequency CJK
+    // pinyin; uncommon ideographs still drop (documented divergence)
+    assert(Fields.transliterate("中文") == "zhongwen")
+    assert(Fields.transliterate("北京 2024") == "beijing 2024")
+    assert(Fields.transliterate("が") == "ga") // precomposed fold wins over NFKD mark-strip
+    assert(Fields.transliterate("カタカナ") == "katakana")
+    assert(Fields.transliterate("とうきょう") == "toukiyou") // per-char, no digraph context
+    assert(Fields.transliterate("アート") == "a-to")
+    assert(Fields.transliterate("한글") == "hangeul")
+    assert(Fields.transliterate("서울") == "seoul")
+    assert(Fields.transliterate("값") == "gap") // compound trailing jamo ᆹ
+    assert(Fields.transliterate("齉") == "") // uncommon ideograph: drops (documented)
     assert(Fields.sanitizeFilename("Отчёт — Q4.pdf") == "otchet - q4.pdf")
     assert(Fields.sanitizeFilename("com7.pdf") == "_com7.pdf")
     assert(Fields.sanitizeFilename("") == "unnamed")

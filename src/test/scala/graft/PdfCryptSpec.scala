@@ -210,6 +210,24 @@ class PdfCryptSpec extends AnyFunSuite {
     }
   }
 
+  test("non-Standard (certificate) security handler: clear detectable error (q_pdf_quarantine pin)") {
+    val plain = source("uno", "dos")
+    val enc = PdfCrypt.encrypt(PdfParse.parse(plain).toOption.get,
+      ownerPwd = "owner-secret").toOption.get
+    val raw = new String(enc, ISO_8859_1)
+    val at = raw.indexOf("/Filter /Standard")
+    assert(at >= 0, "emitted encrypt dict must carry /Filter /Standard")
+    // same-length handler rewrite (offsets untouched) — the stand-in for
+    // an /Adobe.PubSec certificate-security file
+    val pubsec = (raw.substring(0, at) + "/Filter /PubKeySH" +
+      raw.substring(at + "/Filter /Standard".length)).getBytes(ISO_8859_1)
+    PdfParse.parse(pubsec) match {
+      case Left(e) => assert(e.contains("unsupported encryption filter"),
+        s"wrong error class: $e")
+      case Right(_) => fail("non-Standard security handler must be a clear error")
+    }
+  }
+
   test("an unknown crypt filter method is rejected, not garbage") {
     val plain = source("cfm")
     val enc = PdfCrypt.encryptAes128(PdfParse.parse(plain).toOption.get,
