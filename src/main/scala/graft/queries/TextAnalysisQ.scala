@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import QCache.ScopedCacheOps
@@ -272,7 +273,143 @@ object TextAnalysisQ {
       |FROM pc JOIN uni u1 ON u1.w = pc.w1 JOIN uni u2 ON u2.w = pc.w2
       |ORDER BY pair_count DESC, pc.w1 ASC, pc.w2 ASC LIMIT 200""".stripMargin
 
+  /** Gopher-rule word bounds (Rae et al. use 50..100,000; the lower
+    * bound is tuned to this corpus's 8-100-word docs so the rule
+    * discriminates instead of passing or failing everything). */
+  private val GopherMinWords = 20L
+  private val GopherMaxWords = 100000L
+
+  /** The Gopher required-stopword set (Rae et al. 2021 appendix A1.1);
+    * a doc must contain at least 2 distinct members. */
+  private val gopherStop = Seq("the", "a", "and", "of", "to", "that", "have", "with")
+
+  /** Gopher-style document quality RULES (Rae et al. 2021, public paper,
+    * appendix A1.1) — the per-rule filter battery real pretraining
+    * pipelines run alongside the model-based quality score, expressed
+    * EXACTLY: integer counts and cross-multiplied RATIONAL thresholds
+    * (no float ratio ever compared), so both engines agree bit-for-bit.
+    *  - word count in [GopherMinWords, GopherMaxWords];
+    *  - mean word length in [3, 10]: 3n <= sum_wchars <= 10n;
+    *  - >= 80% of words contain an alphabetic char: 5*alpha >= 4n;
+    *  - >= 2 distinct required stopwords present;
+    *  - repetition: <= 20% of word chars inside occurrences of the
+    *    single most frequent word 2-gram (count x gram chars, space
+    *    excluded; ties broken by gram text): 5*top2_chars <= sum_wchars.
+    * The paper's symbol-ratio and bullet-/ellipsis-line rules are
+    * newline- and symbol-dependent; this corpus has neither (verified),
+    * so they are documented as inapplicable rather than silently passed.
+    *
+    * Scale shape: one tokenize+explode pass; per-doc aggregates are
+    * partial-agg map-side; the 2-gram relation shuffles on (doc, gram)
+    * then one doc-width window bounded by the doc's own gram count —
+    * nothing corpus-wide. */
+  def qGopherRules(s: SparkSession, dir: String): DataFrame = {
+    val words = documents(s, dir)
+      .select(col("doc_id"), posexplode(split(trim(col("text")), "\\s+")).as(Seq("i", "w")))
+      .scopedCache() // two consumers: per-doc stats + 2-gram top-1
+    val stats = words.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_words"),
+      sum(length(col("w"))).cast("long").as("sum_wchars"),
+      sum(when(col("w").rlike("[A-Za-z]"), 1L).otherwise(0L)).as("n_alpha"),
+      countDistinct(when(col("w").isInCollection(gopherStop), col("w"))).as("n_stop"))
+    val gw = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val topW = Window.partitionBy(col("doc_id"))
+      .orderBy(col("cnt").desc, col("gram"))
+    val top2 = words
+      .withColumn("nxt", lead(col("w"), 1).over(gw))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), concat(col("w"), lit(" "), col("nxt")).as("gram"),
+        (length(col("w")) + length(col("nxt"))).cast("long").as("gchars"))
+      .groupBy(col("doc_id"), col("gram"), col("gchars"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(topW))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), (col("cnt") * col("gchars")).as("top2_chars"))
+    val flag = (c: Column) => when(c, 1).otherwise(0).cast("int")
+    stats.join(top2, Seq("doc_id"), "left")
+      .withColumn("top2_chars", coalesce(col("top2_chars"), lit(0L)))
+      .withColumn("r_nwords", flag(col("n_words") >= GopherMinWords &&
+        col("n_words") <= GopherMaxWords))
+      .withColumn("r_wordlen", flag(lit(3L) * col("n_words") <= col("sum_wchars") &&
+        col("sum_wchars") <= lit(10L) * col("n_words")))
+      .withColumn("r_alpha", flag(lit(5L) * col("n_alpha") >= lit(4L) * col("n_words")))
+      .withColumn("r_stop", flag(col("n_stop") >= 2))
+      .withColumn("r_rep", flag(lit(5L) * col("top2_chars") <= col("sum_wchars")))
+      .withColumn("kept", flag(col("r_nwords") + col("r_wordlen") + col("r_alpha") +
+        col("r_stop") + col("r_rep") === 5))
+      .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+        col("sum_wchars"), col("n_alpha").cast("long").as("n_alpha"),
+        col("n_stop").cast("long").as("n_stop"), col("top2_chars"),
+        col("r_nwords"), col("r_wordlen"), col("r_alpha"), col("r_stop"),
+        col("r_rep"), col("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qGopherRulesSql: String = {
+    val sw = gopherStop.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+       |w AS (SELECT doc_id, CAST(i AS INT) AS i, toks[CAST(i AS INT)] AS w
+       |      FROM t, UNNEST(generate_series(1, length(toks))) AS u(i)),
+       |st AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |         CAST(SUM(length(w)) AS BIGINT) AS sum_wchars,
+       |         CAST(SUM(CASE WHEN regexp_matches(w, '[A-Za-z]') THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
+       |         CAST(COUNT(DISTINCT CASE WHEN list_contains($sw, w) THEN w END) AS BIGINT) AS n_stop
+       |       FROM w GROUP BY doc_id),
+       |g AS (SELECT doc_id, a.w || ' ' || b.w AS gram,
+       |        CAST(length(a.w) + length(b.w) AS BIGINT) AS gchars
+       |      FROM w a JOIN w b USING (doc_id) WHERE b.i = a.i + 1),
+       |gc AS (SELECT doc_id, gram, gchars, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram, gchars),
+       |tp AS (SELECT doc_id, cnt * gchars AS top2_chars FROM (
+       |        SELECT doc_id, cnt, gchars,
+       |               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn
+       |        FROM gc) WHERE rn = 1)
+       |SELECT st.doc_id, n_words, sum_wchars, n_alpha, n_stop,
+       |  CAST(COALESCE(tp.top2_chars, 0) AS BIGINT) AS top2_chars,
+       |  CAST(CASE WHEN n_words >= $GopherMinWords AND n_words <= $GopherMaxWords THEN 1 ELSE 0 END AS INT) AS r_nwords,
+       |  CAST(CASE WHEN 3 * n_words <= sum_wchars AND sum_wchars <= 10 * n_words THEN 1 ELSE 0 END AS INT) AS r_wordlen,
+       |  CAST(CASE WHEN 5 * n_alpha >= 4 * n_words THEN 1 ELSE 0 END AS INT) AS r_alpha,
+       |  CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS INT) AS r_stop,
+       |  CAST(CASE WHEN 5 * COALESCE(tp.top2_chars, 0) <= sum_wchars THEN 1 ELSE 0 END AS INT) AS r_rep,
+       |  CAST(CASE WHEN n_words >= $GopherMinWords AND n_words <= $GopherMaxWords
+       |        AND 3 * n_words <= sum_wchars AND sum_wchars <= 10 * n_words
+       |        AND 5 * n_alpha >= 4 * n_words AND n_stop >= 2
+       |        AND 5 * COALESCE(tp.top2_chars, 0) <= sum_wchars THEN 1 ELSE 0 END AS INT) AS kept
+       |FROM st LEFT JOIN tp ON tp.doc_id = st.doc_id
+       |ORDER BY st.doc_id""".stripMargin
+  }
+
+  /** Power-law length HISTOGRAM per source: docs bucketed by
+    * floor(log2(n_chars)) — computed EXACTLY as `length(bin(n)) - 1`
+    * (the bit length of the integer), never a transcendental log — the
+    * shape chart a corpus card plots and the partition-sizing input a
+    * 100 TB writer reads (how much mass sits in the mega-doc tail).
+    * One groupBy with map-side partial agg, at most ~64 x #sources
+    * rows. */
+  def qLengthHist(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("source"),
+        expr("CAST(length(bin(length(text))) - 1 AS INT)").as("log2_bucket"),
+        length(col("text")).cast("long").as("n"))
+      .groupBy(col("source"), col("log2_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_chars"),
+        min(col("n")).as("min_chars"), max(col("n")).as("max_chars"))
+      .orderBy(col("source"), col("log2_bucket"))
+
+  val qLengthHistSql: String =
+    """SELECT source,
+      |  CAST(length(bin(length(text))) - 1 AS INT) AS log2_bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+      |  CAST(MIN(length(text)) AS BIGINT) AS min_chars,
+      |  CAST(MAX(length(text)) AS BIGINT) AS max_chars
+      |FROM documents WHERE length(text) > 0
+      |GROUP BY source, log2_bucket
+      |ORDER BY source, log2_bucket""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_gopher_rules" -> ((qGopherRules _, Some(qGopherRulesSql))),
+    "q_length_hist" -> ((qLengthHist _, Some(qLengthHistSql))),
     "q_cooccur" -> ((qCooccur _, Some(qCooccurSql))),
     "q_bigram_familiarity" -> ((qBigramFamiliarity _, Some(qBigramFamiliaritySql))),
     "q_token_count" -> ((qTokenCount _, Some(qTokenCountSql))),

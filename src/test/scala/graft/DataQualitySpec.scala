@@ -39,6 +39,32 @@ class DataQualitySpec extends AnyFunSuite {
     bad.foreach(r => assert(!r.getAs[Boolean]("pass"), r.getAs[String]("check_name")))
   }
 
+  test("gopher rules: each rule fires on its planted violation, clean doc keeps") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("gopher_spec").toString
+    // 102 words, every 2-gram unique (so r_rep passes), stopwords the+a
+    val clean = (0 until 50).map(i => s"uu$i vv$i").mkString(" ") + " the a"
+    Seq(
+      (0L, clean, "en", "src0"),                                     // passes everything
+      (1L, "the a tiny doc", "en", "src0"),                          // fails r_nwords (4 words)
+      (2L, Seq.fill(40)("spark table").mkString(" "), "en", "src0"), // fails r_rep (one 2-gram dominates) + r_stop
+      (3L, (0 until 25).map(i => s"w$i").mkString(" "), "en", "src0") // fails r_stop (no stopwords)
+    ).toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = graft.queries.TextAnalysisQ.qGopherRules(spark, d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def flags(id: Long) = (rows(id).getAs[Int]("r_nwords"), rows(id).getAs[Int]("r_stop"),
+      rows(id).getAs[Int]("r_rep"), rows(id).getAs[Int]("kept"))
+    assert(flags(0L) == ((1, 1, 1, 1)), s"clean doc: ${flags(0L)}")
+    assert(rows(1L).getAs[Int]("r_nwords") == 0 && rows(1L).getAs[Int]("kept") == 0)
+    assert(rows(2L).getAs[Int]("r_rep") == 0 && rows(2L).getAs[Int]("kept") == 0)
+    assert(rows(3L).getAs[Int]("r_stop") == 0 && rows(3L).getAs[Int]("kept") == 0)
+    // repetition accounting: doc 2 is 80 words of one repeated pair —
+    // the top 2-gram ("spark table" or "table spark") covers ~half the
+    // word chars, far past the 20% bound
+    assert(rows(2L).getAs[Long]("top2_chars") * 5 > rows(2L).getAs[Long]("sum_wchars"))
+  }
+
   test("jsonl round-trip: hostile strings survive write -> read exactly") {
     import spark.implicits._
     val hostile = Seq(
