@@ -92,6 +92,67 @@ object DedupQ {
       |FROM fps
       |ORDER BY doc_id""".stripMargin
 
+  /** Duplicate-cluster SIZE PROFILE — the dedup audit chart every
+    * large-corpus dedup paper publishes (e.g. Lee et al. 2021 fig. 1:
+    * cluster-size distribution is heavy-tailed): for each exact-dup
+    * cluster size k, how many clusters have exactly k members, how many
+    * documents they cover, and how many are removable excess
+    * (k-1 per cluster). Reading this BEFORE running the dedup job is
+    * how a 100 TB pipeline sizes the win (n_excess / sum(n_docs) is the
+    * fraction deleted) and spots pathological mega-clusters (a boiler-
+    * plate page duplicated 10^6 times shows up as one huge-k row).
+    *
+    * The synthetic corpus is exact-dup-FREE (every q_dedup_exact
+    * n_copies is 1), which would make this row a single vacuous bucket —
+    * so, per the q_corrupt_quarantine/q_pdf_quarantine convention, the
+    * query INJECTS deterministic duplicate tiers the oracle re-derives
+    * from doc_id rules alone: docs with doc_id % 7 == 0 gain an
+    * UPPER-CASED copy, docs with doc_id % 21 == 0 additionally gain a
+    * doubled-whitespace copy — so cluster sizes 1, 2 and 3 all appear,
+    * and the variant copies hash equal ONLY because [[exactFp]]'s
+    * normalization (lowercase + whitespace collapse) works identically
+    * in both engines; a normalization regression hash-mismatches this
+    * row. Production call sites run the same two aggregations on raw
+    * fingerprints (no injection).
+    *
+    * Plan: groupBy(fp) with map-side partial agg collapses the (corpus
+    * + injected copies) to the distinct-fingerprint relation, then a
+    * second partial agg over that (already small) relation down to
+    * <= max-cluster-size rows. All counts exact integers. */
+  def qDupProfile(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val base = docs.select(exactFp(col("text")).as("fp"))
+    val upperCopies = docs.filter(col("doc_id") % 7 === 0)
+      .select(exactFp(upper(col("text"))).as("fp"))
+    val spacedCopies = docs.filter(col("doc_id") % 21 === 0)
+      .select(exactFp(expr("replace(text, ' ', '  ')")).as("fp"))
+    base.union(upperCopies).union(spacedCopies)
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("k").as("cluster_size"), col("n_clusters"),
+        (col("k") * col("n_clusters")).as("n_docs"),
+        ((col("k") - 1) * col("n_clusters")).as("n_excess"))
+      .orderBy(col("cluster_size"))
+  }
+
+  val qDupProfileSql: String =
+    """WITH all_fps AS (
+      |  SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp FROM documents
+      |  UNION ALL
+      |  SELECT md5(lower(regexp_replace(upper(text), '\s+', ' ', 'g')))
+      |  FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT md5(lower(regexp_replace(replace(text, ' ', '  '), '\s+', ' ', 'g')))
+      |  FROM documents WHERE doc_id % 21 = 0),
+      |c AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS k FROM all_fps GROUP BY 1)
+      |SELECT k AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+      |  CAST(k * COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST((k - 1) * COUNT(*) AS BIGINT) AS n_excess
+      |FROM c GROUP BY k
+      |ORDER BY cluster_size""".stripMargin
+
   /** Character 4-gram shingles of the normalized text, distinct per doc.
     * Shingling itself is the scalable explode: one row per (doc, gram). */
   private def shingles(s: SparkSession, dir: String, maxDocId: Option[Long]): DataFrame = {
@@ -1227,6 +1288,7 @@ object DedupQ {
     "q_para_dedup" -> ((qParaDedup _, Some(qParaDedupSql))),
     "q_dedup_exact" -> ((qDedupExact _, Some(qDedupExactSql))),
     "q_dedup_soft" -> ((qDedupSoft _, Some(qDedupSoftSql))),
+    "q_dup_profile" -> ((qDupProfile _, Some(qDupProfileSql))),
     "q_minhash_lsh" -> ((qMinhashLsh _, Some(qMinhashLshSql))),
     "q_minhash_calibration" -> ((qMinhashCalibration _, Some(qMinhashCalibrationSql))),
     "q_lsh_bucket_profile" -> ((qLshBucketProfile _, Some(qLshBucketProfileSql))),

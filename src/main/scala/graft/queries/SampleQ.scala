@@ -228,6 +228,75 @@ object SampleQ {
        |FROM r WHERE rk <= $DomainCap
        |ORDER BY source, rk""".stripMargin
 
+  /** Languages capped at this many epochs in the UniMax allocation. */
+  val UniMaxEpochCap = 5L
+
+  /** Token budget as a multiple of the corpus's available tokens. */
+  val UniMaxBudgetX = 4L
+
+  /** UniMax language-sampling allocation (Chung et al. 2023, ICLR —
+    * "UniMax: Fairer and More Effective Language Sampling for
+    * Large-Scale Multilingual Pretraining", public paper): given a
+    * total token budget B = [[UniMaxBudgetX]] x the corpus's available
+    * tokens and a per-language cap of [[UniMaxEpochCap]] epochs, spread
+    * the budget as uniformly as possible across languages — a language
+    * whose cap is below its uniform share gets its full cap; the
+    * remainder splits evenly among the rest. Replaces the paper's
+    * sequential greedy (ascending data size, alloc_i = min(cap_i,
+    * floor(remaining / remaining_langs))) with its WATER-FILLING closed
+    * form so no cross-engine sequential fold is needed (the round-4
+    * q_pack_efficiency lesson): sort by cap ascending, language i is
+    * capped iff cap_i*(n-i+1) + prefix_{i-1} <= B — once that predicate
+    * fails it stays false (caps ascend), so the capped set is a prefix
+    * computable with one window prefix-sum. The n-k uncapped languages
+    * share R = B - sum(capped caps): with R = q*(n-k) + r, the first
+    * n-k-r of them (cap-ascending — a total order, lang tie-break) get
+    * q and the last r get q+1, which is EXACTLY what the greedy's
+    * floor-share cascade produces (shares are non-decreasing, so the
+    * remainder surfaces at the tail) — UniMaxSpec pins closed form ==
+    * greedy on randomized instances. Exact to the token.
+    * All arithmetic exact integers (token proxy = (n_chars+3) div 4,
+    * the q_token_budget estimate); integer division only on
+    * non-negative operands, where Spark's `div` (truncate) and
+    * DuckDB's `//` (floor) agree — the one operator spelled per engine.
+    *
+    * Plan: one partial-agg groupBy(lang) collapses the corpus to
+    * <= |languages| rows; every window below runs on that bounded
+    * relation (the q_token_budget precedent — global totals never
+    * touch per-doc data). On this corpus BOTH branches fire: the four
+    * minority languages hit the 5-epoch cap and `en` absorbs the
+    * remaining budget below its cap. */
+  private def unimaxSql(idiv: String): String =
+    s"""WITH t AS (SELECT lang, CAST(SUM((n_chars + 3) $idiv 4) AS BIGINT) AS avail
+       |    FROM documents GROUP BY lang),
+       |c AS (SELECT lang, avail, avail * $UniMaxEpochCap AS cap FROM t),
+       |g AS (SELECT lang, avail, cap,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY cap, lang) AS BIGINT) AS rn,
+       |    SUM(cap) OVER (ORDER BY cap, lang
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pfx,
+       |    CAST(COUNT(*) OVER () AS BIGINT) AS n,
+       |    SUM(avail) OVER () * $UniMaxBudgetX AS budget
+       |  FROM c),
+       |f AS (SELECT *, CASE WHEN cap * (n - rn + 1) + (pfx - cap) <= budget
+       |    THEN 1 ELSE 0 END AS capped FROM g),
+       |s AS (SELECT *, SUM(capped) OVER () AS k,
+       |    SUM(capped * cap) OVER () AS pk FROM f),
+       |a AS (SELECT lang, avail, cap, capped,
+       |    CASE WHEN capped = 1 THEN cap
+       |         ELSE (budget - pk) $idiv (n - k)
+       |              + (CASE WHEN rn - k > (n - k) - ((budget - pk) % (n - k))
+       |                 THEN 1 ELSE 0 END) END AS alloc
+       |  FROM s)
+       |SELECT lang, avail AS avail_tokens, cap AS cap_tokens,
+       |  CAST(capped AS BIGINT) AS is_capped,
+       |  CAST(alloc AS BIGINT) AS alloc_tokens,
+       |  CAST((100 * alloc) $idiv (CASE WHEN avail < 1 THEN 1 ELSE avail END)
+       |       AS BIGINT) AS epochs_x100
+       |FROM a ORDER BY lang""".stripMargin
+
+  private[graft] val unimaxSparkSql: String = unimaxSql("div")
+  private[graft] val unimaxDuckSql: String = unimaxSql("//")
+
   private def run(sql: String)(s: SparkSession, dir: String): DataFrame = {
     s.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
     s.sql(sql)
@@ -242,5 +311,6 @@ object SampleQ {
     "q_weighted_sample" -> ((run(weightedSql) _, Some(weightedSql))),
     "q_consistent_shard" -> ((run(consistentShardSql) _, Some(consistentShardSql))),
     "q_token_budget" -> ((run(tokenBudgetSql) _, Some(tokenBudgetSql))),
+    "q_unimax_alloc" -> ((run(unimaxSparkSql) _, Some(unimaxDuckSql))),
     "q_domain_cap" -> ((qDomainCap _, Some(domainCapSql))))
 }

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.DedupQ
+
+/** q_dup_profile pins: the cluster-size histogram on a planted corpus
+  * (known duplicate groups, including whitespace/case variants that the
+  * shared exactFp normalization must merge) and the injected-tier law
+  * on the real corpus — the synthetic corpus is exact-dup-free, so the
+  * query plants deterministic duplicate tiers (doc_id % 7 upper-cased
+  * copy, doc_id % 21 doubled-whitespace copy) and the histogram must
+  * equal exactly what those rules predict. */
+class DupProfileSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("planted corpus: histogram rows are exact, norm merges variants") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("dup_profile").toString
+    // doc_ids deliberately avoid the % 7 injection tiers so the planted
+    // clusters alone determine the histogram
+    Seq(
+      (1L, "Hello  World", "en", "src0"),   // cluster of 3 after norm
+      (2L, "hello world", "en", "src1"),
+      (3L, "HELLO   world", "en", "src2"),
+      (4L, "other text", "en", "src0"),     // cluster of 2
+      (5L, "other  TEXT", "en", "src1"),
+      (6L, "unique doc", "en", "src0")      // singleton
+    ).toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = DedupQ.qDupProfile(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 1L, 1L, 0L), (2L, 1L, 2L, 1L), (3L, 1L, 3L, 2L)))
+  }
+
+  test("real corpus: histogram equals the injected-tier prediction") {
+    val dir = "/root/testdata/sf0.001"
+    // precondition the prediction relies on: the raw corpus has no
+    // exact duplicates of its own
+    val exact = DedupQ.qDedupExact(spark, dir).collect().map(_.getLong(2))
+    assert(exact.forall(_ == 1L), "corpus gained natural exact dups")
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val n3 = ids.count(_ % 21 == 0).toLong            // base + upper + spaced
+    val n2 = ids.count(_ % 7 == 0).toLong - n3        // base + upper
+    val n1 = ids.length.toLong - n2 - n3
+    val expect = Seq(
+      (1L, n1, n1, 0L), (2L, n2, 2 * n2, n2), (3L, n3, 3 * n3, 2 * n3))
+      .filter(_._2 > 0)
+    val got = DedupQ.qDupProfile(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expect)
+    // coverage law: histogram docs sum to corpus + injected copies
+    // (one upper copy per % 7 doc, one spaced copy per % 21 doc)
+    assert(got.map(_._3).sum == ids.length + (n2 + n3) + n3)
+  }
+}
