@@ -310,12 +310,11 @@ object IndexQ {
     * partial agg; the only corpus-wide shuffle is the initial word count
     * (map-side combine) and the final per-doc agg. No per-round pass
     * ever touches the corpus. */
-  def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
-    val docWords = documents(s, dir)
-      .select(col("doc_id"), explode(split(trim(norm(col("text"))), " ")).as("word"))
-      .filter(length(col("word")) > 0)
-      .scopedCache() // feeds training freqs AND the apply join
-    val words = docWords.groupBy(col("word")).agg(count(lit(1)).as("freq"))
+  /** Train [[BpeRounds]] merges on the word-frequency relation and
+    * return the (word, n_syms) post-merge symbol-count map — the
+    * vocab-sized broadcast side of every tokenizer-apply join. Shared
+    * by qBpeEncode (per-doc) and qTokenizerFertility (per-lang). */
+  private def bpeVocab(words: DataFrame): DataFrame = {
     var vocab = words.select(col("word"),
       concat_ws(" ", split(col("word"), "")).as("syms"), col("freq"))
     (1 to BpeRounds).foreach { _ =>
@@ -337,8 +336,17 @@ object IndexQ {
           col("freq"))
         .scopedCache()
     }
-    val vmap = vocab.select(col("word"),
+    vocab.select(col("word"),
       size(split(col("syms"), " ")).cast("long").as("n_syms"))
+  }
+
+  def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docWords = documents(s, dir)
+      .select(col("doc_id"), explode(split(trim(norm(col("text"))), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .scopedCache() // feeds training freqs AND the apply join
+    val words = docWords.groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val vmap = bpeVocab(words)
     docWords.join(broadcast(vmap), Seq("word"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"),
@@ -364,10 +372,70 @@ object IndexQ {
        |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q_tokenizer_fertility — per-language tokens-per-word audit
+  // ---------------------------------------------------------------------
+
+  /** Tokenizer FERTILITY per language — the multilingual-equity audit
+    * (fertility = subword tokens per word; see e.g. the XLM-R and
+    * NLLB tokenizer analyses, public papers): a tokenizer trained on a
+    * skewed corpus fragments minority languages into more tokens per
+    * word, so their documents consume more sequence budget per unit of
+    * text — the per-language cost curve that q_unimax_alloc's epoch
+    * budgeting and q_token_budget's mixture planning should be read
+    * against. Reports, per language: word/char/BPE-token counts under
+    * the [[BpeRounds]] learned merges, fertility in exact basis points
+    * (10000*tokens div words), and chars-per-token x100 (the
+    * compression ratio) — integer division on non-negative operands
+    * only, no float ratio compared.
+    *
+    * Plan: same shape as the qBpeEncode apply pass (merges learned on
+    * the vocab-sized word-frequency relation, symbol counts joined
+    * back as a BROADCAST), with the final partial agg on lang instead
+    * of doc_id — output <= |languages| rows. */
+  def qTokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    val langWords = documents(s, dir)
+      .select(col("lang"), explode(split(trim(norm(col("text"))), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .scopedCache() // feeds training freqs AND the apply join
+    val words = langWords.groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val vmap = bpeVocab(words)
+    langWords.join(broadcast(vmap), Seq("word"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word"))).cast("long").as("n_chars"),
+        sum(col("n_syms")).cast("long").as("n_tokens"))
+      .select(col("lang"), col("n_words"), col("n_chars"), col("n_tokens"),
+        expr("CAST((10000 * n_tokens) div n_words AS BIGINT)").as("fertility_bp"),
+        expr("CAST((100 * n_chars) div n_tokens AS BIGINT)").as("chars_per_token_x100"))
+      .orderBy(col("lang"))
+  }
+
+  val qTokenizerFertilitySql: String = {
+    val roundCtes = bpeRoundCtesSql("word, ")
+    s"""WITH dw AS (SELECT lang, word FROM
+       |    (SELECT lang, unnest($duckToks) AS word FROM documents) t
+       |  WHERE length(word) > 0),
+       |w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM dw GROUP BY word),
+       |s0 AS (SELECT word, array_to_string(string_split(word, ''), ' ') AS syms, freq FROM w),
+       |$roundCtes,
+       |v AS (SELECT word, CAST(len(string_split(syms, ' ')) AS BIGINT) AS n_syms
+       |      FROM s$BpeRounds),
+       |agg AS (SELECT dw.lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |    CAST(SUM(length(dw.word)) AS BIGINT) AS n_chars,
+       |    CAST(SUM(v.n_syms) AS BIGINT) AS n_tokens
+       |  FROM dw JOIN v USING (word) GROUP BY dw.lang)
+       |SELECT lang, n_words, n_chars, n_tokens,
+       |  CAST((10000 * n_tokens) // n_words AS BIGINT) AS fertility_bp,
+       |  CAST((100 * n_chars) // n_tokens AS BIGINT) AS chars_per_token_x100
+       |FROM agg ORDER BY lang""".stripMargin
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_inverted_index" -> ((qInvertedIndex _, Some(qInvertedIndexSql))),
     "q_scd2" -> ((qScd2 _, Some(qScd2Sql))),
     "q_vocab_coverage" -> ((qVocabCoverage _, Some(qVocabCoverageSql))),
     "q_bpe_merges" -> ((qBpeMerges _, Some(qBpeMergesSql))),
-    "q_bpe_encode" -> ((qBpeEncode _, Some(qBpeEncodeSql))))
+    "q_bpe_encode" -> ((qBpeEncode _, Some(qBpeEncodeSql))),
+    "q_tokenizer_fertility" -> ((qTokenizerFertility _, Some(qTokenizerFertilitySql))))
 }

@@ -147,4 +147,28 @@ class IndexQSpec extends AnyFunSuite {
     // non-vacuous: the merges must have fired somewhere
     assert(got.exists { case (_, _, nc, nt) => nt < nc }, "no merge ever applied")
   }
+
+  test("q_tokenizer_fertility: per-lang rows are the lang-grouped sums of q_bpe_encode") {
+    // cross-query consistency: both run the same trained vocab, so the
+    // per-lang aggregates must equal q_bpe_encode's per-doc counts
+    // grouped by the document's language
+    val docLang = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perDoc = IndexQ.qBpeEncode(spark, dir).collect()
+      .map(r => (docLang(r.getLong(0)), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expect = perDoc.groupBy(_._1).view.mapValues { g =>
+      (g.map(_._2).sum, g.map(_._3).sum, g.map(_._4).sum)
+    }.toMap
+    val got = IndexQ.qTokenizerFertility(spark, dir).collect()
+    assert(got.map(_.getString(0)).toSet == expect.keySet)
+    got.foreach { r =>
+      val (lang, nw, nc, nt) = (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert((nw, nc, nt) == expect(lang), s"lang $lang aggregates")
+      // fertility is exact integer basis points with its documented bounds:
+      // every word is at least one token, no word outgrows its chars
+      assert(r.getLong(4) == 10000L * nt / nw && r.getLong(4) >= 10000L, s"lang $lang fertility")
+      assert(r.getLong(5) == 100L * nc / nt, s"lang $lang compression")
+    }
+  }
 }
