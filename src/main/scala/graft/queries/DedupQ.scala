@@ -115,18 +115,22 @@ object DedupQ {
     * row. Production call sites run the same two aggregations on raw
     * fingerprints (no injection).
     *
-    * Plan: groupBy(fp) with map-side partial agg collapses the (corpus
-    * + injected copies) to the distinct-fingerprint relation, then a
-    * second partial agg over that (already small) relation down to
+    * Plan: ONE corpus scan (a UNION of per-tier filtered scans would
+    * re-read the text column per tier — the doc_id % k predicates
+    * don't push to parquet): the injected copies ride out of the scan
+    * as a conditional array explode (plain codegen'd expressions, no
+    * HOFs), then groupBy(fp) with map-side partial agg collapses
+    * (corpus + copies) to the distinct-fingerprint relation and a
+    * second partial agg over that (already small) relation yields
     * <= max-cluster-size rows. All counts exact integers. */
-  def qDupProfile(s: SparkSession, dir: String): DataFrame = {
-    val docs = documents(s, dir)
-    val base = docs.select(exactFp(col("text")).as("fp"))
-    val upperCopies = docs.filter(col("doc_id") % 7 === 0)
-      .select(exactFp(upper(col("text"))).as("fp"))
-    val spacedCopies = docs.filter(col("doc_id") % 21 === 0)
-      .select(exactFp(expr("replace(text, ' ', '  ')")).as("fp"))
-    base.union(upperCopies).union(spacedCopies)
+  def qDupProfile(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(explode(array(
+        exactFp(col("text")),
+        when(col("doc_id") % 7 === 0, exactFp(upper(col("text")))),
+        when(col("doc_id") % 21 === 0, exactFp(expr("replace(text, ' ', '  ')")))
+      )).as("fp"))
+      .filter(col("fp").isNotNull)
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("k"))
       .groupBy(col("k"))
@@ -135,7 +139,6 @@ object DedupQ {
         (col("k") * col("n_clusters")).as("n_docs"),
         ((col("k") - 1) * col("n_clusters")).as("n_excess"))
       .orderBy(col("cluster_size"))
-  }
 
   val qDupProfileSql: String =
     """WITH all_fps AS (
