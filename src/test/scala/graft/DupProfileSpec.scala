@@ -63,4 +63,14 @@ class DupProfileSpec extends AnyFunSuite {
     // (one upper copy per % 7 doc, one spaced copy per % 21 doc)
     assert(got.map(_._3).sum == ids.length + (n2 + n3) + n3)
   }
+
+  test("plan: one corpus scan only (injected tiers must not re-read text)") {
+    // regression pin for the single-scan rewrite: per-tier filtered
+    // scans would triple-read the text column (doc_id % k predicates
+    // don't push to parquet)
+    val plan = DedupQ.qDupProfile(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet|Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected exactly one parquet scan, got $scans:\n$plan")
+  }
 }
