@@ -143,19 +143,43 @@ object PdfCrypt {
   private[graft] def hash2B(pwd: Array[Byte], salt: Array[Byte],
       udata: Array[Byte]): Array[Byte] = {
     var k = sha("SHA-256", pwd, salt, udata)
+    // Round buffers (unit / 64-copy block / ciphertext) are reused across
+    // the >= 64 rounds: K varies 32/48/64 bytes by round, so the buffers
+    // are sized for the max and sliced by the round's true length. The
+    // per-round `pwd ++ k ++ udata` + two fresh ~5 KB arrays were the
+    // dominant allocation of the battery's crypto path, and ALLOCATION
+    // RATE (not crypto) is the measured 32-thread wall on this host
+    // (CLAUDE.md crypto lessons). Byte-for-byte the same chain.
+    val maxUnit = pwd.length + 64 + udata.length
+    val unit = new Array[Byte](maxUnit)
+    val k1 = new Array[Byte](maxUnit * 64)
+    val e = new Array[Byte](maxUnit * 64)
     var i = 0
     var done = false
     while (!done) {
-      val unit = pwd ++ k ++ udata
-      val k1 = new Array[Byte](unit.length * 64)
+      val ulen = pwd.length + k.length + udata.length
+      System.arraycopy(pwd, 0, unit, 0, pwd.length)
+      System.arraycopy(k, 0, unit, pwd.length, k.length)
+      System.arraycopy(udata, 0, unit, pwd.length + k.length, udata.length)
       var j = 0
-      while (j < 64) { System.arraycopy(unit, 0, k1, j * unit.length, unit.length); j += 1 }
-      val e = aesCbc(encryptMode = true, k.take(16), k.slice(16, 32), k1, padded = false)
-      val mod = e.take(16).map(_ & 0xFF).sum % 3
-      val alg = if (mod == 0) "SHA-256" else if (mod == 1) "SHA-384" else "SHA-512"
-      k = sha(alg, e)
+      while (j < 64) { System.arraycopy(unit, 0, k1, j * ulen, ulen); j += 1 }
+      val c = cipherFor("AES/CBC/NoPadding")
+      c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(k, 0, 16, "AES"),
+        new IvParameterSpec(k, 16, 16))
+      val elen = c.doFinal(k1, 0, ulen * 64, e)
+      var sum = 0
+      var t = 0
+      while (t < 16) { sum += e(t) & 0xFF; t += 1 }
+      val alg = (sum % 3) match {
+        case 0 => "SHA-256"
+        case 1 => "SHA-384"
+        case _ => "SHA-512"
+      }
+      val d = digestFor(alg)
+      d.update(e, 0, elen)
+      k = d.digest()
       i += 1
-      done = i >= 64 && (e(e.length - 1) & 0xFF) <= i - 32
+      done = i >= 64 && (e(elen - 1) & 0xFF) <= i - 32
     }
     k.take(32)
   }

@@ -294,6 +294,24 @@ object CorpusQ {
       .groupBy(col("source"), col("bucket")).agg(max(col("rho")).as("m"))
   }
 
+  /** [[hllRegisters]] plus the per-bucket DISTINCT fingerprint count —
+    * lets qApproxDistinct derive the exact NDV from the same single
+    * scan (bucket = f(fp), so per-source NDV = SUM of per-bucket
+    * distincts). */
+  private def hllRegistersExact(docs: DataFrame): DataFrame = {
+    val fp = graft.queries.DedupQ.exactFp(col("text"))
+    val v = expr("CAST(conv(substr(fp, 1, 15), 16, 10) AS BIGINT)")
+    docs
+      .select(col("source"), fp.as("fp"))
+      .select(col("source"), col("fp"),
+        shiftright(v, 55).as("bucket"),
+        (v.bitwiseAND(lit((1L << 55) - 1))).as("w"))
+      .withColumn("rho",
+        when(col("w") === 0L, lit(56)).otherwise(lit(56) - length(bin(col("w")))))
+      .groupBy(col("source"), col("bucket"))
+      .agg(max(col("rho")).as("m"), countDistinct(col("fp")).as("nfp"))
+  }
+
   /** The dataset "data card" — the one-table datasheet a corpus release
     * ships with: per SOURCE and as a grand TOTAL (one rollup — a single
     * Expand + one partial-agg shuffle, never two scans): doc/char/token
@@ -344,13 +362,17 @@ object CorpusQ {
       |ORDER BY source""".stripMargin
 
   def qApproxDistinct(s: SparkSession, dir: String): DataFrame = {
-    val regs = hllRegisters(documents(s, dir).select(col("source"), col("text")))
+    // ONE corpus scan: the HLL bucket is a pure function of the md5
+    // fingerprint, so distinct fps partition by (source, bucket) and the
+    // exact NDV is the SUM of per-bucket distinct counts — the old shape
+    // scanned the corpus twice (normalize+md5 per scan: once for the
+    // registers, once for countDistinct) and joined the two aggregates.
+    // Same n_exact, same registers, identical output.
+    val regs = hllRegistersExact(documents(s, dir).select(col("source"), col("text")))
     regs.groupBy(col("source"))
       .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 56 - m)")).as("s_present"),
-        count(lit(1)).as("n_buckets"))
-      .join(documents(s, dir).groupBy(col("source"))
-        .agg(countDistinct(graft.queries.DedupQ.exactFp(col("text"))).as("n_exact")),
-        Seq("source"))
+        count(lit(1)).as("n_buckets"),
+        sum(col("nfp")).as("n_exact"))
       .select(col("source"), col("n_exact"), expr(EstimateExpr).as("n_est"))
       .orderBy(col("source"))
   }

@@ -222,9 +222,6 @@ object DedupQ {
   private def lshBandsOf(docs: DataFrame): DataFrame =
     bandsFromSig(minhash16(docs), 4)
 
-  private def lshBands(s: SparkSession, dir: String): DataFrame =
-    lshBandsOf(documents(s, dir).select(col("doc_id"), col("text")))
-
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -270,7 +267,21 @@ object DedupQ {
   private val bandsMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def cachedBands(s: SparkSession, dir: String): DataFrame =
-    bandsMemo.getOrElseUpdate((s, dir), lshBands(s, dir).cache())
+    bandsMemo.getOrElseUpdate((s, dir), bandsFromSig(cachedSig(s, dir), 4).cache())
+
+  /** The 16-column MinHash SIGNATURE relation cached per (session, sf
+    * dir) — the layer UNDER the band memo: the shingle -> 16-min-md5
+    * aggregation is the expensive pass, and two queries need the raw
+    * signature rather than the 4x4 banding (qLshTuning re-bands it 3
+    * ways; qMinhashCalibration compares per-component matches). One row
+    * per doc, 16 hex strings: cheap to keep, expensive to recompute.
+    * The band memo derives from it, so the first consumer of EITHER
+    * memo pays the one signature pass. */
+  private val sigMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def cachedSig(s: SparkSession, dir: String): DataFrame =
+    sigMemo.getOrElseUpdate((s, dir),
+      minhash16(documents(s, dir).select(col("doc_id"), col("text"))).cache())
 
   /** MinHash (16 perms via md5 keyed by j) + LSH (4 bands x 4 rows):
     * candidate near-duplicate pairs. The banding is the scale path: docs
@@ -373,7 +384,10 @@ object DedupQ {
       .unionAll(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val candDocs = documents(s, dir).select(col("doc_id"), col("text"))
       .join(candIds, Seq("doc_id"))
-    val mh = minhash16(candDocs)
+    // signatures come warm from the session memo (minhash16 is per-doc,
+    // so the memo rows for candidate ids are exactly minhash16(candDocs));
+    // the ma/mb equi-joins below restrict to pair ids themselves
+    val mh = cachedSig(s, dir)
     val eq = pairs
       .join(mh.as("ma"), col("ma.doc_id") === col("doc_a"))
       .join(mh.as("mb"), col("mb.doc_id") === col("doc_b"))
@@ -623,7 +637,10 @@ object DedupQ {
     val planted = base.filter(col("doc_id") % 23 === 0 && length(col("text")) >= 60)
       .select((col("doc_id") + 2000000L).as("doc_id"),
         concat(expr("substr(text, 1, 24)"), lit("qzx"), expr("substr(text, 28)")).as("text"))
-    val mh = minhash16(base.unionAll(planted)).scopedCache()
+    // per-doc signature of a disjoint-id union == union of per-doc
+    // signatures: the base corpus side comes warm from the session memo
+    // and only the ~1-in-23 planted variants hash fresh
+    val mh = cachedSig(s, dir).unionAll(minhash16(planted)).scopedCache()
     val nPlanted = planted.count()
     Seq(2, 4, 8).map { nBands =>
       val bands = bandsFromSig(mh, nBands)
@@ -764,7 +781,9 @@ object DedupQ {
     val clusters = qDedupCluster(s, dir)
     val lens = s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
-    val joined = clusters.join(lens, "doc_id")
+    // consumed twice (the per-cluster argmax AND the final join): cache
+    // so the cluster window + length join lineage executes once
+    val joined = clusters.join(lens, "doc_id").scopedCache()
     // argmax(n_chars, tie-break MIN doc_id) as a single partial-aggable
     // max(struct(n_chars, -doc_id)) — no row_number window needed
     val canon = joined.groupBy(col("cluster_rep").as("cr"))

@@ -134,6 +134,9 @@ object DeltaQ {
       .join(nRel, Seq("doc_id"))
       .filter(col("rn") <= col("n") - expr("(8 * n + 9) div 10") + 1)
       .select(col("doc_id"), col("fp"), col("n"))
+      // self-joined for candidates: cache so the df-join + per-doc
+      // rarity window runs once, not once per join side
+      .scopedCache()
     // PPJoin's companion LENGTH filter: Jaccard <= min(n_a,n_b)/max(n_a,n_b),
     // so J >= 0.8 is impossible unless 10*min >= 8*max — pairs whose sizes
     // alone preclude the threshold never become candidates (exactness

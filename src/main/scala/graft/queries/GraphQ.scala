@@ -140,8 +140,12 @@ object GraphQ {
     val docs = documents(s, dir)
     val anchors = docs.select(col("doc_id").as("src"),
       element_at(split(trim(col("text")), "\\s+"), 1).as("anchor"))
+    // consumed twice (top-anchor window AND the per-target rollup):
+    // cache the deduped (dst, anchor) counts so the edge-join lineage
+    // executes once — the same self-reuse policy as DedupQ's temporaries
     val pa = linkEdges(docs).join(anchors, Seq("src"))
       .groupBy(col("dst"), col("anchor")).agg(count(lit(1)).as("c"))
+      .scopedCache()
     val top = pa.withColumn("rn",
         row_number().over(Window.partitionBy(col("dst")).orderBy(col("c").desc, col("anchor").asc)))
       .filter(col("rn") === 1)
@@ -242,8 +246,16 @@ object GraphQ {
     for (_ <- 1 to BfsHops) {
       val relaxed = und.join(dist.withColumnRenamed("doc_id", "src"), Seq("src"))
         .groupBy(col("dst")).agg(min(col("dist") + 1).as("mv"))
+      // LAZY checkpoint per round (the connectedComponents technique):
+      // each round references the previous `dist` TWICE (directly and
+      // via `relaxed`), so without truncation the lineage doubles per
+      // round — 2^4 = 16 re-executions of the base by round 4 (measured
+      // 12.3 s vs qPagerank's 2.2 s, whose rounds reference the prior
+      // relation once). The checkpoint adds no action; round N's plan
+      // starts from round N-1's materialized partitions.
       dist = dist.join(relaxed.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"), least(col("dist"), coalesce(col("mv"), lit(Inf))).as("dist"))
+        .localCheckpoint(eager = false)
     }
     dist.select(col("doc_id"),
         when(col("dist") >= Inf, -1L).otherwise(col("dist")).as("dist"),
