@@ -124,31 +124,46 @@ object HocrParse {
     * (parse.go:231-249 pattern). Buckets are filled in the order classes
     * are tested; each matched subtree is not descended further. */
   private def collectByClass(parent: Node, buckets: Seq[(String, ArrayBuffer[Node])]): Unit = {
+    val bucketArr = buckets.toArray
     def walk(node: Node): Unit = {
       if (node.nodeType == ElementNode) {
         val cls = node.attr("class")
-        val hit = buckets.find { case (c, _) => cls.contains(c) }
-        if (hit.isDefined) { hit.get._2 += node; return }
+        if (cls.nonEmpty) {
+          var bi = 0
+          while (bi < bucketArr.length) {
+            if (cls.contains(bucketArr(bi)._1)) { bucketArr(bi)._2 += node; return }
+            bi += 1
+          }
+        }
       }
       node.children.foreach(walk)
     }
     parent.children.foreach(walk)
   }
 
-  /** processPage (parse.go:196-280). */
+  /** processPage (parse.go:196-280).
+    *
+    * This walk (and the area/para/line/word ones below) accumulates
+    * into locals and constructs each case class ONCE: the previous
+    * copy-per-attribute style allocated 4-6 intermediate instances per
+    * node, and allocation rate is the extraction path's measured
+    * scaling limiter (CLAUDE.md / StageProbe). Field-for-field the same
+    * result, including attr-order overwrite semantics. */
   def processPage(n: Node): HPage = {
-    var page = HPage()
+    var id = ""; var lang = ""; var title = ""
+    var pageNumber = 0; var imageName = ""
+    var bbox = BBox.zero
     n.attrs.foreach { case (k, v) =>
       k match {
-        case "id"   => page = page.copy(id = v)
-        case "lang" => page = page.copy(lang = v)
+        case "id"   => id = v
+        case "lang" => lang = v
         case "title" =>
-          page = page.copy(title = v)
+          title = v
           val props = parseTitle(v)
-          bboxFromProps(props).foreach(b => page = page.copy(bbox = b))
-          props.get("image").foreach(img => if (img.nonEmpty) page = page.copy(imageName = img.head))
+          bboxFromProps(props).foreach(b => bbox = b)
+          props.get("image").foreach(img => if (img.nonEmpty) imageName = img.head)
           props.get("ppageno").foreach(pp =>
-            if (pp.nonEmpty) page = page.copy(pageNumber = GoStrings.atoiOrZero(pp.head)))
+            if (pp.nonEmpty) pageNumber = GoStrings.atoiOrZero(pp.head))
         case _ =>
       }
     }
@@ -156,7 +171,8 @@ object HocrParse {
     val paraNodes = ArrayBuffer.empty[Node]
     val lineNodes = ArrayBuffer.empty[Node]
     collectByClass(n, Seq("ocr_carea" -> areaNodes, "ocr_par" -> paraNodes, "ocr_line" -> lineNodes))
-    page.copy(
+    HPage(id = id, title = title, pageNumber = pageNumber, imageName = imageName,
+      lang = lang, bbox = bbox,
       areas = areaNodes.map(processArea).toVector,
       paragraphs = paraNodes.map(processParagraph).toVector,
       lines = lineNodes.map(processLine).toVector)
@@ -165,16 +181,17 @@ object HocrParse {
   /** processArea (parse.go:283-364): non-bbox title props -> metadata,
     * values joined with " ". */
   def processArea(n: Node): HArea = {
-    var area = HArea()
+    var id = ""; var lang = ""
+    var bbox = BBox.zero
+    var metadata = Map.empty[String, String]
     n.attrs.foreach { case (k, v) =>
       k match {
-        case "id"   => area = area.copy(id = v)
-        case "lang" => area = area.copy(lang = v)
+        case "id"   => id = v
+        case "lang" => lang = v
         case "title" =>
           val props = parseTitle(v)
-          bboxFromProps(props).foreach(b => area = area.copy(bbox = b))
-          val md = props.collect { case (pk, pv) if pk != "bbox" => pk -> pv.mkString(" ") }
-          area = area.copy(metadata = md)
+          bboxFromProps(props).foreach(b => bbox = b)
+          metadata = props.collect { case (pk, pv) if pk != "bbox" => pk -> pv.mkString(" ") }
         case _ =>
       }
     }
@@ -182,49 +199,53 @@ object HocrParse {
     val lineNodes = ArrayBuffer.empty[Node]
     val wordNodes = ArrayBuffer.empty[Node]
     collectByClass(n, Seq("ocr_par" -> paraNodes, "ocr_line" -> lineNodes, "ocrx_word" -> wordNodes))
-    area.copy(
+    HArea(id = id, lang = lang, bbox = bbox,
       paragraphs = paraNodes.map(processParagraph).toVector,
       lines = lineNodes.map(processLine).toVector,
-      words = wordNodes.map(processWord).toVector)
+      words = wordNodes.map(processWord).toVector,
+      metadata = metadata)
   }
 
   /** processParagraph (parse.go:367-436). */
   def processParagraph(n: Node): HPara = {
-    var para = HPara()
+    var id = ""; var lang = ""
+    var bbox = BBox.zero
+    var metadata = Map.empty[String, String]
     n.attrs.foreach { case (k, v) =>
       k match {
-        case "id"   => para = para.copy(id = v)
-        case "lang" => para = para.copy(lang = v)
+        case "id"   => id = v
+        case "lang" => lang = v
         case "title" =>
           val props = parseTitle(v)
-          bboxFromProps(props).foreach(b => para = para.copy(bbox = b))
-          val md = props.collect { case (pk, pv) if pk != "bbox" => pk -> pv.mkString(" ") }
-          para = para.copy(metadata = md)
+          bboxFromProps(props).foreach(b => bbox = b)
+          metadata = props.collect { case (pk, pv) if pk != "bbox" => pk -> pv.mkString(" ") }
         case _ =>
       }
     }
     val lineNodes = ArrayBuffer.empty[Node]
     val wordNodes = ArrayBuffer.empty[Node]
     collectByClass(n, Seq("ocr_line" -> lineNodes, "ocrx_word" -> wordNodes))
-    para.copy(
+    HPara(id = id, lang = lang, bbox = bbox,
       lines = lineNodes.map(processLine).toVector,
-      words = wordNodes.map(processWord).toVector)
+      words = wordNodes.map(processWord).toVector,
+      metadata = metadata)
   }
 
   /** processLine (parse.go:439-495): words found by full recursion with
     * early stop only at ocrx_word nodes. */
   def processLine(n: Node): HLine = {
-    var line = HLine()
+    var id = ""; var lang = ""; var baseline = ""
+    var bbox = BBox.zero
+    var metadata = Map.empty[String, String]
     n.attrs.foreach { case (k, v) =>
       k match {
-        case "id"   => line = line.copy(id = v)
-        case "lang" => line = line.copy(lang = v)
+        case "id"   => id = v
+        case "lang" => lang = v
         case "title" =>
           val props = parseTitle(v)
-          bboxFromProps(props).foreach(b => line = line.copy(bbox = b))
-          props.get("baseline").foreach(b => line = line.copy(baseline = b.mkString(" ")))
-          val md = props.collect { case (pk, pv) if pk != "bbox" && pk != "baseline" => pk -> pv.mkString(" ") }
-          line = line.copy(metadata = md)
+          bboxFromProps(props).foreach(b => bbox = b)
+          props.get("baseline").foreach(b => baseline = b.mkString(" "))
+          metadata = props.collect { case (pk, pv) if pk != "bbox" && pk != "baseline" => pk -> pv.mkString(" ") }
         case _ =>
       }
     }
@@ -235,41 +256,48 @@ object HocrParse {
       } else node.children.foreach(extractWords)
     }
     n.children.foreach(extractWords)
-    line.copy(words = words.toVector)
+    HLine(id = id, lang = lang, bbox = bbox, baseline = baseline,
+      words = words.toVector, metadata = metadata)
   }
 
   /** processWord (parse.go:498-539): title lang overrides attr lang;
     * text only when the node has children. */
   def processWord(n: Node): HWord = {
-    var word = HWord()
+    var id = ""; var lang = ""
+    var bbox = BBox.zero
+    var confidence = 0.0
+    var metadata = Map.empty[String, String]
     n.attrs.foreach { case (k, v) =>
       k match {
-        case "id"   => word = word.copy(id = v)
-        case "lang" => word = word.copy(lang = v)
+        case "id"   => id = v
+        case "lang" => lang = v
         case "title" =>
           val props = parseTitle(v)
-          bboxFromProps(props).foreach(b => word = word.copy(bbox = b))
+          bboxFromProps(props).foreach(b => bbox = b)
           props.get("x_wconf").foreach(c =>
-            if (c.nonEmpty) word = word.copy(confidence = GoStrings.parseFloatOrZero(c.head)))
-          props.get("lang").foreach(l => if (l.nonEmpty) word = word.copy(lang = l.head))
-          val md = props.collect {
+            if (c.nonEmpty) confidence = GoStrings.parseFloatOrZero(c.head))
+          props.get("lang").foreach(l => if (l.nonEmpty) lang = l.head)
+          metadata = props.collect {
             case (pk, pv) if pk != "bbox" && pk != "x_wconf" && pk != "lang" => pk -> pv.mkString(" ")
           }
-          word = word.copy(metadata = md)
         case _ =>
       }
     }
-    if (n.children.nonEmpty) word = word.copy(text = extractTextContent(n))
-    word
+    val text = if (n.children.nonEmpty) extractTextContent(n) else ""
+    HWord(id = id, text = text, bbox = bbox, confidence = confidence,
+      lang = lang, metadata = metadata)
   }
 
   /** extractTextContent (parse.go:542-552): DFS concat of text nodes with
     * TrimSpace at every level (inner trims, then outer trims the concat —
-    * inter-element spaces are dropped). */
+    * inter-element spaces are dropped). Single-text-child fast path (the
+    * overwhelmingly common word shape): trim(trim(x)) == trim(x), so the
+    * builder is skipped. */
   def extractTextContent(n: Node): String = {
     if (n.nodeType == TextNode) return GoStrings.trimSpace(n.data)
-    var text = ""
-    n.children.foreach(c => text += extractTextContent(c))
-    GoStrings.trimSpace(text)
+    if (n.children.length == 1) return GoStrings.trimSpace(extractTextContent(n.children(0)))
+    val sb = new java.lang.StringBuilder
+    n.children.foreach(c => sb.append(extractTextContent(c)))
+    GoStrings.trimSpace(sb.toString)
   }
 }

@@ -145,8 +145,8 @@ object HtmlDom {
             i = if (end < 0) n else end + 1
           case '/' =>
             val end = input.indexOf('>', lt)
-            val name = (if (end < 0) input.substring(lt + 2)
-                        else input.substring(lt + 2, end)).trim.toLowerCase
+            val name = lowerAscii((if (end < 0) input.substring(lt + 2)
+                        else input.substring(lt + 2, end)).trim)
             // pop until a matching open element; ignore stray end tags
             var k = stack.length - 1
             while (k > 0 && stack(k).data != name) k -= 1
@@ -176,6 +176,21 @@ object HtmlDom {
     doc
   }
 
+  /** `toLowerCase` without the copy when the string is already
+    * lowercase ASCII — the overwhelmingly common case for tag and
+    * attribute names on this path, which is allocation-rate-bound
+    * (CLAUDE.md measurement realities). */
+  private def lowerAscii(s: String): String = {
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if ((c >= 'A' && c <= 'Z') || c > 127) return s.toLowerCase
+      i += 1
+    }
+    s
+  }
+
   private def indexOfIgnoreCase(haystack: String, needle: String, from: Int): Int = {
     var i = Math.max(from, 0)
     val limit = haystack.length - needle.length
@@ -194,7 +209,7 @@ object HtmlDom {
     val nameStart = i
     while (i < n && (Character.isLetterOrDigit(input.charAt(i)) ||
            input.charAt(i) == '-' || input.charAt(i) == ':')) i += 1
-    val node = new Node(ElementNode, input.substring(nameStart, i).toLowerCase)
+    val node = new Node(ElementNode, lowerAscii(input.substring(nameStart, i)))
     var selfClosed = false
     var done = false
     while (!done && i < n) {
@@ -210,7 +225,7 @@ object HtmlDom {
           while (i < n && !Character.isWhitespace(input.charAt(i)) &&
                  input.charAt(i) != '=' && input.charAt(i) != '>' &&
                  input.charAt(i) != '/') i += 1
-          val aName = input.substring(aStart, i).toLowerCase
+          val aName = lowerAscii(input.substring(aStart, i))
           while (i < n && Character.isWhitespace(input.charAt(i))) i += 1
           var aVal = ""
           if (i < n && input.charAt(i) == '=') {

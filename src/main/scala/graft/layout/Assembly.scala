@@ -29,27 +29,31 @@ object Assembly {
   def convertLine(
       line: LLine, tokenIndex: ContainmentIndex[LToken], page: LPage, idx: RuneIndex,
       pageNum: Int, blockIdx: Int, paraIdx: Int, lineIdx: Int): HLine = {
-    var ocrLine = HLine(id = s"line_${pageNum}_${blockIdx}_${paraIdx}_$lineIdx")
-    hocrBBox(line.layout, page.dimW, page.dimH).foreach(b => ocrLine = ocrLine.copy(bbox = b))
+    // Locals + single construction per node (no copy-per-field churn):
+    // this is the per-token hot loop of the media assembly path, where
+    // allocation rate is the measured scaling limiter (CLAUDE.md).
     // (baseline branch of hocr.go:433-436 can never fire: the title string
     // built from getHocrBoundingBox only ever contains "bbox".)
-    if (line.detectedLanguages.nonEmpty)
-      ocrLine = ocrLine.copy(lang = line.detectedLanguages.head)
-
+    val lineBBox = hocrBBox(line.layout, page.dimW, page.dimH).getOrElse(BBox.zero)
+    val lineLang =
+      if (line.detectedLanguages.nonEmpty) line.detectedLanguages.head else ""
     val words = Vector.newBuilder[HWord]
     tokenIndex.containedIn(line.layout).foreach { case (token, tidx) =>
       val cleanText = GoStrings.cleanTokenText(
         Anchors.textFromLayout(token.layout, idx), token.hasBreak)
-      var word = HWord(
+      val wBBox = hocrBBox(token.layout, page.dimW, page.dimH).getOrElse(BBox.zero)
+      val wConf = token.layout match {
+        case Some(l) => (l.confidence * 100f).toDouble
+        case None    => 0.0
+      }
+      val wLang =
+        if (token.detectedLanguages.nonEmpty) token.detectedLanguages.head else ""
+      words += HWord(
         id = s"word_${pageNum}_${blockIdx}_${paraIdx}_${lineIdx}_$tidx",
-        text = cleanText)
-      hocrBBox(token.layout, page.dimW, page.dimH).foreach(b => word = word.copy(bbox = b))
-      token.layout.foreach(l => word = word.copy(confidence = (l.confidence * 100f).toDouble))
-      if (token.detectedLanguages.nonEmpty)
-        word = word.copy(lang = token.detectedLanguages.head)
-      words += word
+        text = cleanText, bbox = wBBox, confidence = wConf, lang = wLang)
     }
-    ocrLine.copy(words = words.result())
+    HLine(id = s"line_${pageNum}_${blockIdx}_${paraIdx}_$lineIdx",
+      lang = lineLang, bbox = lineBBox, words = words.result())
   }
 
   /** CreateHOCRPage (hocr.go:76-217): blocks -> areas `carea_p_a`;
