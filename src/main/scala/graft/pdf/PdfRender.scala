@@ -84,7 +84,28 @@ object PdfRender {
     None
   }
 
-  private def f2(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
+  /** "%.2f" with a per-thread memo: word/page geometry comes from small
+    * deterministic grids, so the distinct-coordinate vocabulary is tiny
+    * while the call count is ~5 per word — and each uncached
+    * formatLocal spins up a whole java.util.Formatter (the allocation
+    * churn this host's 32-thread PDF path is bounded by). Same bytes:
+    * the memo stores exactly the formatter's output. Cleared past 64k
+    * entries as a leak guard (never fires on the deterministic grids). */
+  private val f2Cache = new ThreadLocal[java.util.HashMap[java.lang.Double, String]] {
+    override def initialValue(): java.util.HashMap[java.lang.Double, String] =
+      new java.util.HashMap
+  }
+  private def f2(d: Double): String = {
+    val m = f2Cache.get()
+    val k = java.lang.Double.valueOf(d)
+    var s = m.get(k)
+    if (s == null) {
+      if (m.size > 65536) m.clear()
+      s = "%.2f".formatLocal(java.util.Locale.ROOT, d)
+      m.put(k, s)
+    }
+    s
+  }
 
   /** PDF literal-string escape over the Latin-1-projected text. The
     * reference encodes to ISO-8859-1 and falls back to the raw string on

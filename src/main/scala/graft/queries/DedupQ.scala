@@ -566,9 +566,12 @@ object DedupQ {
     // and only the ~1-in-23 variants hash fresh
     val bands = cachedBands(s, dir).unionAll(lshBandsOf(planted))
     val w = Window.partitionBy(col("band"), col("bh"))
+    // self-joined below (a/b sides): cache so the planted-variant
+    // banding + bucket-size window run once, not once per side
     val capped = bands.withColumn("bn", count(lit(1)).over(w))
       .filter(col("bn") <= MaxLshBucket)
       .select(col("doc_id"), col("band"), col("bh"))
+      .scopedCache()
     val found = capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("b.doc_id") === col("a.doc_id") + 2000000L)
@@ -645,9 +648,12 @@ object DedupQ {
     Seq(2, 4, 8).map { nBands =>
       val bands = bandsFromSig(mh, nBands)
       val w = Window.partitionBy(col("band"), col("bh"))
+      // self-joined below (a/b sides): cache per banding so the re-band
+      // + bucket-size window run once, not once per side
       val capped = bands.withColumn("bn", count(lit(1)).over(w))
         .filter(col("bn") <= MaxLshBucket)
         .select(col("doc_id"), col("band"), col("bh"))
+        .scopedCache()
       val found = capped.as("a").join(capped.as("b"),
           col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
             col("b.doc_id") === col("a.doc_id") + 2000000L)

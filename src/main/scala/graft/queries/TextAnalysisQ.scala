@@ -158,18 +158,48 @@ object TextAnalysisQ {
     * histogram are computed exactly once; the tiny global table
     * broadcasts back and the final per-doc agg recombines counts
     * (sum(cnt), sum(cnt*gc)) instead of re-touching every position. */
+  /** Per-doc bigram histogram as a DOC-granularity kernel: one LongMap
+    * pass over the code points (key = cp1 << 21 | cp2 — code points fit
+    * 21 bits, so the packing is collision-free), strings built once per
+    * DISTINCT bigram. The previous shape exploded one row per character
+    * position (~15M rows at sf0.1, the battery's largest row blow-up)
+    * and re-aggregated them in a shuffle; the kernel emits the
+    * per-(doc, bigram) counts directly — identical rows (Spark substr
+    * slices code points, exactly what the packing iterates), with the
+    * whole position-stream Exchange gone. A UDF is right here because
+    * it runs once per DOCUMENT (5k rows), not per element — the
+    * builtin formulation is asymptotically worse, not cheaper. */
+  private val bigramCountsUdf = udf { t: String =>
+    if (t == null) Map.empty[String, Long]
+    else {
+      val cps = t.codePoints().toArray
+      if (cps.length < 2) Map.empty[String, Long]
+      else {
+        val m = scala.collection.mutable.LongMap.empty[Long]
+        var i = 0
+        while (i < cps.length - 1) {
+          val key = (cps(i).toLong << 21) | cps(i + 1).toLong
+          m(key) = m.getOrElse(key, 0L) + 1L
+          i += 1
+        }
+        val out = Map.newBuilder[String, Long]
+        m.foreach { case (k, c) =>
+          out += new String(Array((k >>> 21).toInt, (k & 0x1FFFFF).toInt), 0, 2) -> c
+        }
+        out.result()
+      }
+    }
+  }
+
   def qBigramFamiliarity(s: SparkSession, dir: String): DataFrame = {
-    val bi = documents(s, dir)
-      .select(col("doc_id"), lower(regexp_replace(col("text"), "\\s+", " ")).as("t"))
-      .select(col("doc_id"),
-        explode(sequence(lit(1), greatest(length(col("t")) - 1, lit(0)))).as("i"), col("t"))
-      .filter(col("i") <= length(col("t")) - 1)
-      .select(col("doc_id"), expr("substr(t, i, 2)").as("b"))
     // shared by the global agg AND the join side; cache() (same policy as
     // DedupQ's self-join temporaries) because Catalyst's ReuseExchange
     // does not fire across the broadcast boundary here — without it the
-    // explode would run twice
-    val hist = bi.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt")).scopedCache()
+    // kernel would run twice
+    val hist = documents(s, dir)
+      .select(col("doc_id"), lower(regexp_replace(col("text"), "\\s+", " ")).as("t"))
+      .select(col("doc_id"), explode(bigramCountsUdf(col("t"))).as(Seq("b", "cnt")))
+      .scopedCache()
     val global = hist.groupBy(col("b")).agg(sum(col("cnt")).as("gc"))
     hist.join(broadcast(global), Seq("b"))
       .groupBy(col("doc_id"))
