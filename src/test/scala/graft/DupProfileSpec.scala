@@ -48,6 +48,18 @@ class DupProfileSpec extends AnyFunSuite {
     // exact duplicates of its own
     val exact = DedupQ.qDedupExact(spark, dir).collect().map(_.getLong(2))
     assert(exact.forall(_ == 1L), "corpus gained natural exact dups")
+    // second precondition (round-5 ADVICE): the injected upper-case tier
+    // relies on Spark upper() (Java full case mapping) and DuckDB upper()
+    // (utf8proc simple mapping) agreeing — they diverge on full-casing
+    // characters (ß -> SS, fi-ligatures, final sigma, İ/ı, ŉ, ǰ). Pin
+    // that no doc_id % 7 == 0 document contains one.
+    val fullCasing = "[ßﬁﬂﬀﬃﬄﬆςŉǰİı]".r
+    val risky = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 7 === 0)
+      .select("text").collect()
+      .count(r => fullCasing.findFirstIn(r.getString(0)).isDefined)
+    assert(risky == 0, s"$risky doc_id%7 docs contain full-casing chars — " +
+      "Spark/DuckDB upper() would diverge on the injected tier")
     val ids = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id").collect().map(_.getLong(0))
     val n3 = ids.count(_ % 21 == 0).toLong            // base + upper + spaced
