@@ -60,6 +60,16 @@ class DupProfileSpec extends AnyFunSuite {
       .count(r => fullCasing.findFirstIn(r.getString(0)).isDefined)
     assert(risky == 0, s"$risky doc_id%7 docs contain full-casing chars — " +
       "Spark/DuckDB upper() would diverge on the injected tier")
+    // third precondition (round-5 ADVICE #2): NULL text diverges between
+    // the engines — the Spark side drops NULL fingerprints via
+    // fp.isNotNull while the frozen oracle's GROUP BY fp would keep a
+    // NULL-fingerprint cluster. Pin that the corpus has no NULL text so
+    // the divergence stays vacuous (the oracle SQL is a frozen surface;
+    // this assert is the guard the ADVICE asked for).
+    val nullText = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("text").isNull).count()
+    assert(nullText == 0, s"$nullText NULL-text docs — q_dup_profile's " +
+      "Spark/DuckDB NULL-fingerprint handling would diverge")
     val ids = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id").collect().map(_.getLong(0))
     val n3 = ids.count(_ % 21 == 0).toLong            // base + upper + spaced
